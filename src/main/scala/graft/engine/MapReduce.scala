@@ -1,0 +1,114 @@
+package graft.engine
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Spark-native restatement of the reference MapReduce runtime
+  * (src/mr/worker.go + src/mr/coordinator.go), pipeline
+  * E1→E2→E3/E4/E5→E6/E7→E8→E9 from SURVEY.md §2.1:
+  *
+  *   whole-file scan → user map → FNV hash shuffle (nReduce partitions) →
+  *   per-key grouping → user reduce → "key value" text lines.
+  *
+  * Scheduling concerns E10–E13 (phase barrier, straggler re-execution,
+  * completion tracking, worker polling) are Spark built-ins: the shuffle stage
+  * boundary is the map/reduce barrier, `spark.task.maxFailures` + speculation
+  * replace the 10 s re-execution timer, and the DAG scheduler replaces the
+  * coordinator RPC loop.
+  *
+  * Scale note: `wholeTextFiles` matches the reference's one-map-task-per-file
+  * granularity (src/mr/coordinator.go:191-207) and is right for corpus-style
+  * inputs (many files ≪ executor memory each). For 100 TB of line-oriented
+  * text use the splittable DataFrame path (`graft.queries` modules), not this
+  * faithful whole-file surface.
+  */
+object MapReduce {
+
+  /** Distributed run, returning (key, reduced-value) pairs.
+    *
+    * `groupByKey` (not `reduceByKey`) is deliberate: the reference contract
+    * hands `reduce` the FULL value list per key (src/mr/worker.go:188-203) —
+    * no combiners exist there, and a general `reducef` is not algebraic.
+    * Apps that are algebraic can opt into [[runAlgebraic]].
+    */
+  def run(spark: SparkSession, app: MRApp, inputGlob: String,
+          nReduce: Int = 10): RDD[(String, String)] =
+    spark.sparkContext
+      .wholeTextFiles(inputGlob)
+      .flatMap { case (file, contents) =>
+        app.map(file, contents).map(kv => (kv.key, kv.value))
+      }
+      .groupByKey(new FnvPartitioner(nReduce))
+      .map { case (k, vs) => (k, app.reduce(k, vs.toSeq)) }
+
+  /** Map-side-combinable fast path for algebraic reducers (associative +
+    * commutative over the raw values). Not the general contract — see [[run]].
+    */
+  def runAlgebraic(spark: SparkSession, app: MRApp, inputGlob: String,
+                   combine: (String, String) => String,
+                   nReduce: Int = 10): RDD[(String, String)] =
+    spark.sparkContext
+      .wholeTextFiles(inputGlob)
+      .flatMap { case (file, contents) =>
+        app.map(file, contents).map(kv => (kv.key, kv.value))
+      }
+      .reduceByKey(new FnvPartitioner(nReduce), combine)
+
+  /** Writes the reference's text-sink format: one `"key value"` line per
+    * group (src/mr/worker.go:203-219), one output file per reduce partition
+    * (`part-0000N` standing in for `mr-out-N`; atomic commit via Spark's
+    * FileOutputCommitter replaces the temp-file+rename protocol,
+    * src/mr/worker.go:135-144).
+    */
+  def runToText(spark: SparkSession, app: MRApp, inputGlob: String,
+                outDir: String, nReduce: Int = 10): Unit =
+    run(spark, app, inputGlob, nReduce)
+      .map { case (k, v) => s"$k $v" }
+      .saveAsTextFile(outDir)
+
+  /** DataFrame face of [[run]] — schema `(key string, value string)`. */
+  def runToDF(spark: SparkSession, app: MRApp, inputGlob: String,
+              nReduce: Int = 10): DataFrame = {
+    import spark.implicits._
+    run(spark, app, inputGlob, nReduce).toDF("key", "value")
+  }
+
+  /** Single-process sequential oracle, mirroring src/main/mrsequential.go:25-87:
+    * read every file → map → global sort by key → group runs → reduce →
+    * `"key value"` lines. Pure Scala (no Spark) so the distributed engine is
+    * tested against an independent implementation, exactly as
+    * src/main/test-mr.sh:80-111 diffs the distributed run against the
+    * sequential golden output.
+    */
+  def runSequential(app: MRApp, files: Seq[java.nio.file.Path]): Seq[String] = {
+    val intermediate = files.flatMap { p =>
+      val contents = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      app.map(p.toString, contents)
+    }
+    intermediate
+      .groupBy(_.key)
+      .toSeq
+      .sortBy(_._1)
+      .map { case (k, kvs) => s"$k ${app.reduce(k, kvs.map(_.value))}" }
+  }
+
+  /** Expands a glob like `/dir/pg-*.txt` into sorted paths (driver-side). */
+  def globPaths(glob: String): Seq[java.nio.file.Path] = {
+    val p = java.nio.file.Paths.get(glob)
+    val dir = p.getParent
+    val matcher = java.nio.file.FileSystems.getDefault
+      .getPathMatcher("glob:" + p.getFileName.toString)
+    val stream = java.nio.file.Files.list(dir)
+    try stream.iterator().asScala.toSeq
+      .filter(f => matcher.matches(f.getFileName)).sortBy(_.toString)
+    finally stream.close()
+  }
+
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}

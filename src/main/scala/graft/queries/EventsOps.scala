@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream workload over the `events` table: time-bucketed aggregation,
+  * gap-based sessionization, JSON extraction, and set operations. The batch
+  * formulations here are the oracle-checkable face; `graft.streaming` holds
+  * the Structured Streaming equivalents (watermarked windows,
+  * flatMapGroupsWithState sessionizer) asserted batch-vs-stream in tests.
+  *
+  * Time handling: outputs carry `epoch` bigints or formatted strings, never
+  * raw timestamps (engine-representation differences). Session gap compares
+  * use fractional-second doubles on both engines (Spark `cast(ts as double)`,
+  * DuckDB `epoch(ts)`), since `unix_timestamp` truncates sub-second parts.
+  */
+object EventsOps {
+  import Tables.t
+
+  import Det.r2e
+
+  val hourly = Q(
+    "q_events_hourly",
+    "Tumbling 1-hour aggregation per event type. Group key is " +
+      "epoch(date_trunc(hour)) — in streaming this is window($\"ts\", \"1 " +
+      "hour\") with a watermark; partial agg applies either way.",
+    Some("""
+      SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+             event_type,
+             count(*) AS n_events,
+             round(sum(value) + 1e-6, 2) AS sum_value
+      FROM events
+      GROUP BY hour_epoch, event_type""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "events")
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), r2e(sum(col("value"))).as("sum_value")))
+
+  val sessions = Q(
+    "q_events_sessions",
+    "Gap-based sessionization (30-min inactivity) via lag + running sum of " +
+      "session starts — the standard single-shuffle window formulation. Per " +
+      "user: session count, event count, events/session. At scale the " +
+      "shuffle is by user_id only; no driver-side state.",
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                      OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id,
+             sum(is_new)::BIGINT AS n_sessions,
+             count(*) AS n_events,
+             round(count(*) / (1.0 * sum(is_new)) + 1e-6, 2) AS events_per_session
+      FROM flagged
+      GROUP BY user_id""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(spark, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0,
+            lit(1)).otherwise(lit(0)))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("is_new")).as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          r2e(count(lit(1)) / (lit(1.0) * sum(col("is_new"))))
+            .as("events_per_session"))
+    })
+
+  val json = Q(
+    "q_events_json",
+    "JSON scalar extraction from the props column, bucketed distribution. " +
+      "get_json_object is codegen'd; no UDF.",
+    Some("""
+      SELECT (json_extract_string(props, '$.k')::BIGINT) % 10 AS k_bucket,
+             count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY k_bucket""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "events")
+        .withColumn("k_bucket",
+          get_json_object(col("props"), "$.k").cast("long") % 10)
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users")))
+
+  val setops = Q(
+    "q_events_setops",
+    "Set operations on user cohorts: INTERSECT (clicked AND purchased) and " +
+      "EXCEPT (clicked, never purchased). Distinct sets shuffle once each; " +
+      "counts are scalars cross-joined into one row.",
+    Some("""
+      SELECT
+        (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                               INTERSECT
+                               SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+          AS n_both,
+        (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                               EXCEPT
+                               SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+          AS n_click_only""".stripMargin),
+    (spark, dir) => {
+      val ev = t(spark, dir, "events")
+      val clickers = ev.filter(col("event_type") === "click")
+        .select("user_id").distinct()
+      val buyers = ev.filter(col("event_type") === "purchase")
+        .select("user_id").distinct()
+      val both = clickers.intersect(buyers).agg(count(lit(1)).as("n_both"))
+      val clickOnly = clickers.except(buyers)
+        .agg(count(lit(1)).as("n_click_only"))
+      both.crossJoin(clickOnly)
+    })
+
+  val all: Seq[Q] = Seq(hourly, sessions, json, setops)
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared operator/query from SURVEY.md §2's inventory: the Spark
+  * formulation plus (when SQL-expressible) the equivalent DuckDB oracle SQL
+  * the driver runs over the same parquet tables. Column names/types must match
+  * between the two — the driver's compare sorts columns by name and hashes
+  * values.
+  *
+  * Determinism rules used throughout:
+  *  - every double aggregate is `round(..., k)` on BOTH sides, so engine
+  *    summation-order differences (~1e-12 relative) can't flip the hash;
+  *  - every top-k / window rank orders by the ROUNDED measure with an id
+  *    tie-break, so near-equal measures rank identically on both engines;
+  *  - timestamps never appear raw in output — always `epoch` bigints or
+  *    formatted strings — avoiding tz/precision representation mismatches;
+  *  - DuckDB integer sums are cast `::BIGINT` (its SUM(int) is HUGEINT).
+  */
+final case class Q(
+    name: String,
+    doc: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+object Det {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lit, round}
+
+  /** Epsilon-shifted 2-decimal rounding. Spark rounds doubles HALF_UP on the
+    * decimal string; DuckDB rounds on the binary double — they disagree
+    * exactly on `.xx5` boundaries (e.g. avg of cent-valued prices). The
+    * +1e-6 shift (≫ engine float noise ~1e-9, ≪ data granularity 0.005)
+    * pushes every boundary case to round the same way on both engines. The
+    * oracle SQL applies the identical shift.
+    */
+  def r2e(c: Column): Column = round(c + lit(1e-6), 2)
+
+  /** Same for 4 decimals (similarity scores; boundary 5e-5 vs shift 1e-8). */
+  def r4e(c: Column): Column = round(c + lit(1e-8), 4)
+}
+
+object Tables {
+  /** All tables ship as single parquet files per TESTDATA.md. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright. Read nanos as long (legacy conf) and convert with
+    * integer `div` — NOT `/`, which would round-trip the int64 nanos through
+    * a double and lose sub-second precision.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+}

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational workload over the TPC-H-ish star schema. The reference itself
+  * has no joins (SURVEY.md §2.4 — its only co-grouping is reduce-side E7);
+  * these queries are the Dataset/Catalyst face the north star requires:
+  * shuffled and broadcast joins, semi/anti joins, partial aggregation,
+  * windows, and top-k — all built-in operators so predicate pushdown, column
+  * pruning, AQE and whole-stage codegen apply unchanged at 100 TB.
+  *
+  * Scale notes per query are in each doc string; the global pattern:
+  * dimensions (region/nation/supplier/part and filtered customer) are
+  * broadcast, facts (orders/lineitem) are never collected, and every
+  * aggregation is algebraic so map-side partial agg halves the shuffle.
+  */
+object Relational {
+  import Tables.t
+  import Det.r2e
+
+  val q1 = Q(
+    "q1_pricing_summary",
+    "TPC-H Q1-style scan+filter+aggregate on lineitem. Algebraic aggs → " +
+      "map-side partial aggregation; shipdate filter + 6-column projection " +
+      "push into the parquet scan. At 100 TB this is a single scan, no join.",
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity) + 1e-6, 2)       AS sum_qty,
+             round(sum(l_extendedprice) + 1e-6, 2)  AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS sum_disc_price,
+             round(avg(l_quantity) + 1e-6, 2)       AS avg_qty,
+             round(avg(l_extendedprice) + 1e-6, 2)  AS avg_price,
+             count(*)                               AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    (spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2e(sum(col("l_quantity"))).as("sum_qty"),
+          r2e(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2e(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price"),
+          r2e(avg(col("l_quantity"))).as("avg_qty"),
+          r2e(avg(col("l_extendedprice"))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    })
+
+  val q3 = Q(
+    "q3_top_orders",
+    "TPC-H Q3-style 3-way join + top-10 by revenue. Filtered customer dim " +
+      "is broadcast; orders⋈lineitem shuffles on the join key once and the " +
+      "groupBy reuses that partitioning. Top-k orders by the ROUNDED measure " +
+      "with id tie-break (determinism across engines).",
+    Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_orderkey, orderdate
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10""".stripMargin),
+    (spark, dir) => {
+      val cust = t(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(r2e(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    })
+
+  val q5 = Q(
+    "q5_nation_revenue",
+    "TPC-H Q5-style 6-table join: revenue per customer nation for one " +
+      "region. region/nation are broadcast inside the customer dim build, " +
+      "supplier is broadcast against the fact; only orders⋈lineitem " +
+      "shuffles. At 100 TB the dims stay broadcast-able and AQE re-plans " +
+      "the fact join.",
+    Some("""
+      SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+      FROM region
+      JOIN nation   ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name""".stripMargin),
+    (spark, dir) => {
+      val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(spark, dir, "nation")
+      val custDim = t(spark, dir, "customer")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      val ord = t(spark, dir, "orders")
+      val li = t(spark, dir, "lineitem")
+      val supp = t(spark, dir, "supplier")
+      li.join(broadcast(supp), supp("s_suppkey") === li("l_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(custDim), ord("o_custkey") === custDim("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(r2e(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+    })
+
+  val qSemi = Q(
+    "q_order_priority_exists",
+    "EXISTS semi-join: orders having any heavy lineitem (qty > 49), counted " +
+      "per priority. left_semi avoids materializing matches and keeps one " +
+      "shuffle; count per priority partial-aggregates map-side.",
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+      GROUP BY o_orderpriority""".stripMargin),
+    (spark, dir) => {
+      val ord = t(spark, dir, "orders")
+      val li = t(spark, dir, "lineitem").filter(col("l_quantity") > 49)
+      ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    })
+
+  val qAnti = Q(
+    "q_customer_no_bigorder",
+    "NOT EXISTS anti-join: customers with no order above 300k, per segment. " +
+      "left_anti with the filter pushed below the join.",
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      GROUP BY c_mktsegment""".stripMargin),
+    (spark, dir) => {
+      val cust = t(spark, dir, "customer")
+      val ord = t(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    })
+
+  val qWindowTop = Q(
+    "q_top_customers_per_nation",
+    "Window ranking: top-3 customers by order spend within each nation. " +
+      "row_number over (nation, spend) — rank on the ROUNDED spend with " +
+      "custkey tie-break. One shuffle for the agg, one for the window " +
+      "(same key → reused partitioning).",
+    Some("""
+      WITH spend AS (
+        SELECT n_name, c_custkey,
+               round(sum(o_totalprice) + 1e-6, 2) AS total_spend
+        FROM nation
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        GROUP BY n_name, c_custkey)
+      SELECT n_name, c_custkey, total_spend, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY n_name
+                                     ORDER BY total_spend DESC, c_custkey) AS rank
+        FROM spend)
+      WHERE rank <= 3""".stripMargin),
+    (spark, dir) => {
+      val nation = t(spark, dir, "nation")
+      val cust = t(spark, dir, "customer")
+      val ord = t(spark, dir, "orders")
+      val spend = ord
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(r2e(sum(col("o_totalprice"))).as("total_spend"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("total_spend").desc, col("c_custkey"))
+      spend.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("n_name", "c_custkey", "total_spend", "rank")
+    })
+
+  val qPartStats = Q(
+    "q_part_brand_stats",
+    "Multi-aggregate with distinct count per brand. count(distinct) expands " +
+      "to a two-phase aggregate; all other aggs stay partial-aggregated.",
+    Some("""
+      SELECT p_brand,
+             count(*)               AS n_parts,
+             count(DISTINCT p_type) AS n_types,
+             round(avg(p_retailprice) + 1e-6, 2) AS avg_price,
+             min(p_size) AS min_size, max(p_size) AS max_size
+      FROM part GROUP BY p_brand""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "part").groupBy(col("p_brand")).agg(
+        count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        r2e(avg(col("p_retailprice"))).as("avg_price"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size")))
+
+  val qAboveAvg = Q(
+    "q_above_avg_balance",
+    "Customers with account balance above their nation's average — " +
+      "correlated-subquery semantics via a window average (single shuffle " +
+      "on nationkey, no self-join).",
+    Some("""
+      SELECT c_custkey, round(c_acctbal + 1e-6, 2) AS acctbal,
+             round(nation_avg + 1e-6, 2) AS nation_avg
+      FROM (SELECT c_custkey, c_acctbal,
+                   avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+            FROM customer)
+      WHERE c_acctbal > nation_avg""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+      t(spark, dir, "customer")
+        .withColumn("nation_avg_raw", avg(col("c_acctbal")).over(w))
+        .filter(col("c_acctbal") > col("nation_avg_raw"))
+        .select(col("c_custkey"), r2e(col("c_acctbal")).as("acctbal"),
+          r2e(col("nation_avg_raw")).as("nation_avg"))
+    })
+
+  val all: Seq[Q] =
+    Seq(q1, q3, q5, qSemi, qAnti, qWindowTop, qPartStats, qAboveAvg)
+}

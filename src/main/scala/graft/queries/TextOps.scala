@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text workload over `documents`: the reference's Map/Reduce application
+  * queries (SURVEY.md §2.2 A1–A5) re-expressed as Catalyst plans at table
+  * scale, plus the training-data-pipeline text analysis (language ID, quality
+  * scoring, token stats, fingerprinting).
+  *
+  * The faithful MRApp/engine face of A1–A5 lives in `graft.apps` +
+  * `graft.engine.MapReduce` (whole-file granularity, golden-diffed against
+  * the sequential oracle in tests, mirroring src/main/test-mr.sh:80-111).
+  * Here the same semantics run over a parquet `documents` table — the form
+  * that scales to 100 TB: splittable scans, codegen'd split/explode (no
+  * UDFs), partial aggregation, no whole-file memory coupling.
+  */
+object TextOps {
+  import Tables.t
+
+  /** Non-letter tokenizer, the A1 `wc` split predicate
+    * (src/mrapps/wc.go:21-24) as a regex class — identical in Java and RE2
+    * for the ASCII corpus.
+    */
+  private val SplitPat = "[^a-zA-Z]+"
+
+  val wordcount = Q(
+    "mr_wordcount",
+    "A1 `wc` at table scale (src/mrapps/wc.go): tokenize on non-letter runs, " +
+      "count per word. explode(split(...)) is a codegen'd Generator — the " +
+      "reference's map UDTF (E2) — and count's partial agg is the combiner " +
+      "the reference lacks.",
+    Some(s"""
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(text, '$SplitPat')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .select(explode(split(col("text"), SplitPat)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt")))
+
+  val invertedIndex = Q(
+    "mr_inverted_index",
+    "A2 `indexer` at table scale (src/mrapps/indexer.go): per-document " +
+      "distinct words (map-side dedup), then per word the doc count and the " +
+      "sorted doc list — `\"<n> doc1,doc2\"` shape preserved as columns.",
+    Some(s"""
+      WITH wd AS (
+        SELECT DISTINCT word, doc_id
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(text, '$SplitPat')) AS word
+              FROM documents)
+        WHERE word <> '')
+      SELECT word, count(*) AS n_docs,
+             string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS docs
+      FROM wd GROUP BY word""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), SplitPat)).as("word"))
+        .filter(col("word") =!= "")
+        .distinct()
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(
+            transform(sort_array(collect_set(col("doc_id"))),
+              x => x.cast("string")), ",").as("docs")))
+
+  val collector = Q(
+    "mr_collector",
+    "A3/A4 `crash`/`nocrash` query semantics (src/mrapps/crash.go:45-55): " +
+      "collect all values per key and emit the LEXICALLY sorted, " +
+      "space-joined list (sort.Strings there). Key = source, values = doc " +
+      "ids. collect_list shuffles raw values — the reference's no-combiner " +
+      "reduce contract (E8).",
+    Some("""
+      SELECT source,
+             string_agg(doc_id::VARCHAR, ' ' ORDER BY doc_id::VARCHAR) AS members
+      FROM documents GROUP BY source""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(array_join(sort_array(collect_list(col("doc_id").cast("string"))),
+          " ").as("members")))
+
+  val filecount = Q(
+    "mr_filecount",
+    "A5 `early_exit` query semantics (src/mrapps/early_exit.go:19-36): one " +
+      "count per input unit (source standing in for filename).",
+    Some("SELECT source, count(*) AS cnt FROM documents GROUP BY source"),
+    (spark, dir) =>
+      t(spark, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt")))
+
+  val grep = Q(
+    "mr_grep",
+    "Standalone projection+filter (the reference only has these inside map " +
+      "UDFs, SURVEY.md §2.4): documents mentioning 'spark'. The contains " +
+      "predicate and 3-column projection push into the parquet scan.",
+    Some("""
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE text LIKE '%spark%'""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .filter(col("text").contains("spark"))
+        .select("doc_id", "source", "n_chars"))
+
+  // ---- training-data-pipeline text analysis ----
+
+  private val Stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo"))
+
+  val langid = Q(
+    "ta_langid",
+    "Language ID by stopword-hit scoring (n-gram-free heuristic): count " +
+      "stopword occurrences per candidate language over the token array, " +
+      "argmax with fixed precedence. Output is the lang×prediction " +
+      "contingency table. Pure array expressions — codegen'd, no UDF.",
+    Some {
+      val scores = Stop.toSeq.sortBy(_._1).map { case (lg, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS s_$lg"
+      }.mkString(",\n               ")
+      s"""
+      WITH scored AS (
+        SELECT lang,
+               $scores
+        FROM documents)
+      SELECT lang,
+             CASE
+               WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+               WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+               WHEN s_fr >= s_zh THEN 'fr'
+               ELSE 'zh'
+             END AS lang_pred,
+             count(*) AS n_docs
+      FROM scored GROUP BY lang, lang_pred""".stripMargin
+    },
+    (spark, dir) => {
+      val toks = split(col("text"), " ")
+      def score(lg: String) =
+        size(filter(toks, x => x.isInCollection(Stop(lg)))).as(s"s_$lg")
+      val scored = t(spark, dir, "documents")
+        .select(col("lang") +: Stop.keys.toSeq.sorted.map(score): _*)
+      val pred = when(
+        col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+          col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_zh"), "en")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh")
+      scored.withColumn("lang_pred", pred)
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+    })
+
+  val tokenStats = Q(
+    "ta_token_stats",
+    "Token counting per source: whitespace tokenization, document and token " +
+      "totals, average tokens/doc. size(filter(split(...))) never explodes " +
+      "rows — O(1) memory per doc.",
+    Some("""
+      WITH d AS (
+        SELECT source,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        FROM documents)
+      SELECT source,
+             count(*) AS n_docs,
+             sum(n_tokens)::BIGINT AS total_tokens,
+             round(avg(1.0 * n_tokens) + 1e-6, 2) AS avg_tokens,
+             max(n_tokens)::BIGINT AS max_tokens
+      FROM d GROUP BY source""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("source"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          Det.r2e(avg(lit(1.0) * col("n_tokens"))).as("avg_tokens"),
+          max(col("n_tokens")).cast("long").as("max_tokens")))
+
+  val quality = Q(
+    "ta_quality_score",
+    "Per-document quality scoring: token count, type-token ratio, average " +
+      "word length, and a composite score — the length/diversity heuristics " +
+      "of a pretraining quality filter, as pure column expressions. The " +
+      "ratios are UNROUNDED: each is the identical IEEE expression tree over " +
+      "exact integers on both engines, so the doubles match bitwise (rounding " +
+      "would reintroduce HALF_UP-vs-half-even divergence).",
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+               len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_distinct,
+               len(replace(text, ' ', '')) AS n_letters
+        FROM documents)
+      SELECT doc_id, n_tokens, n_distinct,
+             n_distinct / n_tokens AS ttr,
+             n_letters / n_tokens AS avg_word_len,
+             0.5::DOUBLE * least(n_tokens, 200) / 200.0::DOUBLE
+               + 0.5::DOUBLE * n_distinct / n_tokens AS quality
+      FROM d""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          length(regexp_replace(col("text"), " ", "")).as("n_letters"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("n_distinct") / col("n_tokens")).as("ttr"),
+          (col("n_letters") / col("n_tokens")).as("avg_word_len"),
+          (lit(0.5) * least(col("n_tokens"), lit(200)) / lit(200.0)
+            + lit(0.5) * col("n_distinct") / col("n_tokens")).as("quality"))
+    })
+
+  val fingerprint = Q(
+    "ta_fingerprint",
+    "Document fingerprinting: md5 over the normalized text (lowercase, " +
+      "alnum only) + per-fingerprint collision count via a window — the " +
+      "exact-dup detection primitive. md5 is bit-portable across engines.",
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+        FROM documents)
+      SELECT doc_id, fp,
+             count(*) OVER (PARTITION BY fp) AS n_same
+      FROM f""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("fp"))
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "[^a-z0-9]+", "")).as("fp"))
+        .withColumn("n_same", count(lit(1)).over(w))
+    })
+
+  val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
+    langid, tokenStats, quality, fingerprint)
+}
