@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing.md5hash32
+
+/** Deduplication operators over `documents` — the training-data-pipeline
+  * core: exact (hash groupBy), MinHash+LSH (shingle→minhash→band→bucket
+  * join), SimHash, and n-gram Jaccard verification. The embedding-cosine
+  * near-dup lives in [[Similarity]] alongside the ANN ops.
+  *
+  * All hashing is the portable md5-based `Hashing.md5hash32`, so every stage
+  * is oracle-checkable bit-for-bit in DuckDB. All set math (Jaccard,
+  * signature agreement) is exact integer ratios — unrounded doubles are
+  * IEEE-identical across engines.
+  *
+  * Scale shape: shingling explodes ~L shingles/doc but is immediately
+  * reduced by the per-doc minhash aggregation (one row per doc again before
+  * any join). Candidate pairs come only from LSH bucket joins — never an
+  * all-pairs product — so the expensive exact-Jaccard verification runs on
+  * O(candidates), the standard MinHash/LSH contract at 100 TB.
+  */
+object Dedup {
+  import Tables.t
+
+  private val NumHashes = 4
+
+  /** Word tokens of `text` (space-separated corpus). */
+  private def toks: Column = filter(split(col("text"), " "), x => x =!= "")
+
+  /** Distinct 3-word shingles per doc: (doc_id, source, shingle). */
+  private[queries] def shingles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(1), size(col("toks")) - 2),
+              i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+            .otherwise(array().cast("array<string>")))).as("shingle"))
+
+  /** DuckDB mirror of [[shingles]] as a CTE body. */
+  private val ShinglesSql = """
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+    FROM (SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents)"""
+
+  /** Portable seeded hash in DuckDB, = `Hashing.md5hash32`. */
+  private def duckHash(seed: Int, e: String): String =
+    s"('0x' || substr(md5('$seed:' || $e), 1, 8))::BIGINT"
+
+  /** MinHash signature per doc: m0..m3 = min over shingles of seeded hashes. */
+  private[queries] def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until NumHashes).map(s =>
+      min(md5hash32(col("shingle"), s)).as(s"m$s"))
+    shingles(spark, dir).groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val SignaturesSql = {
+    val mins = (0 until NumHashes)
+      .map(s => s"min(${duckHash(s, "shingle")}) AS m$s").mkString(", ")
+    s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
+  }
+
+  val exact = Q(
+    "dedup_exact",
+    "Exact dedup: hash-groupBy on the content fingerprint; each doc mapped " +
+      "to the min-doc_id canonical of its md5 bucket. One shuffle on the " +
+      "16-byte digest — never on the text itself (100 TB: shuffle keys stay " +
+      "tiny).",
+    Some("""
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      FROM documents""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(md5(col("text")))
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          min(col("doc_id")).over(w).as("canonical_id"))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+    })
+
+  val minhashSig = Q(
+    "dedup_minhash_sig",
+    s"MinHash signatures: distinct 3-word shingles → $NumHashes seeded " +
+      "portable hashes → per-doc minima, plus the md5 band key over the " +
+      "full signature. Shingle explosion collapses back to one row per doc " +
+      "in the same aggregation — no wide intermediate survives the stage.",
+    Some(s"""
+      WITH sh AS ($ShinglesSql),
+           sig AS ($SignaturesSql)
+      SELECT doc_id, m0, m1, m2, m3,
+             md5(m0::VARCHAR || ',' || m1::VARCHAR || ',' ||
+                 m2::VARCHAR || ',' || m3::VARCHAR) AS band
+      FROM sig""".stripMargin),
+    (spark, dir) =>
+      signatures(spark, dir).withColumn("band",
+        md5(concat_ws(",", (0 until NumHashes).map(s => col(s"m$s").cast("string")): _*))))
+
+  val minhashPairs = Q(
+    "dedup_minhash_pairs",
+    "MinHash LSH candidate pairs: bucket-join on the first minhash (b=4,r=1 " +
+      "banding's first band), then estimate Jaccard as the fraction of " +
+      "agreeing signature components. The join is equi on m0 — a hash " +
+      "shuffle join on bucket keys, NOT an all-pairs product; candidates " +
+      "≈ docs sharing a rare min-shingle.",
+    Some(s"""
+      WITH sh AS ($ShinglesSql),
+           sig AS ($SignaturesSql)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ((a.m0 = b.m0)::INT + (a.m1 = b.m1)::INT +
+              (a.m2 = b.m2)::INT + (a.m3 = b.m3)::INT)::BIGINT AS n_match,
+             ((a.m0 = b.m0)::INT + (a.m1 = b.m1)::INT +
+              (a.m2 = b.m2)::INT + (a.m3 = b.m3)::INT) / ${NumHashes}.0::DOUBLE
+               AS est_jaccard
+      FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id""".stripMargin),
+    (spark, dir) => {
+      val sig = signatures(spark, dir)
+      val a = sig.alias("a")
+      val b = sig.alias("b")
+      val nMatch = (0 until NumHashes)
+        .map(s => when(col(s"a.m$s") === col(s"b.m$s"), 1).otherwise(0))
+        .reduce(_ + _)
+      a.join(b, col("a.m0") === col("b.m0") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          nMatch.cast("long").as("n_match"),
+          (nMatch / lit(NumHashes.toDouble)).as("est_jaccard"))
+    })
+
+  val ngramJaccard = Q(
+    "dedup_ngram_jaccard",
+    "Exact n-gram Jaccard verification within source blocks: shingle " +
+      "equi-join counts the intersection, per-doc shingle counts give the " +
+      "union, pairs kept at J ≥ 0.5. Blocking (same source) + the shingle " +
+      "join bound the pair space; Jaccard is an exact integer ratio — " +
+      "bitwise identical across engines, no rounding.",
+    Some(s"""
+      WITH sh AS ($ShinglesSql),
+           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           common AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+             FROM sh a JOIN sh b
+               ON a.shingle = b.shingle AND a.source = b.source
+                  AND a.doc_id < b.doc_id
+             GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b, n_common,
+             n_common / (sa.n + sb.n - n_common) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.5""".stripMargin),
+    (spark, dir) => {
+      val sh = shingles(spark, dir).cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.alias("a")
+      val b = sh.alias("b")
+      val common = a.join(b,
+        col("a.shingle") === col("b.shingle") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val jac = col("n_common") / (col("sa.n") + col("sb.n") - col("n_common"))
+      common
+        .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
+    })
+
+  val simhash = Q(
+    "dedup_simhash",
+    "16-bit SimHash per document: one seeded portable hash per token " +
+      "occurrence, per-bit ±1 majority vote folded into 16 conditional sums " +
+      "in a SINGLE aggregation (no bit-explode, one shuffle), sign bits " +
+      "packed into the fingerprint.",
+    Some {
+      val h = duckHash(99, "word")
+      val sums = (0 until 16)
+        .map(b => s"sum(CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n               ")
+      val pack = (0 until 16)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH w AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+                 FROM documents),
+           v AS (SELECT doc_id,
+               $sums
+             FROM w GROUP BY doc_id)
+      SELECT doc_id, ($pack)::BIGINT AS simhash FROM v""".stripMargin
+    },
+    (spark, dir) => {
+      val words = t(spark, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("word"))
+        .withColumn("h", md5hash32(col("word"), 99))
+      val sums = (0 until 16).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1)
+          .otherwise(-1)).as(s"s$b"))
+      val packed = (0 until 16)
+        .map(b => when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _)
+      words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), packed.cast("long").as("simhash"))
+    })
+
+  val all: Seq[Q] = Seq(exact, minhashSig, minhashPairs, ngramJaccard, simhash)
+}
