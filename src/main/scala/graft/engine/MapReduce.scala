@@ -36,10 +36,18 @@ object MapReduce {
     spark.sparkContext
       .wholeTextFiles(inputGlob)
       .flatMap { case (file, contents) =>
-        app.map(file, contents).map(kv => (kv.key, kv.value))
+        // wholeTextFiles yields URIs (file:/...); apps see plain paths like
+        // the reference's os.Args file names (src/main/mrcoordinator.go:23).
+        app.map(plainPath(file), contents).map(kv => (kv.key, kv.value))
       }
       .groupByKey(new FnvPartitioner(nReduce))
       .map { case (k, vs) => (k, app.reduce(k, vs.toSeq)) }
+
+  private def plainPath(uri: String): String =
+    try {
+      val p = new java.net.URI(uri).getPath
+      if (p == null || p.isEmpty) uri else p
+    } catch { case _: Exception => uri }
 
   /** Map-side-combinable fast path for algebraic reducers (associative +
     * commutative over the raw values). Not the general contract — see [[run]].

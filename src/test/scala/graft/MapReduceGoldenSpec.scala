@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.apps.AppRegistry
+import graft.engine.MapReduce
+
+/** The reference's golden differential methodology (src/main/test-mr.sh:
+  * 80-111): run each portable app distributed, compare the globally sorted
+  * `"key value"` lines against the independent single-process sequential
+  * oracle over the same Project Gutenberg corpus.
+  */
+class MapReduceGoldenSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val glob = "/root/reference/src/main/pg-*.txt"
+
+  private def distributedSorted(app: String, nReduce: Int): Seq[String] =
+    MapReduce.run(spark, AppRegistry(app), glob, nReduce)
+      .map { case (k, v) => s"$k $v" }
+      .collect().toSeq.sorted
+
+  private def sequentialSorted(app: String): Seq[String] =
+    MapReduce.runSequential(AppRegistry(app), MapReduce.globPaths(glob)).sorted
+
+  for (app <- Seq("wc", "indexer", "collector", "filecount")) {
+    test(s"$app: distributed matches sequential oracle (nReduce=10)") {
+      val got = distributedSorted(app, nReduce = 10)
+      val want = sequentialSorted(app)
+      assert(got.size == want.size, s"row count ${got.size} != ${want.size}")
+      assert(got == want)
+    }
+  }
+
+  test("wc: result invariant to reduce partition count (3 vs 10)") {
+    assert(distributedSorted("wc", 3) == distributedSorted("wc", 10))
+  }
+
+  test("wc: known corpus total word count") {
+    // ~608,645 words per BASELINE.md; lock the exact tokenizer-dependent sum.
+    val total = MapReduce.run(spark, AppRegistry("wc"), glob, 10)
+      .map(_._2.toLong).sum()
+    assert(total > 500000 && total < 700000, s"suspicious total $total")
+  }
+}
