@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, SessionUpdate}
+
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("hourly streaming agg equals the batch aggregation on the same data") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0),
+      Event(4, ts(70), 1, "click", 4.0))
+    val input = MemoryStream[Event]
+    val q = Streams.hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val want = Streams.hourlyAgg(events.toDF())
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(got == want)
+      assert(got.size == 3) // (h0,click), (h1,view), (h1,click)
+    } finally q.stop()
+  }
+
+  test("sessionizer closes sessions across the gap and batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(spark, input.toDS(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(5), 7, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: 30 min later -> previous session must close with 2 events
+      input.addData(Event(3, ts(35), 7, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").as[SessionUpdate].collect()
+      val closed = rows.filter(_.closed)
+      assert(closed.length == 1)
+      assert(closed.head.n_events == 2 && closed.head.total_value == 3.0)
+      val open = rows.filter(r => !r.closed).maxBy(_.session_start.getTime)
+      assert(open.n_events == 1 && open.total_value == 5.0)
+    } finally q.stop()
+  }
+}
