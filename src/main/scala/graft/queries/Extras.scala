@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Coverage extensions beyond the core workload: multi-level aggregation
+  * (ROLLUP), the full window-function family, an as-of join, portable scalar
+  * functions, approximate distinct (HLL), and a salted skew-resistant
+  * aggregation proving the two-phase decomposition is lossless.
+  */
+object Extras {
+  import Tables.t
+  import Det.r2e
+
+  val rollup = Q(
+    "q_rollup_sales",
+    "ROLLUP over (segment, priority): per-cell, per-segment and grand-total " +
+      "sums in one pass — Catalyst expands to a single Expand+Aggregate, " +
+      "one shuffle regardless of level count.",
+    Some("""
+      SELECT c_mktsegment, o_orderpriority,
+             round(sum(o_totalprice) + 1e-6, 2) AS total_sales,
+             count(*) AS n_orders
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY ROLLUP (c_mktsegment, o_orderpriority)""".stripMargin),
+    (spark, dir) => {
+      val cust = t(spark, dir, "customer")
+      val ord = t(spark, dir, "orders")
+      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .rollup(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(r2e(sum(col("o_totalprice"))).as("total_sales"),
+          count(lit(1)).as("n_orders"))
+    })
+
+  val windowFuncs = Q(
+    "q_window_functions",
+    "The analytic-function family over one window (nation, balance desc): " +
+      "rank, dense_rank, ntile, lag delta, running sum. One shuffle on the " +
+      "partition key serves all five.",
+    Some("""
+      SELECT c_custkey,
+             c_nationkey,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4)     OVER w AS quartile,
+             round(c_acctbal - lag(c_acctbal) OVER w + 1e-6, 2) AS bal_delta,
+             round(sum(c_acctbal) OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal DESC, c_custkey
+                                        ROWS UNBOUNDED PRECEDING) + 1e-6, 2)
+               AS running_bal
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(spark, dir, "customer").select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        r2e(col("c_acctbal") - lag(col("c_acctbal"), 1).over(w)).as("bal_delta"),
+        r2e(sum(col("c_acctbal"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .as("running_bal"))
+    })
+
+  val asof = Q(
+    "q_asof_last_signup",
+    "As-of join: each purchase matched to the user's most recent prior-or-" +
+      "same-time signup — the union+running-max window formulation (one " +
+      "shuffle on user, no range join product). The same plan shape " +
+      "implements point-in-time feature lookups at scale.",
+    Some("""
+      WITH u AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'signup' THEN ts END AS signup_ts
+        FROM events WHERE event_type IN ('purchase', 'signup')),
+      f AS (
+        SELECT *, max(signup_ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS last_signup
+        FROM u)
+      SELECT event_id, user_id,
+             epoch(ts) - epoch(last_signup) AS secs_since_signup
+      FROM f WHERE event_type = 'purchase'""".stripMargin),
+    (spark, dir) => {
+      val u = t(spark, dir, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+        .withColumn("signup_ts",
+          when(col("event_type") === "signup", col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      u.withColumn("last_signup", max(col("signup_ts")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (col("ts").cast("double") - col("last_signup").cast("double"))
+            .as("secs_since_signup"))
+    })
+
+  val scalarFuncs = Q(
+    "q_scalar_functions",
+    "Portable scalar-function surface (string/math/modulo) as one " +
+      "codegen'd projection over part — no UDFs.",
+    Some("""
+      SELECT p_partkey,
+             upper(p_brand) AS brand_u,
+             substr(p_type, 1, 3) AS type3,
+             length(p_name)::BIGINT AS name_len,
+             round(sqrt(p_retailprice) + 1e-6, 2) AS price_sqrt,
+             (p_size % 5)::BIGINT AS size_mod,
+             concat(p_brand, '/', p_type) AS brand_type
+      FROM part""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_type"), 1, 3).as("type3"),
+        length(col("p_name")).cast("long").as("name_len"),
+        r2e(sqrt(col("p_retailprice"))).as("price_sqrt"),
+        (col("p_size") % 5).cast("long").as("size_mod"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type")))
+
+  val approxDistinct = Q(
+    "q_approx_distinct_users",
+    "HLL approximate distinct users per event type alongside the exact " +
+      "count. No SQL oracle (HLL implementations differ across engines); " +
+      "the spec asserts the approximation error bound instead — the " +
+      "rows-only driver check applies.",
+    None,
+    (spark, dir) =>
+      t(spark, dir, "events").groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users")))
+
+  val saltedWordcount = Q(
+    "q_salted_wordcount",
+    "Skew-resistant two-phase aggregation: tokens pre-aggregated on " +
+      "(word, salt) then combined per word — the hot-key (stopword) salting " +
+      "pattern. Same oracle as mr_wordcount: the decomposition is lossless.",
+    Some(s"""
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(text, '[^a-zA-Z]+')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "[^a-zA-Z]+")).as("word"))
+        .filter(col("word") =!= "")
+        .withColumn("salt", pmod(col("doc_id"), lit(16)))
+        .groupBy(col("word"), col("salt"))
+        .agg(count(lit(1)).as("partial"))
+        .groupBy(col("word"))
+        .agg(sum(col("partial")).cast("long").as("cnt")))
+
+  val all: Seq[Q] = Seq(rollup, windowFuncs, asof, scalarFuncs,
+    approxDistinct, saltedWordcount)
+}

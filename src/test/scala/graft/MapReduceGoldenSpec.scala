@@ -41,4 +41,19 @@ class MapReduceGoldenSpec extends AnyFunSuite {
       .map(_._2.toLong).sum()
     assert(total > 500000 && total < 700000, s"suspicious total $total")
   }
+
+  /** Committed golden digests over the pg corpus — guards BOTH
+    * implementations drifting together (the sorted-output md5 was locked
+    * when distributed and sequential first byte-matched).
+    */
+  test("golden digests: wc and indexer sorted output md5") {
+    def md5(lines: Seq[String]): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.update(lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.digest().map("%02x".format(_)).mkString
+    }
+    assert(md5(sequentialSorted("wc")) == "cac7f68803d98a28eb877afad90e8cc3")
+    assert(md5(sequentialSorted("indexer")) == "5acee18b1101e5f2efa76c61ba82f020")
+  }
 }
