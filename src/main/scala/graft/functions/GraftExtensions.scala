@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.StringType
+
+/** Registers graft's native expressions as SQL functions through the public
+  * extensions API, so `spark.sql("SELECT fnv1a32(k), arr_dot(a, b) ...")`
+  * works wherever the session is built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fnv1a32"),
+      new ExpressionInfo(classOf[Fnv1a32].getName, "fnv1a32"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"fnv1a32 expects exactly 1 argument, got ${children.size}")
+        Fnv1a32(Cast(children.head, StringType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("arr_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "arr_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"arr_dot expects exactly 2 arguments, got ${children.size}")
+        ArrayDot(children(0), children(1))
+      }))
+  }
+}

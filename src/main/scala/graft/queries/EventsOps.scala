@@ -120,5 +120,38 @@ object EventsOps {
       both.crossJoin(clickOnly)
     })
 
-  val all: Seq[Q] = Seq(hourly, sessions, json, setops)
+  val funnel = Q(
+    "q_events_funnel",
+    "Conversion funnel (view → click → purchase ordered per user): per-user " +
+      "stage-minima in one aggregation, then scalar funnel counts. One " +
+      "shuffle on user_id; no self-joins.",
+    Some("""
+      WITH m AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id)
+      SELECT count(*) AS n_users,
+             count(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+                                AND t_purchase IS NOT NULL)::BIGINT AS n_all_stages,
+             count(*) FILTER (WHERE t_view < t_click
+                                AND t_click < t_purchase)::BIGINT AS n_funnel
+      FROM m""".stripMargin),
+    (spark, dir) => {
+      val m = t(spark, dir, "events").groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      m.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull && col("t_click").isNotNull &&
+          col("t_purchase").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_all_stages"),
+        sum(when(col("t_view") < col("t_click") &&
+          col("t_click") < col("t_purchase"), 1).otherwise(0)).cast("long")
+          .as("n_funnel"))
+    })
+
+  val all: Seq[Q] = Seq(hourly, sessions, json, setops, funnel)
 }

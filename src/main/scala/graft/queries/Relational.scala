@@ -231,6 +231,23 @@ object Relational {
           r2e(col("nation_avg_raw")).as("nation_avg"))
     })
 
+  val qMonthly = Q(
+    "q_revenue_by_month",
+    "Calendar rollup: revenue and order count per (year, month) — date " +
+      "extraction stays in the scan projection, the agg partial-aggregates.",
+    Some("""
+      SELECT date_part('year', o_orderdate)::BIGINT AS yr,
+             date_part('month', o_orderdate)::BIGINT AS mon,
+             round(sum(o_totalprice) + 1e-6, 2) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY yr, mon""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mon"))
+        .agg(r2e(sum(col("o_totalprice"))).as("revenue"),
+          count(lit(1)).as("n_orders")))
+
   val all: Seq[Q] =
-    Seq(q1, q3, q5, qSemi, qAnti, qWindowTop, qPartStats, qAboveAvg)
+    Seq(q1, q3, q5, qSemi, qAnti, qWindowTop, qPartStats, qAboveAvg, qMonthly)
 }

@@ -168,5 +168,27 @@ object Similarity {
         .agg(count(lit(1)).as("n_pairs"))
     })
 
-  val all: Seq[Q] = Seq(topkBrute, topkIvf, nearDup, histogram)
+  val labelCentroid = Q(
+    "sim_label_centroid",
+    "Per-cell centroids (mean pooling per dimension) — the IVF training " +
+      "step and the embedding-aggregation primitive. posexplode + " +
+      "(label, dim) aggregation: one shuffle, dims stay distributed (no " +
+      "collect of vectors).",
+    Some("""
+      SELECT label, i::BIGINT AS pos,
+             round(avg(embedding[i + 1]::DOUBLE) + 1e-9, 6) AS c,
+             count(*) AS n
+      FROM (SELECT label, embedding,
+                   unnest(range(0, len(embedding))) AS i
+            FROM embeddings)
+      GROUP BY label, pos""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "embeddings")
+        .select(col("label"),
+          posexplode(transform(col("embedding"), x => x.cast("double"))))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(round(avg(col("col")) + lit(1e-9), 6).as("c"),
+          count(lit(1)).as("n")))
+
+  val all: Seq[Q] = Seq(topkBrute, topkIvf, nearDup, histogram, labelCentroid)
 }

@@ -248,6 +248,46 @@ object TextOps {
         .withColumn("n_same", count(lit(1)).over(w))
     })
 
+  val bpeTokens = Q(
+    "ta_bpe_tokens",
+    "Token counting with a BPE-ish regex (letter runs | digit runs | single " +
+      "other-symbols) next to plain whitespace tokens — the pretraining " +
+      "token-budget estimator. regexp_count is codegen'd; no explode.",
+    Some("""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+               AS n_bpe_tokens,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+               AS n_ws_tokens
+      FROM documents""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .cast("long").as("n_bpe_tokens"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("n_ws_tokens")))
+
+  val rollingHash = Q(
+    "ta_rolling_hash",
+    "Polynomial rolling-hash document fingerprint (base 31, 31-bit mask) " +
+      "over the character stream — the incremental-hash primitive under " +
+      "Rabin-Karp chunking. Identical char-ordinal fold on both engines.",
+    Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(range(1, len(text) + 1),
+                   i -> ord(substr(text, i, 1))::BIGINT)),
+               (acc, c) -> (acc * 31 + c) & 2147483647) AS rhash
+      FROM documents""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents").select(
+        col("doc_id"),
+        expr("aggregate(transform(sequence(1, length(text)), " +
+          "i -> ascii(substr(text, i, 1))), 0L, " +
+          "(acc, c) -> (acc * 31 + c) & 2147483647)").as("rhash")))
+
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
-    langid, tokenStats, quality, fingerprint)
+    langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash)
 }
