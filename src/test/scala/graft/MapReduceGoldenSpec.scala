@@ -35,6 +35,15 @@ class MapReduceGoldenSpec extends AnyFunSuite {
     assert(distributedSorted("wc", 3) == distributedSorted("wc", 10))
   }
 
+  test("wc: algebraic combiner path (runAlgebraic) equals groupByKey path") {
+    // wc's reduce is a count => combinable as integer addition.
+    val viaCombiner = MapReduce
+      .runAlgebraic(spark, AppRegistry("wc"), glob,
+        (a, b) => (a.toLong + b.toLong).toString, nReduce = 10)
+      .map { case (k, v) => s"$k $v" }.collect().toSeq.sorted
+    assert(viaCombiner == distributedSorted("wc", 10))
+  }
+
   test("wc: known corpus total word count") {
     // ~608,645 words per BASELINE.md; lock the exact tokenizer-dependent sum.
     val total = MapReduce.run(spark, AppRegistry("wc"), glob, 10)

@@ -59,4 +59,26 @@ class StreamsSpec extends AnyFunSuite {
       assert(open.n_events == 1 && open.total_value == 5.0)
     } finally q.stop()
   }
+
+  test("streaming exact dedup: watermarked dropDuplicates keeps first per key") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // (doc_id, fingerprint, event time): fp "a" arrives 3x across batches.
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = input.toDF().toDF("doc_id", "fp", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("fp")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a", ts(0)), (2L, "a", ts(1)), (3L, "b", ts(2)))
+      q.processAllAvailable()
+      input.addData((4L, "a", ts(3)), (5L, "c", ts(4)))
+      q.processAllAvailable()
+      val rows = spark.table("dedup")
+        .select(col("doc_id"), col("fp")).as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "a"), (3L, "b"), (5L, "c")))
+    } finally q.stop()
+  }
 }
