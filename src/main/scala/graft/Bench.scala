@@ -19,7 +19,8 @@ object Bench {
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "q_top_customers_per_nation", "q_events_sessions",
     "mr_wordcount", "mr_inverted_index", "ta_quality_score",
-    "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_lsh_verified",
+    "dedup_simhash",
     "sim_topk_bruteforce", "dedup_embedding_cosine", "kv_cas_replay")
 
   def main(args: Array[String]): Unit = {

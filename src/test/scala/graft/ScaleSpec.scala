@@ -30,6 +30,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(direct == salted)
   }
 
+  test("partitioned write enables partition pruning in the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.withColumn("ship_year", year(col("l_shipdate")))
+      .write.partitionBy("ship_year").mode("overwrite").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).filter(col("ship_year") === 1996)
+      .groupBy(col("l_returnflag")).count()
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    // The pruned read must touch only the 1996 directory's rows.
+    val expected = li.filter(year(col("l_shipdate")) === 1996).count()
+    val got = pruned.agg(sum(col("count"))).collect().head.getLong(0)
+    assert(got == expected)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // Uses the default warehouse dir (./spark-warehouse, gitignored):
     // spark.sql.warehouse.dir is a static conf, unsettable per-test.
