@@ -25,8 +25,13 @@ object MrRun {
     }
     val Array(appName, inputGlob, outDir) = args.take(3)
     val app = AppRegistry(appName)
-    val nReduce = args.drop(3).find(a => !a.startsWith("--")).map(_.toInt)
-      .getOrElse(10)
+    val nReduce = args.drop(3).find(a => !a.startsWith("--")) match {
+      case None => 10
+      case Some(n) => n.toIntOption.filter(_ > 0).getOrElse {
+        System.err.println(s"error: nReduce must be a positive integer, got '$n'")
+        sys.exit(2)
+      }
+    }
     val sequential = args.contains("--sequential")
 
     if (sequential) {

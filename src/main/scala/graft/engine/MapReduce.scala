@@ -58,7 +58,7 @@ object MapReduce {
     spark.sparkContext
       .wholeTextFiles(inputGlob)
       .flatMap { case (file, contents) =>
-        app.map(file, contents).map(kv => (kv.key, kv.value))
+        app.map(plainPath(file), contents).map(kv => (kv.key, kv.value))
       }
       .reduceByKey(new FnvPartitioner(nReduce), combine)
 
@@ -104,7 +104,8 @@ object MapReduce {
   /** Expands a glob like `/dir/pg-*.txt` into sorted paths (driver-side). */
   def globPaths(glob: String): Seq[java.nio.file.Path] = {
     val p = java.nio.file.Paths.get(glob)
-    val dir = p.getParent
+    // A bare relative glob ("pg-*.txt") has no parent: list the cwd.
+    val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
     val matcher = java.nio.file.FileSystems.getDefault
       .getPathMatcher("glob:" + p.getFileName.toString)
     val stream = java.nio.file.Files.list(dir)

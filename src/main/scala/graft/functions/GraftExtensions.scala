@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** Registers graft's native expressions as SQL functions through the public
   * extensions API, so `spark.sql("SELECT fnv1a32(k), arr_dot(a, b) ...")`
@@ -27,7 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2,
           s"arr_dot expects exactly 2 arguments, got ${children.size}")
-        ArrayDot(children(0), children(1))
+        // Cast to array<double>: ArrayDot reads 8-byte slots, so a raw
+        // array<float> input (e.g. the embeddings column) would otherwise
+        // yield garbage from UnsafeArrayData.
+        ArrayDot(Cast(children(0), ArrayType(DoubleType)),
+          Cast(children(1), ArrayType(DoubleType)))
       }))
   }
 }

@@ -159,7 +159,10 @@ object Dedup {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE n_common / (sa.n + sb.n - n_common) >= 0.5""".stripMargin),
     (spark, dir) => {
-      val sh = shingles(spark, dir).cache()
+      // No .cache(): a session-lifetime pin would outlive the query in the
+      // Verify/Bench sweeps; the scan+explode recompute is cheaper than the
+      // leak. A production pipeline materializes shingles to a table once.
+      val sh = shingles(spark, dir)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.alias("a")
       val b = sh.alias("b")

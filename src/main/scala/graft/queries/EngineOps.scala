@@ -67,7 +67,7 @@ object EngineOps {
         .as[(Long, Long, String, Long)]
         .map { case (eid, uid, etype, priorOk) =>
           val version = if (etype == "error") 999999999L else priorOk
-          (eid, KvOp(uid.toString, eid.toString, version))
+          KvOp(uid.toString, eid.toString, version, retried = false, seq = eid)
         }
       KvBatch.replay(spark, ops)
         .toDF()

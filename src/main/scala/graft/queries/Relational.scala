@@ -87,11 +87,11 @@ object Relational {
 
   val q5 = Q(
     "q5_nation_revenue",
-    "TPC-H Q5-style 6-table join: revenue per customer nation for one " +
-      "region. region/nation are broadcast inside the customer dim build, " +
-      "supplier is broadcast against the fact; only orders⋈lineitem " +
-      "shuffles. At 100 TB the dims stay broadcast-able and AQE re-plans " +
-      "the fact join.",
+    "TPC-H Q5 semantics: revenue per nation where the supplying and buying " +
+      "nations coincide (s_nationkey = c_nationkey), one region. " +
+      "region/nation are broadcast inside the customer dim build, supplier " +
+      "is broadcast against the fact; only orders⋈lineitem shuffles. At " +
+      "100 TB the dims stay broadcast-able and AQE re-plans the fact join.",
     Some("""
       SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
       FROM region
@@ -99,7 +99,7 @@ object Relational {
       JOIN customer ON c_nationkey = n_nationkey
       JOIN orders   ON o_custkey = c_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
-      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
       WHERE r_name = 'ASIA'
       GROUP BY n_name""".stripMargin),
     (spark, dir) => {
@@ -111,9 +111,11 @@ object Relational {
       val ord = t(spark, dir, "orders")
       val li = t(spark, dir, "lineitem")
       val supp = t(spark, dir, "supplier")
-      li.join(broadcast(supp), supp("s_suppkey") === li("l_suppkey"))
-        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(custDim), ord("o_custkey") === custDim("c_custkey"))
+        .join(broadcast(supp),
+          supp("s_suppkey") === li("l_suppkey") &&
+            supp("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
         .agg(r2e(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("revenue"))

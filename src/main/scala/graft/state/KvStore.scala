@@ -29,9 +29,11 @@ object KvTypes {
 /** A Put request: apply `value` iff `version` equals the cell's current
   * version; version 0 creates a missing key (src/kvsrv1/server.go:40-44).
   * `retried` marks a client re-send (at-most-once ambiguity → ErrMaybe).
+  * `seq` totally orders a key's ops — group iterators after a shuffle have
+  * NO guaranteed order, so both replay paths sort by it before folding.
   */
 case class KvOp(key: String, value: String, version: Long,
-    retried: Boolean = false)
+    retried: Boolean = false, seq: Long = 0L)
 
 /** A key's cell: (value, version), src/kvsrv1/rpc/rpc.go:31-39. */
 case class KvCell(value: String, version: Long)
@@ -77,12 +79,11 @@ object KvBatch {
     * per-key order is the only order CAS semantics need, so the operator
     * scales to arbitrarily many keys with no cross-key coordination.
     */
-  def replay(spark: SparkSession, ops: Dataset[(Long, KvOp)]): Dataset[KvResult] = {
+  def replay(spark: SparkSession, ops: Dataset[KvOp]): Dataset[KvResult] = {
     import spark.implicits._
-    ops.groupByKey(_._2.key)
+    ops.groupByKey(_.key)
       .mapGroups { (key, it) =>
-        KvStateMachine.replayKey(key,
-          it.toSeq.sortBy(_._1).iterator.map(_._2))
+        KvStateMachine.replayKey(key, it.toSeq.sortBy(_.seq).iterator)
       }
   }
 }
@@ -96,7 +97,8 @@ object KvStream {
     var cell: Option[KvCell] = state.getOption
     var applied = 0L
     var rejected = 0L
-    ops.toSeq.foreach { op =>
+    // Sort within the micro-batch: group order is otherwise nondeterministic.
+    ops.toSeq.sortBy(_.seq).foreach { op =>
       val (next, err) = KvStateMachine.step(cell, op)
       if (err == KvTypes.OK) applied += 1 else rejected += 1
       cell = next

@@ -29,55 +29,75 @@ object Streams {
   case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
 
   /** Watermarked tumbling-hour aggregation — the incremental form of
-    * `q_events_hourly` (same grouping keys and aggregates).
+    * `q_events_hourly` (same grouping keys, aggregates AND rounding: the
+    * epsilon-shifted round keeps incremental state-store accumulation
+    * comparable to the batch partial-agg despite summation-order noise).
     */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")) + lit(1e-6), 2).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** Gap-based sessionizer (30-min inactivity), the incremental form of
     * `q_events_sessions`: per-user state carries the open session; events
-    * past the gap close it and emit, processing-time timeout flushes
-    * stragglers. Emits one row per closed session plus the open-session
-    * snapshot on each batch.
+    * past the gap close it and emit, and an EVENT-TIME timeout (watermark
+    * passing lastTs + 2×gap) flushes stragglers and evicts their state —
+    * state size is bounded by ACTIVE users, not all users ever seen, and
+    * eviction is deterministic in event time (no wall-clock dependence).
+    * Emits one row per closed session plus the open-session snapshot per
+    * batch.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event],
-      gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
+      gapSeconds: Long = 1800,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionUpdate] = {
     import spark.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val out = Seq.newBuilder[SessionUpdate]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastTs > gapSeconds * 1000 =>
-                out += SessionUpdate(user, new Timestamp(s.start), s.n,
-                  s.total, closed = true)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case Some(s) =>
-                cur = Some(s.copy(lastTs = t, n = s.n + 1,
-                  total = s.total + e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // Idle past the timeout: close the open session, evict state.
+            val out = state.getOption.toSeq.map(s =>
+              SessionUpdate(user, new Timestamp(s.start), s.n, s.total,
+                closed = true))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs > gapSeconds * 1000 =>
+                  out += SessionUpdate(user, new Timestamp(s.start), s.n,
+                    s.total, closed = true)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1,
+                    total = s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
-          }
-          cur match {
-            case Some(s) =>
+            cur.foreach { s =>
               state.update(s)
+              // Evict when the watermark passes 2×gap beyond the last event
+              // (must stay above the current watermark or Spark rejects it).
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1000,
+                s.lastTs + gapSeconds * 2 * 1000))
               out += SessionUpdate(user, new Timestamp(s.start), s.n, s.total,
                 closed = false)
-            case None => ()
+            }
+            out.result().iterator
           }
-          out.result().iterator
       }
   }
 }

@@ -19,7 +19,8 @@ class KvStreamSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("kvout")
       .outputMode("update").start()
     try {
-      input.addData(KvOp("a", "v1", 0), KvOp("a", "v2", 1), KvOp("b", "x", 0))
+      input.addData(KvOp("a", "v1", 0, seq = 1), KvOp("a", "v2", 1, seq = 2),
+        KvOp("b", "x", 0, seq = 3))
       q.processAllAvailable()
       val batch1 = spark.table("kvout").as[KvResult].collect()
         .map(r => r.key -> r).toMap
@@ -27,7 +28,8 @@ class KvStreamSpec extends AnyFunSuite {
       assert(batch1("b").version == 1)
 
       // Second batch: version continues from stored state; stale op rejected.
-      input.addData(KvOp("a", "v3", 2), KvOp("a", "stale", 0), KvOp("b", "y", 7))
+      input.addData(KvOp("a", "v3", 2, seq = 4), KvOp("a", "stale", 0, seq = 5),
+        KvOp("b", "y", 7, seq = 6))
       q.processAllAvailable()
       val rows2 = spark.table("kvout").as[KvResult].collect()
       val a2 = rows2.filter(_.key == "a").maxBy(_.version)
