@@ -265,6 +265,40 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
     })
 
-  val all: Seq[Q] =
-    Seq(exact, minhashSig, minhashPairs, ngramJaccard, simhash, lshVerified)
+  val editDistance = Q(
+    "dedup_edit_distance",
+    "Character-level verification of LSH candidates: Levenshtein distance " +
+      "on the 80-char document prefixes of each MinHash candidate pair — " +
+      "the classic DP is O(len²) per pair, so it only ever runs on the " +
+      "candidate set, never all pairs. Integer output: exact on both " +
+      "engines.",
+    Some(s"""
+      WITH sh AS ($ShinglesSql),
+           sig AS ($SignaturesSql),
+           cand AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80))::BIGINT
+               AS prefix_dist
+      FROM cand
+      JOIN documents da ON da.doc_id = doc_a
+      JOIN documents db ON db.doc_id = doc_b""".stripMargin),
+    (spark, dir) => {
+      val sig = signatures(spark, dir)
+      val cand = sig.alias("ca").join(sig.alias("cb"),
+        col("ca.m0") === col("cb.m0") && col("ca.doc_id") < col("cb.doc_id"))
+        .select(col("ca.doc_id").as("doc_a"), col("cb.doc_id").as("doc_b"))
+      val docs = t(spark, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
+      cand
+        .join(broadcast(docs.alias("da")), col("doc_a") === col("da.doc_id"))
+        .join(broadcast(docs.alias("db")), col("doc_b") === col("db.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("da.prefix"), col("db.prefix")).cast("long")
+            .as("prefix_dist"))
+    })
+
+  val all: Seq[Q] = Seq(exact, minhashSig, minhashPairs, ngramJaccard,
+    simhash, lshVerified, editDistance)
 }

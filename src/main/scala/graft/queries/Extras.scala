@@ -155,6 +155,53 @@ object Extras {
         .groupBy(col("word"))
         .agg(sum(col("partial")).cast("long").as("cnt")))
 
+  val percentiles = Q(
+    "q_percentiles",
+    "Exact quantiles (median / p95, linear interpolation) of order value " +
+      "per segment. Exact percentile sorts within the group — fine for " +
+      "bounded groups; the approximate path for heavy keys is " +
+      "approx_percentile (see q_approx_distinct_users for the approx " +
+      "contract).",
+    Some("""
+      SELECT c_mktsegment,
+             round(quantile_cont(o_totalprice, 0.5) + 1e-6, 2) AS median_price,
+             round(quantile_cont(o_totalprice, 0.95) + 1e-6, 2) AS p95_price,
+             count(*) AS n_orders
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""".stripMargin),
+    (spark, dir) => {
+      val cust = t(spark, dir, "customer")
+      val ord = t(spark, dir, "orders")
+      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          r2e(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
+          r2e(expr("percentile(o_totalprice, 0.95)")).as("p95_price"),
+          count(lit(1)).as("n_orders"))
+    })
+
+  val corrStats = Q(
+    "q_corr_stats",
+    "Statistical aggregates per return flag: Pearson correlation, sample " +
+      "stddev, sample covariance of quantity vs extended price — all " +
+      "algebraic (sum/sum-of-squares decompositions), so they partial-" +
+      "aggregate map-side like any sum.",
+    Some("""
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice) + 1e-6, 4) AS qty_price_corr,
+             round(stddev_samp(l_quantity) + 1e-6, 4) AS qty_stddev,
+             round(covar_samp(l_quantity, l_extendedprice) + 1e-6, 2) AS qty_price_covar,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")) + lit(1e-6), 4)
+          .as("qty_price_corr"),
+        round(stddev_samp(col("l_quantity")) + lit(1e-6), 4).as("qty_stddev"),
+        r2e(covar_samp(col("l_quantity"), col("l_extendedprice")))
+          .as("qty_price_covar"),
+        count(lit(1)).as("n")))
+
   val all: Seq[Q] = Seq(rollup, windowFuncs, asof, scalarFuncs,
-    approxDistinct, saltedWordcount)
+    approxDistinct, saltedWordcount, percentiles, corrStats)
 }
