@@ -68,6 +68,30 @@ object Dedup {
     s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
   }
 
+  /** LSH candidate pairs (same m0 bucket) with both signatures, from ONE
+    * signature pass: bucket-collect then in-bucket pair expansion. The
+    * aliased self-join formulation computed the whole shingle+minhash
+    * pipeline twice (Catalyst does not exchange-reuse across the aliases) —
+    * at scale that doubles the dominant stage. Bucket sizes are bounded by
+    * the minhash (max 17 at sf0.1), so the per-bucket collect is safe; a
+    * production pipeline would additionally cap pathological buckets.
+    */
+  private[queries] def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir)
+      .groupBy(col("m0"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id"), col("m1"), col("m2"), col("m3")))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(col("m0"), explode(expr(
+        """flatten(transform(sequence(1, size(members) - 1), i ->
+             transform(sequence(i + 1, size(members)), j ->
+               struct(members[i-1] AS a, members[j-1] AS b))))""")).as("p"))
+      .select(col("m0"),
+        col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.m1").as("a_m1"), col("p.b.m1").as("b_m1"),
+        col("p.a.m2").as("a_m2"), col("p.b.m2").as("b_m2"),
+        col("p.a.m3").as("a_m3"), col("p.b.m3").as("b_m3"))
+
   val exact = Q(
     "dedup_exact",
     "Exact dedup: hash-groupBy on the content fingerprint; each doc mapped " +
@@ -122,14 +146,11 @@ object Dedup {
                AS est_jaccard
       FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id""".stripMargin),
     (spark, dir) => {
-      val sig = signatures(spark, dir)
-      val a = sig.alias("a")
-      val b = sig.alias("b")
-      val nMatch = (0 until NumHashes)
-        .map(s => when(col(s"a.m$s") === col(s"b.m$s"), 1).otherwise(0))
-        .reduce(_ + _)
-      a.join(b, col("a.m0") === col("b.m0") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      val nMatch = lit(1) + (1 until NumHashes)
+        .map(s => when(col(s"a_m$s") === col(s"b_m$s"), 1).otherwise(0))
+        .reduce[org.apache.spark.sql.Column](_ + _)
+      candidatePairs(spark, dir)
+        .select(col("doc_a"), col("doc_b"),
           nMatch.cast("long").as("n_match"),
           (nMatch / lit(NumHashes.toDouble)).as("est_jaccard"))
     })
@@ -246,10 +267,7 @@ object Dedup {
       WHERE n_common / (sa.n + sb.n - n_common) >= 0.5""".stripMargin),
     (spark, dir) => {
       val sh = shingles(spark, dir)
-      val sig = signatures(spark, dir)
-      val cand = sig.alias("ca").join(sig.alias("cb"),
-        col("ca.m0") === col("cb.m0") && col("ca.doc_id") < col("cb.doc_id"))
-        .select(col("ca.doc_id").as("doc_a"), col("cb.doc_id").as("doc_b"))
+      val cand = candidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val common = cand
         .join(sh.alias("a"), col("doc_a") === col("a.doc_id"))
@@ -285,10 +303,7 @@ object Dedup {
       JOIN documents da ON da.doc_id = doc_a
       JOIN documents db ON db.doc_id = doc_b""".stripMargin),
     (spark, dir) => {
-      val sig = signatures(spark, dir)
-      val cand = sig.alias("ca").join(sig.alias("cb"),
-        col("ca.m0") === col("cb.m0") && col("ca.doc_id") < col("cb.doc_id"))
-        .select(col("ca.doc_id").as("doc_a"), col("cb.doc_id").as("doc_b"))
+      val cand = candidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
       val docs = t(spark, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
       cand
