@@ -40,21 +40,27 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     val queries = SparkEntry.queries
+    // min of N repeats per query (default 2): local-box load noise dwarfs
+    // real plan differences on single runs.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt max 1
     val results = headline.filter(queries.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          true
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-        }
-      // A failed query reports -1 (not its near-zero elapsed time) so the
-      // metric can't be silently flattered by fast failures.
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+        // A failed query reports -1 (not its near-zero elapsed time) so the
+        // metric can't be silently flattered by fast failures.
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -68,20 +68,27 @@ object Dedup {
     s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
   }
 
+  /** A bucket larger than this is a degenerate hash collision (a stop-
+    * shingle dominating the corpus), not a dup cluster: it would contribute
+    * O(cap²) low-precision pairs. Dropped identically on both engines
+    * (oracle mirrors the HAVING), so results stay comparable; real data
+    * here peaks at 17 members.
+    */
+  private val MaxBucket = 1000
+
   /** LSH candidate pairs (same m0 bucket) with both signatures, from ONE
     * signature pass: bucket-collect then in-bucket pair expansion. The
     * aliased self-join formulation computed the whole shingle+minhash
     * pipeline twice (Catalyst does not exchange-reuse across the aliases) —
-    * at scale that doubles the dominant stage. Bucket sizes are bounded by
-    * the minhash (max 17 at sf0.1), so the per-bucket collect is safe; a
-    * production pipeline would additionally cap pathological buckets.
+    * at scale that doubles the dominant stage. Bucket size is capped at
+    * [[MaxBucket]] so one pathological collision can't go quadratic.
     */
   private[queries] def candidatePairs(spark: SparkSession, dir: String): DataFrame =
     signatures(spark, dir)
       .groupBy(col("m0"))
       .agg(sort_array(collect_list(struct(
         col("doc_id"), col("m1"), col("m2"), col("m3")))).as("members"))
-      .filter(size(col("members")) > 1)
+      .filter(size(col("members")) > 1 && size(col("members")) <= MaxBucket)
       .select(col("m0"), explode(expr(
         """flatten(transform(sequence(1, size(members) - 1), i ->
              transform(sequence(i + 1, size(members)), j ->
@@ -144,7 +151,8 @@ object Dedup {
              ((a.m0 = b.m0)::INT + (a.m1 = b.m1)::INT +
               (a.m2 = b.m2)::INT + (a.m3 = b.m3)::INT) / ${NumHashes}.0::DOUBLE
                AS est_jaccard
-      FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id""".stripMargin),
+      FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id
+      WHERE a.m0 IN (SELECT m0 FROM sig GROUP BY m0 HAVING count(*) <= 1000)""".stripMargin),
     (spark, dir) => {
       val nMatch = lit(1) + (1 until NumHashes)
         .map(s => when(col(s"a_m$s") === col(s"b_m$s"), 1).otherwise(0))
@@ -251,7 +259,9 @@ object Dedup {
            sig AS ($SignaturesSql),
            cand AS (
              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id),
+             FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id
+             WHERE a.m0 IN (SELECT m0 FROM sig GROUP BY m0
+                            HAVING count(*) <= 1000)),
            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
            common AS (
              SELECT c.doc_a, c.doc_b, count(*) AS n_common

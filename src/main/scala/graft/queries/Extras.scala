@@ -202,6 +202,20 @@ object Extras {
           .as("qty_price_covar"),
         count(lit(1)).as("n")))
 
+  val cube = Q(
+    "q_cube_status",
+    "CUBE over (status, priority): all four grouping sets in one " +
+      "Expand+Aggregate pass — with ROLLUP (q_rollup_sales) this covers the " +
+      "GROUPING SETS family. Counts only: fully exact.",
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders")))
+
   val all: Seq[Q] = Seq(rollup, windowFuncs, asof, scalarFuncs,
-    approxDistinct, saltedWordcount, percentiles, corrStats)
+    approxDistinct, saltedWordcount, percentiles, corrStats, cube)
 }
