@@ -42,7 +42,8 @@ object Bench {
     val queries = SparkEntry.queries
     // min of N repeats per query (default 2): local-box load noise dwarfs
     // real plan differences on single runs.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt max 1
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .flatMap(_.toIntOption).getOrElse(2) max 1
     val results = headline.filter(queries.contains).map { name =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -65,7 +66,10 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Any failure poisons the total to -1: summing only successes would
+    // make a breaking change read as a speedup.
+    val total =
+      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -31,7 +31,12 @@ object Sql {
     spark.sparkContext.setLogLevel("WARN")
     TableNames.foreach { n =>
       try queries.Tables.t(spark, sfDir, n).createOrReplaceTempView(n)
-      catch { case _: Exception => () } // missing table: skip
+      catch {
+        case e: Exception =>
+          // Surface the real cause (corrupt file, permissions) — a silent
+          // skip would resurface later as a misleading "table not found".
+          System.err.println(s"[sql] view '$n' unavailable: ${e.getMessage}")
+      }
     }
     spark.sql(sql).show(100, truncate = false)
     spark.stop()

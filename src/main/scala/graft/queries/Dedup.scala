@@ -152,7 +152,8 @@ object Dedup {
               (a.m2 = b.m2)::INT + (a.m3 = b.m3)::INT) / ${NumHashes}.0::DOUBLE
                AS est_jaccard
       FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id
-      WHERE a.m0 IN (SELECT m0 FROM sig GROUP BY m0 HAVING count(*) <= 1000)""".stripMargin),
+      WHERE a.m0 IN (SELECT m0 FROM sig GROUP BY m0
+                     HAVING count(*) <= $MaxBucket)""".stripMargin),
     (spark, dir) => {
       val nMatch = lit(1) + (1 until NumHashes)
         .map(s => when(col(s"a_m$s") === col(s"b_m$s"), 1).otherwise(0))
@@ -261,7 +262,7 @@ object Dedup {
              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id
              WHERE a.m0 IN (SELECT m0 FROM sig GROUP BY m0
-                            HAVING count(*) <= 1000)),
+                            HAVING count(*) <= $MaxBucket)),
            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
            common AS (
              SELECT c.doc_a, c.doc_b, count(*) AS n_common
@@ -305,7 +306,9 @@ object Dedup {
            sig AS ($SignaturesSql),
            cand AS (
              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id)
+             FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id
+             WHERE a.m0 IN (SELECT m0 FROM sig GROUP BY m0
+                            HAVING count(*) <= $MaxBucket))
       SELECT doc_a, doc_b,
              levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80))::BIGINT
                AS prefix_dist

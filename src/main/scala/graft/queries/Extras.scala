@@ -188,16 +188,16 @@ object Extras {
       "aggregate map-side like any sum.",
     Some("""
       SELECT l_returnflag,
-             round(corr(l_quantity, l_extendedprice) + 1e-6, 4) AS qty_price_corr,
-             round(stddev_samp(l_quantity) + 1e-6, 4) AS qty_stddev,
+             round(corr(l_quantity, l_extendedprice) + 1e-8, 4) AS qty_price_corr,
+             round(stddev_samp(l_quantity) + 1e-8, 4) AS qty_stddev,
              round(covar_samp(l_quantity, l_extendedprice) + 1e-6, 2) AS qty_price_covar,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag""".stripMargin),
     (spark, dir) =>
       t(spark, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")) + lit(1e-6), 4)
+        Det.r4e(corr(col("l_quantity"), col("l_extendedprice")))
           .as("qty_price_corr"),
-        round(stddev_samp(col("l_quantity")) + lit(1e-6), 4).as("qty_stddev"),
+        Det.r4e(stddev_samp(col("l_quantity"))).as("qty_stddev"),
         r2e(covar_samp(col("l_quantity"), col("l_extendedprice")))
           .as("qty_price_covar"),
         count(lit(1)).as("n")))

@@ -36,12 +36,15 @@ case class ShardConfig(num: Long, shards: Vector[String],
     // Assign orphans to the least-loaded group.
     def load(v: Vector[String], g: String) = v.count(_ == g)
     for (i <- s.indices if s(i) == ShardConfig.NoGroup)
-      s = s.updated(i, gids.minBy(g => (load(s, g), g)))
-    // Level until max <= min + 1.
+      s = s.updated(i, gids.minBy(g => load(s, g)))
+    // Level until max <= min + 1. min/maxBy over the SORTED gid list keep
+    // the FIRST extremum on ties — the reference's strict-comparison sweep
+    // over sorted gids picks the smallest gid the same way
+    // (shardcfg.go:80-111 analyze + :122-154 rebalance).
     var done = false
     while (!done) {
-      val most = gids.maxBy(g => (load(s, g), g))
-      val least = gids.minBy(g => (load(s, g), g))
+      val most = gids.maxBy(g => load(s, g))
+      val least = gids.minBy(g => load(s, g))
       if (load(s, most) > load(s, least) + 1) {
         s = s.updated(s.indexOf(most), least)
       } else done = true
@@ -49,13 +52,20 @@ case class ShardConfig(num: Long, shards: Vector[String],
     copy(shards = s)
   }
 
-  /** S8 Join: add replica groups, bump the config number, rebalance. */
+  /** S8 Join: add replica groups, bump the config number, rebalance.
+    * Re-joining an existing gid is rejected (config unchanged) — the
+    * reference's Join returns false there (shardcfg.go:156-187).
+    */
   def join(newGroups: Map[String, Seq[String]]): ShardConfig =
-    copy(num = num + 1, groups = groups ++ newGroups).rebalance()
+    if (newGroups.keys.exists(groups.contains)) this
+    else copy(num = num + 1, groups = groups ++ newGroups).rebalance()
 
-  /** S8 Leave: remove groups (their shards get reassigned), bump, rebalance. */
+  /** S8 Leave: remove groups (their shards get reassigned), bump,
+    * rebalance. Leaving only unknown gids is a no-op (no bump).
+    */
   def leave(gids: Seq[String]): ShardConfig =
-    copy(num = num + 1, groups = groups -- gids).rebalance()
+    if (!gids.exists(groups.contains)) this
+    else copy(num = num + 1, groups = groups -- gids).rebalance()
 }
 
 object ShardConfig {

@@ -25,8 +25,15 @@ object Streams {
   case class SessionUpdate(user_id: Long, session_start: Timestamp,
       n_events: Long, total_value: Double, closed: Boolean)
 
-  /** Open-session accumulator (public: encoder codegen needs access). */
+  /** Open-session accumulator; start/lastTs are epoch MICROS, matching the
+    * batch mirror's fractional-second double compares at full parquet
+    * precision (public: encoder codegen needs access).
+    */
   case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** Epoch micros of a Timestamp (getTime alone truncates to millis). */
+  def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
   /** Watermarked tumbling-hour aggregation — the incremental form of
     * `q_events_hourly` (same grouping keys, aggregates AND rounding: the
@@ -38,7 +45,7 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")) + lit(1e-6), 2).as("sum_value"))
+        graft.queries.Det.r2e(sum(col("value"))).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
@@ -64,19 +71,19 @@ object Streams {
           if (state.hasTimedOut) {
             // Idle past the timeout: close the open session, evict state.
             val out = state.getOption.toSeq.map(s =>
-              SessionUpdate(user, new Timestamp(s.start), s.n, s.total,
+              SessionUpdate(user, new Timestamp(s.start / 1000), s.n, s.total,
                 closed = true))
             state.remove()
             out.iterator
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toSeq.sortBy(e => (Streams.micros(e.ts), e.event_id))
             var cur = state.getOption
             val out = Seq.newBuilder[SessionUpdate]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = Streams.micros(e.ts)
               cur match {
-                case Some(s) if t - s.lastTs > gapSeconds * 1000 =>
-                  out += SessionUpdate(user, new Timestamp(s.start), s.n,
+                case Some(s) if t - s.lastTs > gapSeconds * 1000000L =>
+                  out += SessionUpdate(user, new Timestamp(s.start / 1000), s.n,
                     s.total, closed = true)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
@@ -89,12 +96,13 @@ object Streams {
             cur.foreach { s =>
               state.update(s)
               // Evict when the watermark passes 2×gap beyond the last event
-              // (must stay above the current watermark or Spark rejects it).
+              // (millis API; must stay above the current watermark or Spark
+              // rejects it).
               state.setTimeoutTimestamp(math.max(
                 state.getCurrentWatermarkMs + 1000,
-                s.lastTs + gapSeconds * 2 * 1000))
-              out += SessionUpdate(user, new Timestamp(s.start), s.n, s.total,
-                closed = false)
+                s.lastTs / 1000 + gapSeconds * 2 * 1000))
+              out += SessionUpdate(user, new Timestamp(s.start / 1000), s.n,
+                s.total, closed = false)
             }
             out.result().iterator
           }

@@ -51,6 +51,25 @@ class ShardConfigSpec extends AnyFunSuite {
     assert(l.values.max - l.values.min <= 1) // 12 over 5 -> 3,3,2,2,2
   }
 
+  test("re-join of an existing gid and leave of unknown gids are rejected") {
+    val c = ShardConfig.initial("g1", Seq("a")).join(Map("g2" -> Seq("b")))
+    assert(c.join(Map("g2" -> Seq("other"))) == c) // re-join rejected
+    assert(c.leave(Seq("nope")) == c)              // unknown leave: no bump
+  }
+
+  test("most-loaded tie breaks toward the smallest gid (reference order)") {
+    // g1 and g2 both hold 5 after a leave; the next move must come from g1.
+    val c = ShardConfig(1L,
+      Vector("g1", "g1", "g1", "g1", "g1", "g2", "g2", "g2", "g2", "g2",
+        "g3", "g3"),
+      Map("g1" -> Seq("a"), "g2" -> Seq("b"), "g3" -> Seq("c"), "g4" -> Seq("d")))
+    val r = c.rebalance()
+    val l = r.groups.keys.map(g => g -> r.shards.count(_ == g)).toMap
+    assert(l.values.max - l.values.min <= 1)
+    // g1 (smallest max-loaded gid) lost a shard before g2 did.
+    assert(r.shards.count(_ == "g1") <= r.shards.count(_ == "g2"))
+  }
+
   test("key routing matches the FNV shard function") {
     val c = ShardConfig.initial("g1", Seq("a")).join(Map("g2" -> Seq("b")))
     for (k <- Seq("a", "key7", "xyzzy")) {
