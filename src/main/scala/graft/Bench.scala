@@ -70,7 +70,14 @@ object Bench {
     // make a breaking change read as a speedup.
     val total =
       if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also write the line to a file: sbt decorates stdout with [info]
+    // prefixes, which broke the driver's JSON parse in round 1.
+    val out = sys.env.getOrElse("BENCH_OUT", "bench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
