@@ -258,41 +258,127 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
     })
 
-  val simhash = Q(
-    "dedup_simhash",
-    "16-bit SimHash per document: one seeded portable hash per token " +
-      "occurrence, per-bit ±1 majority vote folded into 16 conditional sums " +
-      "in a SINGLE aggregation (no bit-explode, one shuffle), sign bits " +
-      "packed into the fingerprint.",
-    Some {
-      val h = duckHash(99, "word")
-      val sums = (0 until 16)
-        .map(b => s"sum(CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
-        .mkString(",\n               ")
-      val pack = (0 until 16)
-        .map(b => s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""
-      WITH w AS (SELECT doc_id,
+  /** 64-bit SimHash per doc as two unsigned 32-bit halves (simhash_lo =
+    * bits 0–31 from seed-99 hashes, simhash_hi = bits 32–63 from seed-100),
+    * kept in exact BIGINT range on both engines. Same single-aggregation
+    * shape as the round-1 16-bit version: one seeded hash per token
+    * occurrence, 64 conditional ±1 sums in ONE groupBy (no bit-explode,
+    * one shuffle), sign bits packed.
+    */
+  private[queries] def simhash64(spark: SparkSession, dir: String): DataFrame = {
+    val words = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("word"))
+      .withColumn("h1", md5hash32(col("word"), 99))
+      .withColumn("h2", md5hash32(col("word"), 100))
+    val sums = (0 until 64).map { b =>
+      val src = if (b < 32) col("h1") else col("h2")
+      sum(when(shiftright(src, b % 32).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    def pack(bits: Range): Column = bits
+      .map(b => when(col(s"s$b") > 0, lit(1L << (b % 32))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        pack(0 until 32).as("simhash_lo"), pack(32 until 64).as("simhash_hi"))
+  }
+
+  /** DuckDB mirror of [[simhash64]] as CTEs ending in `sig64`. */
+  private val Simhash64Sql = {
+    val sums = (0 until 64).map { b =>
+      val h = if (b < 32) duckHash(99, "word") else duckHash(100, "word")
+      s"sum(CASE WHEN ($h >> ${b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n               ")
+    def pack(bits: Range) = bits
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << (b % 32)} ELSE 0 END")
+      .mkString(" + ")
+    s"""w AS (SELECT doc_id,
                         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
                  FROM documents),
            v AS (SELECT doc_id,
                $sums
-             FROM w GROUP BY doc_id)
-      SELECT doc_id, ($pack)::BIGINT AS simhash FROM v""".stripMargin
-    },
+             FROM w GROUP BY doc_id),
+           sig64 AS (SELECT doc_id, (${pack(0 until 32)})::BIGINT AS simhash_lo,
+                            (${pack(32 until 64)})::BIGINT AS simhash_hi
+                     FROM v)"""
+  }
+
+  val simhash = Q(
+    "dedup_simhash",
+    "64-bit SimHash fingerprints (two exact unsigned-32-bit BIGINT halves) " +
+      "— widened from round 1's 16-bit demo with the identical " +
+      "single-aggregation shape: per-token seeded hashes, 64 conditional " +
+      "±1 sums in one groupBy, sign bits packed. 64 bits is the " +
+      "production width: Hamming distance over it separates near-dups " +
+      "from noise (see dedup_simhash_hamming).",
+    Some(s"""
+      WITH $Simhash64Sql
+      SELECT doc_id, simhash_lo, simhash_hi FROM sig64""".stripMargin),
+    (spark, dir) => simhash64(spark, dir))
+
+  val simhashHamming = Q(
+    "dedup_simhash_hamming",
+    "SimHash near-dup pairs at Hamming distance ≤ 3, found WITHOUT an " +
+      "all-pairs product via the 4-chunk pigeonhole (Manku et al., WWW'07): " +
+      "any pair within Hamming 3 of each other must agree exactly on at " +
+      "least one of the four 16-bit chunks, so candidates come from " +
+      "bucket-joins on (chunk_index, chunk_value) — equi joins, capped, " +
+      "deduped — and only candidates pay the exact popcount(xor) check. " +
+      "Lossless vs the N² formulation by construction " +
+      "(SimhashPigeonholeSpec asserts equality to the exhaustive result).",
+    Some(s"""
+      WITH $Simhash64Sql,
+           chunks AS (
+             SELECT doc_id, simhash_lo, simhash_hi, c.chunk,
+                    CASE c.chunk WHEN 0 THEN simhash_lo & 65535
+                                 WHEN 1 THEN simhash_lo >> 16
+                                 WHEN 2 THEN simhash_hi & 65535
+                                 ELSE simhash_hi >> 16 END AS key
+             FROM sig64, (VALUES (0),(1),(2),(3)) c(chunk)),
+           ok AS (SELECT chunk, key FROM chunks GROUP BY chunk, key
+                  HAVING count(*) > 1 AND count(*) <= $MaxBucket),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash_lo AS a_lo, a.simhash_hi AS a_hi,
+                    b.simhash_lo AS b_lo, b.simhash_hi AS b_hi
+             FROM chunks a
+             JOIN chunks b ON a.chunk = b.chunk AND a.key = b.key
+                          AND a.doc_id < b.doc_id
+             JOIN ok ON ok.chunk = a.chunk AND ok.key = a.key)
+      SELECT doc_a, doc_b,
+             (bit_count(xor(a_lo, b_lo)) + bit_count(xor(a_hi, b_hi)))::BIGINT
+               AS hamming
+      FROM cand
+      WHERE bit_count(xor(a_lo, b_lo)) + bit_count(xor(a_hi, b_hi)) <= 3""".stripMargin),
     (spark, dir) => {
-      val words = t(spark, dir, "documents")
-        .select(col("doc_id"), explode(toks).as("word"))
-        .withColumn("h", md5hash32(col("word"), 99))
-      val sums = (0 until 16).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1)
-          .otherwise(-1)).as(s"s$b"))
-      val packed = (0 until 16)
-        .map(b => when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
-        .reduce(_ + _)
-      words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), packed.cast("long").as("simhash"))
+      val sig = simhash64(spark, dir)
+      val chunkStructs = Seq(
+        struct(lit(0).as("chunk"),
+          col("simhash_lo").bitwiseAND(lit(65535L)).as("key")),
+        struct(lit(1).as("chunk"), shiftright(col("simhash_lo"), 16).as("key")),
+        struct(lit(2).as("chunk"),
+          col("simhash_hi").bitwiseAND(lit(65535L)).as("key")),
+        struct(lit(3).as("chunk"), shiftright(col("simhash_hi"), 16).as("key")))
+      val member = struct(col("doc_id"), col("simhash_lo"), col("simhash_hi"))
+      val hamming =
+        bit_count(col("a_lo").bitwiseXOR(col("b_lo"))) +
+          bit_count(col("a_hi").bitwiseXOR(col("b_hi")))
+      sig
+        .select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+          explode(array(chunkStructs: _*)).as("ck"))
+        .groupBy(col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+        .agg(sort_array(collect_list(member)).as("members"))
+        .filter(size(col("members")) > 1 && size(col("members")) <= MaxBucket)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(members) - 1), i ->
+               transform(sequence(i + 1, size(members)), j ->
+                 struct(members[i-1] AS a, members[j-1] AS b))))""")).as("p"))
+        .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+          col("p.a.simhash_lo").as("a_lo"), col("p.a.simhash_hi").as("a_hi"),
+          col("p.b.simhash_lo").as("b_lo"), col("p.b.simhash_hi").as("b_hi"))
+        .distinct()
+        .filter(hamming <= 3)
+        .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
     })
 
   val lshVerified = Q(
@@ -371,5 +457,5 @@ object Dedup {
     })
 
   val all: Seq[Q] = Seq(exact, minhashSig, minhashPairs, ngramJaccard,
-    simhash, lshVerified, editDistance)
+    simhash, simhashHamming, lshVerified, editDistance)
 }
