@@ -159,22 +159,112 @@ object Similarity {
           r4e(col("cos_raw")).as("cosine"))
     })
 
+  // ---- IVF quantizer (k-means-lite) -----------------------------------------
+  //
+  // Centroids are the per-label mean vectors (one Lloyd's-style assignment
+  // step seeded by the label partition — sim_label_centroid's aggregation,
+  // re-rolled into arrays), and the quantizer assigns every vector to its
+  // nearest centroid by squared L2 via the native ArrayDot identity
+  // ‖e−c‖² = e·e − 2e·c + c·c. Centroid components are rounded to 6
+  // decimals on BOTH engines before any distance math, so assignments are
+  // hash-exact. k = #labels stays small → the centroid side broadcasts;
+  // the scan side streams once. (The test embeddings are isotropic, so the
+  // cells have no semantic pull — the machinery is what's exercised.)
+
+  /** Per-label mean vectors as arrays: (cell, centroid), from a [[vecs]]
+    * frame (so callers can reuse one checkpointed scan).
+    */
+  private[queries] def centroidsFrom(v: DataFrame): DataFrame =
+    v.select(col("label"), posexplode(col("e")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")) + lit(1e-9), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+      .select(col("label").as("cell"), col("centroid"))
+
+  private val CentroidsSql = """
+           cent AS (
+             SELECT label AS cell, list(c ORDER BY pos) AS centroid
+             FROM (SELECT label, i AS pos,
+                          round(avg(embedding[i + 1]::DOUBLE) + 1e-9, 6) AS c
+                   FROM (SELECT label, embedding,
+                                unnest(range(0, len(embedding))) AS i
+                         FROM embeddings)
+                   GROUP BY label, pos)
+             GROUP BY label)"""
+
+  /** Quantizer assignment: (vec_id, cell, d2_raw) — nearest centroid by
+    * squared L2, rounded-measure ordering with cell tie-break.
+    */
+  private[queries] def kmeansAssignFrom(v: DataFrame): DataFrame = {
+    val d2 = dot(col("e"), col("e")) -
+      lit(2) * dot(col("e"), col("centroid")) +
+      dot(col("centroid"), col("centroid"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("d2_raw") + lit(1e-9), 6), col("cell"))
+    v.join(broadcast(centroidsFrom(v)))
+      .withColumn("d2_raw", d2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("d2_raw"))
+  }
+
+  /** Mirror of [[kmeansAssign]]; expects `n` ([[VecsSql]]) and
+    * [[CentroidsSql]] CTEs. Ends in `assign(vec_id, cell, d2_raw)`.
+    */
+  private val AssignSql = """
+           cscored AS (
+             SELECT n.vec_id, cent.cell,
+                    list_dot_product(n.e, n.e)
+                      - 2 * list_dot_product(n.e, cent.centroid)
+                      + list_dot_product(cent.centroid, cent.centroid) AS d2_raw
+             FROM n, cent),
+           assign AS (
+             SELECT vec_id, cell, d2_raw
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY round(d2_raw + 1e-9, 6), cell) AS rk
+                   FROM cscored)
+             WHERE rk = 1)"""
+
+  val kmeansAssignQ = Q(
+    "sim_kmeans_assign",
+    "The IVF training/assignment step as a query: every vector mapped to " +
+      "its nearest centroid (per-label means — one Lloyd's iteration " +
+      "seeded by the label partition) by squared L2 distance, computed " +
+      "with the native ArrayDot identity against a BROADCAST k-row " +
+      "centroid table — the scan side streams once, no shuffle of " +
+      "vectors. sim_topk_ivf probes these cells.",
+    Some(s"""
+      WITH n AS ($VecsSql),$CentroidsSql,$AssignSql
+      SELECT vec_id, cell, round(d2_raw + 1e-6, 2) AS dist2
+      FROM assign""".stripMargin),
+    (spark, dir) =>
+      kmeansAssignFrom(vecs(spark, dir).localCheckpoint())
+        .select(col("vec_id"), col("cell"),
+          Det.r2e(col("d2_raw")).as("dist2")))
+
   val topkIvf = Q(
     "sim_topk_ivf",
-    "IVF-style probed top-5: candidates restricted to the query's coarse " +
-      "cell (label = the quantizer assignment), so the join is equi on the " +
+    "IVF probed top-5: candidates restricted to the query's quantizer " +
+      "cell (nearest-centroid assignment from sim_kmeans_assign — a real " +
+      "index path, not a metadata stand-in), so the join is equi on the " +
       "cell key — a hash join over buckets instead of a cross product. " +
       "This is the plan shape that survives 100 TB: per-cell blocks, " +
-      "partition-prunable.",
+      "partition-prunable, nprobe=1.",
     Some(s"""
-      WITH n AS ($VecsSql),
+      WITH n AS ($VecsSql),$CentroidsSql,$AssignSql,
+           na AS (SELECT n.*, assign.cell FROM n
+                  JOIN assign ON assign.vec_id = n.vec_id),
            scored AS (
-             SELECT q.vec_id AS query_id, q.label AS label,
+             SELECT q.vec_id AS query_id, q.cell AS cell,
                     c.vec_id AS neighbor_id,
                     list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
-             FROM n q JOIN n c ON q.label = c.label AND c.vec_id <> q.vec_id
+             FROM na q JOIN na c ON q.cell = c.cell AND c.vec_id <> q.vec_id
              WHERE q.vec_id < 20)
-      SELECT query_id, label, neighbor_id, rank,
+      SELECT query_id, cell, neighbor_id, rank,
              round(cos_raw + 1e-8, 4) AS cosine
       FROM (SELECT *, row_number() OVER (
               PARTITION BY query_id
@@ -182,21 +272,23 @@ object Similarity {
             FROM scored)
       WHERE rank <= 5""".stripMargin),
     (spark, dir) => {
-      val v = vecs(spark, dir)
-      val q = v.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("label"),
+      val v = vecs(spark, dir).localCheckpoint()
+      val assign = kmeansAssignFrom(v).select(col("vec_id"), col("cell"))
+      val va = v.join(assign, "vec_id")
+      val q = va.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("cell"),
           col("e").as("qe"), col("nrm").as("qn"))
-      val c = v.select(col("vec_id").as("neighbor_id"),
-        col("label").as("clabel"), col("e").as("ce"), col("nrm").as("cn"))
+      val c = va.select(col("vec_id").as("neighbor_id"),
+        col("cell").as("ccell"), col("e").as("ce"), col("nrm").as("cn"))
       val scored = broadcast(q)
-        .join(c, col("label") === col("clabel") &&
+        .join(c, col("cell") === col("ccell") &&
           col("neighbor_id") =!= col("query_id"))
         .withColumn("cos_raw", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(round(col("cos_raw") + lit(1e-9), 6).desc, col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
-        .select(col("query_id"), col("label"), col("neighbor_id"), col("rank"),
+        .select(col("query_id"), col("cell"), col("neighbor_id"), col("rank"),
           r4e(col("cos_raw")).as("cosine"))
     })
 
@@ -290,5 +382,6 @@ object Similarity {
         .agg(round(avg(col("col")) + lit(1e-9), 6).as("c"),
           count(lit(1)).as("n")))
 
-  val all: Seq[Q] = Seq(topkBrute, topkIvf, nearDup, histogram, labelCentroid)
+  val all: Seq[Q] = Seq(topkBrute, topkIvf, kmeansAssignQ, nearDup,
+    histogram, labelCentroid)
 }
