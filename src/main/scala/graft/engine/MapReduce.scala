@@ -30,11 +30,19 @@ object MapReduce {
     * hands `reduce` the FULL value list per key (src/mr/worker.go:188-203) —
     * no combiners exist there, and a general `reducef` is not algebraic.
     * Apps that are algebraic can opt into [[runAlgebraic]].
+    *
+    * `minMapTasks` tunes `wholeTextFiles`'s file-combining: Spark packs
+    * small files into shared splits (maxSplitSize = totalBytes/minPartitions);
+    * raising it until the split cap is below the smallest file recovers the
+    * reference's strict one-map-task-per-file granularity
+    * (src/mr/coordinator.go:191-207) — whole files are never split, so map
+    * task count can never exceed the file count. The default keeps Spark's
+    * size-aware packing, which is what you want at scale.
     */
   def run(spark: SparkSession, app: MRApp, inputGlob: String,
-          nReduce: Int = 10): RDD[(String, String)] =
+          nReduce: Int = 10, minMapTasks: Int = 2): RDD[(String, String)] =
     spark.sparkContext
-      .wholeTextFiles(inputGlob)
+      .wholeTextFiles(inputGlob, minMapTasks)
       .flatMap { case (file, contents) =>
         // wholeTextFiles yields URIs (file:/...); apps see plain paths like
         // the reference's os.Args file names (src/main/mrcoordinator.go:23).
