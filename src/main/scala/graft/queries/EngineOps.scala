@@ -1,10 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
-import graft.state.{KvBatch, KvOp}
+import graft.state.{KvOp, KvStateMachine}
 
 /** Engine-level operators exposed as queries: the FNV shard router (S6) via
   * the native Catalyst expression, and the versioned-KV CAS replay (S1/S2)
@@ -41,9 +40,12 @@ object EngineOps {
     "Versioned-KV CAS replay (S1/S2 spec, src/kvsrv1/rpc/rpc.go:19-39): " +
       "events become an ordered Put log per user — non-error events carry " +
       "the correct expected version (count of prior non-error ops), error " +
-      "events carry a poisoned version and must be rejected. The Spark side " +
-      "folds each key's log through the REAL sequential state machine " +
-      "(groupByKey+mapGroups); the oracle is the closed form the " +
+      "events carry a poisoned version and must be rejected. ONE shuffle: " +
+      "the version derivation (a running count, formerly a separate window " +
+      "over the same key) and the CAS fold through the REAL sequential " +
+      "state machine both happen inside the single groupByKey pass — " +
+      "round 1 shuffled the same data twice (window on long key, then " +
+      "groupByKey on its string form). The oracle is the closed form the " +
       "deterministic log implies. Scales per-key with no cross-key " +
       "coordination — the state-store sharding contract.",
     Some("""
@@ -57,19 +59,20 @@ object EngineOps {
       GROUP BY user_id""".stripMargin),
     (spark, dir) => {
       import spark.implicits._
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      val ops = t(spark, dir, "events")
-        .withColumn("prior_ok",
-          coalesce(sum(when(col("event_type") =!= "error", 1).otherwise(0))
-            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("prior_ok"))
-        .as[(Long, Long, String, Long)]
-        .map { case (eid, uid, etype, priorOk) =>
-          val version = if (etype == "error") 999999999L else priorOk
-          KvOp(uid.toString, eid.toString, version, retried = false, seq = eid)
+      t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._2)
+        .mapGroups { (uid, it) =>
+          var priorOk = 0L
+          val ops = it.toSeq.sortBy(_._1).map { case (eid, _, etype) =>
+            val version = if (etype == "error") 999999999L else priorOk
+            if (etype != "error") priorOk += 1
+            KvOp(uid.toString, eid.toString, version, retried = false,
+              seq = eid)
+          }
+          KvStateMachine.replayKey(uid.toString, ops.iterator)
         }
-      KvBatch.replay(spark, ops)
         .toDF()
         .select(col("key").cast("long").as("key"), col("value"),
           col("version"), col("nApplied").as("n_applied"),

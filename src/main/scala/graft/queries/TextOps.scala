@@ -45,9 +45,12 @@ object TextOps {
 
   val invertedIndex = Q(
     "mr_inverted_index",
-    "A2 `indexer` at table scale (src/mrapps/indexer.go): per-document " +
-      "distinct words (map-side dedup), then per word the doc count and the " +
-      "sorted doc list — `\"<n> doc1,doc2\"` shape preserved as columns.",
+    "A2 `indexer` at table scale (src/mrapps/indexer.go): per word the " +
+      "doc count and sorted doc list — `\"<n> doc1,doc2\"` shape preserved " +
+      "as columns. ONE shuffle: collect_set dedups (word, doc) pairs " +
+      "inside the aggregation itself, partially on the map side — round " +
+      "1's separate .distinct() before the groupBy shuffled the same " +
+      "pairs twice.",
     Some(s"""
       WITH wd AS (
         SELECT DISTINCT word, doc_id
@@ -63,12 +66,13 @@ object TextOps {
         .select(col("doc_id"),
           explode(split(col("text"), SplitPat)).as("word"))
         .filter(col("word") =!= "")
-        .distinct()
         .groupBy(col("word"))
-        .agg(count(lit(1)).as("n_docs"),
+        .agg(collect_set(col("doc_id")).as("doc_set"))
+        .select(col("word"),
+          size(col("doc_set")).cast("long").as("n_docs"),
           array_join(
-            transform(sort_array(collect_set(col("doc_id"))),
-              x => x.cast("string")), ",").as("docs")))
+            transform(sort_array(col("doc_set")), x => x.cast("string")),
+            ",").as("docs")))
 
   val collector = Q(
     "mr_collector",
