@@ -19,9 +19,11 @@ object Bench {
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "q_top_customers_per_nation", "q_events_sessions",
     "mr_wordcount", "mr_inverted_index", "ta_quality_score",
+    "ta_rolling_hash",
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_lsh_verified",
-    "dedup_simhash",
-    "sim_topk_bruteforce", "dedup_embedding_cosine", "kv_cas_replay")
+    "dedup_simhash", "dedup_simhash_hamming",
+    "sim_topk_bruteforce", "sim_kmeans_assign", "dedup_embedding_cosine",
+    "kv_cas_replay")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

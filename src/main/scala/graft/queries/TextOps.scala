@@ -276,7 +276,9 @@ object TextOps {
     "ta_rolling_hash",
     "Polynomial rolling-hash document fingerprint (base 31, 31-bit mask) " +
       "over the character stream — the incremental-hash primitive under " +
-      "Rabin-Karp chunking. Identical char-ordinal fold on both engines.",
+      "Rabin-Karp chunking, as a native codegen expression (the round-1 " +
+      "higher-order aggregate paid an interpreted lambda + O(i) UTF-8 seek " +
+      "per character). Identical code-point fold on both engines.",
     Some("""
       SELECT doc_id,
              list_reduce(
@@ -288,9 +290,7 @@ object TextOps {
     (spark, dir) =>
       t(spark, dir, "documents").select(
         col("doc_id"),
-        expr("aggregate(transform(sequence(1, length(text)), " +
-          "i -> ascii(substr(text, i, 1))), 0L, " +
-          "(acc, c) -> (acc * 31 + c) & 2147483647)").as("rhash")))
+        graft.functions.RollingHash31(col("text")).as("rhash")))
 
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash)
