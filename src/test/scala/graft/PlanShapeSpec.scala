@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanical lock on the plan shapes the scale design promises (PLANS.md
+  * is the narrative audit; this spec keeps it true): pushed-down filters
+  * on the TPC-H scans, the single-exchange shapes round 2 established, and
+  * the no-all-pairs-product rule across EVERY declared query — the only
+  * BroadcastNestedLoopJoins allowed are the two deliberate
+  * bounded-broadcast ones (the 20-row query batch in sim_topk_bruteforce
+  * and the k=10 centroid table in the k-means quantizer, which
+  * sim_topk_ivf inherits).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("TPC-H queries push filters into the parquet scans") {
+    Seq("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("PushedFilters: [Is") || p.contains("PushedFilters: [Equal") ||
+          p.contains("PushedFilters: [Less") || p.contains("PushedFilters: [Greater"),
+          s"$q scan lost its pushed filters:\n$p")
+      }
+  }
+
+  test("single-exchange shapes stay single-exchange") {
+    Seq("mr_inverted_index", "kv_cas_replay", "q_events_sessions",
+      "shard_route_fnv", "mr_wordcount").foreach { q =>
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan(q)).length
+      assert(shuffles == 1, s"$q: expected exactly 1 shuffle, got $shuffles")
+    }
+  }
+
+  test("no all-pairs product in any declared query (bounded-broadcast whitelist)") {
+    // These contain a deliberate BNLJ whose build side is a bounded
+    // broadcast (20-row query batch / 10-row centroid table / single-row
+    // aggregate cross in the set-ops summary), never N x N.
+    val whitelist = Set("sim_topk_bruteforce", "sim_kmeans_assign",
+      "sim_topk_ivf", "q_events_setops")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      if (!whitelist.contains(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q grew an all-pairs product:\n$p")
+    }
+  }
+}
