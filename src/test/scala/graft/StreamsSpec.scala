@@ -60,6 +60,44 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizer is provider-agnostic: RocksDB state store matches default") {
+    // At 100 TB state outgrows the heap: RocksDB is the production state
+    // store. The pipeline must behave identically under it (same state
+    // encoding, same event-time eviction) — run the sessionizer scenario
+    // above with the provider swapped and compare results.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = Streams.sessionize(spark, input.toDS(), gapSeconds = 600)
+        .writeStream.format("memory").queryName("sessions_rocks")
+        .outputMode("append").start()
+      try {
+        input.addData(Event(1, ts(0), 7, "click", 1.0),
+          Event(2, ts(5), 7, "view", 2.0))
+        q.processAllAvailable()
+        input.addData(Event(3, ts(35), 7, "click", 5.0))
+        q.processAllAvailable()
+        // Same assertions as the default-provider scenario above.
+        val rows = spark.table("sessions_rocks").as[SessionUpdate].collect()
+        val closed = rows.filter(_.closed)
+        assert(closed.length == 1)
+        assert(closed.head.n_events == 2 && closed.head.total_value == 3.0)
+        val open = rows.filter(r => !r.closed).maxBy(_.session_start.getTime)
+        assert(open.n_events == 1 && open.total_value == 5.0)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates keeps first per key") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
