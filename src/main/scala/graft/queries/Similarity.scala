@@ -5,9 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
-  * brute-force cosine top-k as the correctness baseline, an IVF-style
-  * partition-probed variant as the scale path, embedding-cosine near-dup
-  * pairs, and a pair-distance histogram.
+  * brute-force cosine top-k as the correctness baseline, a k-means
+  * quantizer (IVF training + assignment) with a cell-probed top-k as the
+  * index path, hyperplane-LSH embedding near-dup pairs, and the
+  * candidate-pair cosine histogram.
   *
   * Vector math is the native codegen `graft.functions.ArrayDot` loop over
   * double-cast arrays — an ascending-index IEEE fold, bit-identical to
@@ -18,9 +19,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: brute force is O(Q×N) — fine for a query batch against a
   * broadcast candidate set, wrong for N×N. The IVF variant joins only
-  * within a coarse cell (here the `label` column standing in for a k-means
-  * assignment), turning the product into per-bucket blocks — the same
-  * partition-pruning contract a real IVF index gives at 100 TB.
+  * within the quantizer cell ([[kmeansAssignFrom]] — nearest centroid by
+  * squared L2, nprobe=1), turning the product into per-bucket blocks —
+  * the partition-pruning contract a real IVF index gives at 100 TB. Pair
+  * generation for near-dup goes through [[hyperplaneCandidates]] — no
+  * all-pairs product anywhere (PlanShapeSpec enforces it).
   */
 object Similarity {
   import Tables.t
