@@ -98,6 +98,42 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizer state survives a query restart (checkpoint recovery)") {
+    // The streaming face of E11/E12 fault tolerance: stop the query after
+    // batch 1, restart from the same checkpoint, and the open session
+    // (2 events of state) must be restored — the post-restart event then
+    // closes it with the pre-restart accumulations intact.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[Event]
+    // The memory sink refuses checkpoint recovery; foreachBatch supports it.
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[SessionUpdate]()
+    def start() = Streams.sessionize(spark, input.toDS(), gapSeconds = 600)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessionUpdate],
+          _: Long) =>
+        batch.collect().foreach(out.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(5), 7, "view", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(Event(3, ts(35), 7, "click", 5.0))
+      q2.processAllAvailable()
+      val rows = out.toArray(Array.empty[SessionUpdate])
+      val closed = rows.filter(_.closed)
+      assert(closed.exists(c => c.n_events == 2 && c.total_value == 3.0),
+        s"restored state lost pre-restart events: ${rows.mkString(", ")}")
+    } finally q2.stop()
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates keeps first per key") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
