@@ -60,6 +60,39 @@ class EmbeddingLshRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("planted high-cosine near-dups are all recovered (the operating regime)") {
+    // The driver embeddings are isotropic noise with no pair above cosine
+    // 0.51, so the banding's near-dup regime (cos >= 0.8, analytic recall
+    // 1-(1-p^8)^32 >= 0.996) can't be measured on them. Plant it: 200
+    // random vectors plus 20 perturbed copies spanning cosine ~0.85-0.99,
+    // and require EVERY planted pair with cosine >= 0.8 in the candidate
+    // set. Seeded, so deterministic.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def randVec(scale: Double) = Array.fill(64)(rnd.nextGaussian() * scale)
+    val base = (0 until 200).map(i => (i.toLong, randVec(1.0)))
+    val dups = (0 until 20).map { i =>
+      val noise = randVec(0.3 + 0.02 * i) // cosine ~0.99 down to ~0.85
+      ((1000 + i).toLong, base(i)._2.zip(noise).map { case (a, n) => a + n })
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    }
+    val planted = (0 until 20).map(i =>
+      (base(i)._1, dups(i)._1, cos(base(i)._2, dups(i)._2)))
+    val highCos = planted.filter(_._3 >= 0.8)
+    assert(highCos.size >= 15, s"perturbation too big: $planted")
+    val cand = Similarity
+      .hyperplaneCandidates((base ++ dups).toDF("vec_id", "e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = highCos.filterNot(p => cand.contains((p._1, p._2)))
+    info(f"planted pairs: ${planted.size}, cos>=0.8: ${highCos.size}, " +
+      s"missed: ${missed.size}")
+    assert(missed.isEmpty, s"high-cosine near-dups missed by banding: $missed")
+  }
+
   test("verified near-dup output is a subset of the exact result") {
     val exact = exactPairs(0.45)
     val got = graft.SparkEntry.queries("dedup_embedding_cosine")(spark, dir)
