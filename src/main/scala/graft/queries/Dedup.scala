@@ -63,9 +63,37 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash signature per doc: m0..m3 = min over shingles of seeded hashes. */
-  private[queries] def signatures(spark: SparkSession, dir: String): DataFrame =
-    signaturesFrom(shingles(spark, dir))
+  /** Seeded hash of one element inside a higher-order lambda — the
+    * element-wise form of `Hashing.md5hash32`.
+    */
+  private def md5hash32El(x: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString + ":"), x)), 1, 8), 16, 10)
+      .cast("long")
+
+  /** MinHash signature per doc as a STATELESS per-row projection:
+    * m_s = array_min(transform(shingle_array, seeded hash)) — identical
+    * values to the explode→groupBy formulation ([[signaturesFrom]]; the
+    * min ranges over the same distinct-shingle set, docs with no shingle
+    * filtered like the group-by's absent rows) but with ZERO shuffles, so
+    * signature-only queries need no exchange before the band bucketing and
+    * the same expression drops into a streaming projection unchanged.
+    * [[lshVerified]] still derives signatures from its checkpointed
+    * exploded shingles (it needs the explosion anyway for the verify join);
+    * everything else uses this form.
+    */
+  private[queries] def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = when(size(col("toks")) >= 3,
+      array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", slice(col("toks"), i, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+    val sigs = (0 until NumHashes).map(s =>
+      array_min(transform(col("sh"), x => md5hash32El(x, s))).as(s"m$s"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id") +: sigs: _*)
+  }
 
   private val SignaturesSql = {
     val mins = (0 until NumHashes)
