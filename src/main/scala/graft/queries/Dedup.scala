@@ -64,11 +64,25 @@ object Dedup {
   }
 
   /** Seeded hash of one element inside a higher-order lambda — the
-    * element-wise form of `Hashing.md5hash32`.
+    * element-wise form of `Hashing.md5hash32`. private[graft]: the
+    * streaming face builds the same signatures.
     */
-  private def md5hash32El(x: Column, seed: Int): Column =
+  private[graft] def md5hash32El(x: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(seed.toString + ":"), x)), 1, 8), 16, 10)
       .cast("long")
+
+  /** Distinct 3-shingle array of a text column — the stateless per-row
+    * form of [[shingles]]'s explosion (empty array below 3 tokens).
+    */
+  private[graft] def shingleArray(text: Column): Column = {
+    val tk = filter(split(text, " "), x => x =!= "")
+    when(size(tk) >= 3,
+      array_distinct(transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", slice(tk, i, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private[graft] val numHashes: Int = NumHashes
 
   /** MinHash signature per doc as a STATELESS per-row projection:
     * m_s = array_min(transform(shingle_array, seeded hash)) — identical
@@ -82,15 +96,10 @@ object Dedup {
     * everything else uses this form.
     */
   private[queries] def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = when(size(col("toks")) >= 3,
-      array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
-        i => concat_ws(" ", slice(col("toks"), i, lit(3))))))
-      .otherwise(array().cast("array<string>"))
     val sigs = (0 until NumHashes).map(s =>
       array_min(transform(col("sh"), x => md5hash32El(x, s))).as(s"m$s"))
     t(spark, dir, "documents")
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id") +: sigs: _*)
   }

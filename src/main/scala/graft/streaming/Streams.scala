@@ -108,4 +108,51 @@ object Streams {
           }
       }
   }
+
+  case class DocEvent(doc_id: Long, text: String)
+
+  /** An arriving doc that landed in a band bucket already claimed by an
+    * earlier doc — a near-dup candidate against that first doc.
+    */
+  case class DupCandidate(band: Int, doc_id: Long, first_doc_id: Long)
+
+  /** Streaming MinHash-LSH dedup candidates: each arriving doc's b=4 band
+    * keys come from the SAME stateless signature projection the batch path
+    * uses (`Dedup.shingleArray` + per-band `array_min` fold — no shuffle
+    * before the keyed state), then one GroupState cell per (band, key)
+    * bucket remembers the first doc_id and every later doc in the bucket
+    * emits a candidate. Downstream, candidates feed the same exact-verify
+    * stage as the batch pipeline. State is one long per occupied bucket;
+    * a production deployment bounds it with an event-time timeout exactly
+    * like [[sessionize]] (omitted here — candidates are emitted, not
+    * accumulated).
+    */
+  def lshDedupCandidates(spark: SparkSession,
+      docs: Dataset[DocEvent]): Dataset[DupCandidate] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.queries.Dedup
+    val bandStructs = (0 until Dedup.numHashes).map(s =>
+      struct(lit(s).as("band"),
+        array_min(transform(col("sh"), x => Dedup.md5hash32El(x, s)))
+          .as("key")))
+    docs.toDF()
+      .select(col("doc_id"), Dedup.shingleArray(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("doc_id"))
+      .as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, DupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (bk: (Int, Long), it: Iterator[(Int, Long, Long)],
+            state: GroupState[Long]) =>
+          val ids = it.map(_._3).toSeq.sorted
+          val first = state.getOption.getOrElse(ids.head)
+          if (!state.exists) state.update(first)
+          ids.filter(_ != first)
+            .map(d => DupCandidate(bk._1, d, first)).iterator
+      }
+  }
 }

@@ -134,6 +134,30 @@ class StreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming LSH dedup emits candidates against the first bucket occupant") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{DocEvent, DupCandidate}
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val textC = "completely different words about structured stream engines"
+    val input = MemoryStream[DocEvent]
+    val q = Streams.lshDedupCandidates(spark, input.toDS())
+      .writeStream.format("memory").queryName("lsh_dedup")
+      .outputMode("append").start()
+    try {
+      // Batch 1: doc 1, its exact dup doc 2, and an unrelated doc 3.
+      input.addData(DocEvent(1, textA), DocEvent(2, textA), DocEvent(3, textC))
+      q.processAllAvailable()
+      // Batch 2: another dup of doc 1 arrives later — state must remember
+      // that doc 1 claimed the buckets in batch 1.
+      input.addData(DocEvent(4, textA))
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_dedup").as[DupCandidate]
+        .collect().map(c => (c.doc_id, c.first_doc_id)).toSet
+      assert(pairs == Set((2L, 1L), (4L, 1L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates keeps first per key") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
