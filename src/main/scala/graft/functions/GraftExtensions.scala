@@ -33,5 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayDot(Cast(children(0), ArrayType(DoubleType)),
           Cast(children(1), ArrayType(DoubleType)))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash31"),
+      new ExpressionInfo(classOf[RollingHash31].getName, "rolling_hash31"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"rolling_hash31 expects exactly 1 argument, got ${children.size}")
+        RollingHash31(Cast(children.head, StringType))
+      }))
   }
 }
