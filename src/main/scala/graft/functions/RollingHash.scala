@@ -32,15 +32,30 @@ case class RollingHash31(child: Expression) extends UnaryExpression {
 }
 
 object RollingHash31 {
-  /** Called from generated code. */
+  /** Called from generated code: decodes code points straight off the
+    * UTF-8 bytes (no intermediate String/char[] copy — this expression
+    * exists to remove per-row overhead). RollingHashSpec proves equality
+    * with the String.codePointAt fold on multi-byte and surrogate cases.
+    */
   def hash(s: UTF8String): Long = {
-    val str = s.toString
+    val bytes = s.getBytes
     var h = 0L
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var j = 1
+      while (j < len && i + j < bytes.length) {
+        cp = (cp << 6) | (bytes(i + j) & 0x3F)
+        j += 1
+      }
       h = (h * 31L + cp) & 0x7FFFFFFFL
-      i += Character.charCount(cp)
+      i += len
     }
     h
   }

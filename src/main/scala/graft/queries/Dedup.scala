@@ -22,24 +22,55 @@ import graft.functions.Hashing.md5hash32
   * all-pairs product — so the expensive exact-Jaccard verification runs on
   * O(candidates), the standard MinHash/LSH contract at 100 TB.
   */
+/** The one LSH bucket-join scaffold every banded candidate generator uses
+  * (MinHash bands, SimHash chunks, hyperplane sign-bands): collect bucket
+  * members per (band, key), drop pathological buckets, expand in-bucket
+  * pairs. Shared so the cap and the pair-ordering semantics cannot drift
+  * between the three pipelines.
+  */
+private[graft] object Lsh {
+  /** A bucket larger than this is a degenerate collision (a stop-shingle /
+    * hot chunk dominating the corpus), not a dup cluster: it would
+    * contribute O(cap²) low-precision pairs. Dropped identically on both
+    * engines (the oracles mirror the HAVING).
+    */
+  val MaxBucket = 1000
+
+  /** In-bucket ordered-pair expansion over the sorted `members` array. */
+  val PairExpand: String =
+    """flatten(transform(sequence(1, size(members) - 1), i ->
+         transform(sequence(i + 1, size(members)), j ->
+           struct(members[i-1] AS a, members[j-1] AS b))))"""
+
+  /** `keyed` must have columns (band, key, m); returns one row per
+    * in-bucket pair as a struct column `p` with fields a/b (each a copy of
+    * the member column `m`). Callers project the pair fields and dedup
+    * across bands.
+    */
+  def bucketPairs(keyed: DataFrame): DataFrame =
+    keyed.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("m"))).as("members"))
+      .filter(size(col("members")) > 1 && size(col("members")) <= MaxBucket)
+      .select(explode(expr(PairExpand)).as("p"))
+}
+
 object Dedup {
   import Tables.t
 
   private val NumHashes = 4
+  private val MaxBucket = Lsh.MaxBucket
 
   /** Word tokens of `text` (space-separated corpus). */
   private def toks: Column = filter(split(col("text"), " "), x => x =!= "")
 
-  /** Distinct 3-word shingles per doc: (doc_id, source, shingle). */
+  /** Distinct 3-word shingles per doc: (doc_id, source, shingle) — the
+    * exploded form of [[shingleArray]] (single definition: the stateless
+    * signatures and this explosion can't silently diverge).
+    */
   private[queries] def shingles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), toks.as("toks"))
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(
-          when(size(col("toks")) >= 3,
-            transform(sequence(lit(1), size(col("toks")) - 2),
-              i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
-            .otherwise(array().cast("array<string>")))).as("shingle"))
+        explode(shingleArray(col("text"))).as("shingle"))
 
   /** DuckDB mirror of [[shingles]] as a CTE body. */
   private val ShinglesSql = """
@@ -110,14 +141,6 @@ object Dedup {
     s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
   }
 
-  /** A bucket larger than this is a degenerate hash collision (a stop-
-    * shingle dominating the corpus), not a dup cluster: it would contribute
-    * O(cap²) low-precision pairs. Dropped identically on both engines
-    * (oracle mirrors the HAVING), so results stay comparable; real data
-    * here peaks at 17 members.
-    */
-  private val MaxBucket = 1000
-
   /** Multi-band LSH candidate pairs (b=4 bands, r=1 row each): a pair is a
     * candidate if it agrees on ANY of the four minhashes, i.e. the union of
     * the four per-band bucket joins, deduped across bands. From ONE
@@ -131,17 +154,11 @@ object Dedup {
     val sigCols = (0 until NumHashes).map(s => col(s"m$s"))
     val bandStructs = (0 until NumHashes).map(s =>
       struct(lit(s).as("band"), col(s"m$s").as("key")))
-    val member = struct(col("doc_id") +: sigCols: _*)
-    sig
-      .select((col("doc_id") +: sigCols) :+
-        explode(array(bandStructs: _*)).as("bk"): _*)
-      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
-      .agg(sort_array(collect_list(member)).as("members"))
-      .filter(size(col("members")) > 1 && size(col("members")) <= MaxBucket)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(members) - 1), i ->
-             transform(sequence(i + 1, size(members)), j ->
-               struct(members[i-1] AS a, members[j-1] AS b))))""")).as("p"))
+    val keyed = sig
+      .select(struct(col("doc_id") +: sigCols: _*).as("m"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("m"))
+    Lsh.bucketPairs(keyed)
       .select(
         (col("p.a.doc_id").as("doc_a") +: col("p.b.doc_id").as("doc_b") +:
           ((0 until NumHashes).map(s => col(s"p.a.m$s").as(s"a_m$s")) ++
@@ -388,28 +405,22 @@ object Dedup {
       FROM cand
       WHERE bit_count(xor(a_lo, b_lo)) + bit_count(xor(a_hi, b_hi)) <= 3""".stripMargin),
     (spark, dir) => {
-      val sig = simhash64(spark, dir)
       val chunkStructs = Seq(
-        struct(lit(0).as("chunk"),
+        struct(lit(0).as("band"),
           col("simhash_lo").bitwiseAND(lit(65535L)).as("key")),
-        struct(lit(1).as("chunk"), shiftright(col("simhash_lo"), 16).as("key")),
-        struct(lit(2).as("chunk"),
+        struct(lit(1).as("band"), shiftright(col("simhash_lo"), 16).as("key")),
+        struct(lit(2).as("band"),
           col("simhash_hi").bitwiseAND(lit(65535L)).as("key")),
-        struct(lit(3).as("chunk"), shiftright(col("simhash_hi"), 16).as("key")))
-      val member = struct(col("doc_id"), col("simhash_lo"), col("simhash_hi"))
+        struct(lit(3).as("band"), shiftright(col("simhash_hi"), 16).as("key")))
       val hamming =
         bit_count(col("a_lo").bitwiseXOR(col("b_lo"))) +
           bit_count(col("a_hi").bitwiseXOR(col("b_hi")))
-      sig
-        .select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+      val keyed = simhash64(spark, dir)
+        .select(
+          struct(col("doc_id"), col("simhash_lo"), col("simhash_hi")).as("m"),
           explode(array(chunkStructs: _*)).as("ck"))
-        .groupBy(col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-        .agg(sort_array(collect_list(member)).as("members"))
-        .filter(size(col("members")) > 1 && size(col("members")) <= MaxBucket)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(members) - 1), i ->
-               transform(sequence(i + 1, size(members)), j ->
-                 struct(members[i-1] AS a, members[j-1] AS b))))""")).as("p"))
+        .select(col("ck.band").as("band"), col("ck.key").as("key"), col("m"))
+      Lsh.bucketPairs(keyed)
         .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
           col("p.a.simhash_lo").as("a_lo"), col("p.a.simhash_hi").as("a_hi"),
           col("p.b.simhash_lo").as("b_lo"), col("p.b.simhash_hi").as("b_hi"))

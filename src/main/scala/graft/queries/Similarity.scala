@@ -61,7 +61,7 @@ object Similarity {
   private val HpBands = 32
   private val HpRowsPerBand = 8
   private val HpDim = 64
-  private val MaxBucket = 1000
+  private val MaxBucket = Lsh.MaxBucket
 
   /** Deterministic plane component in [-1000, 1000]: first 8 md5 hex digits
     * of "hp:plane:dim" mod 2001, shifted — exactly `Hashing.md5hash32`'s
@@ -94,15 +94,10 @@ object Similarity {
   private[queries] def hyperplaneCandidates(v: DataFrame): DataFrame = {
     val bandStructs = (0 until HpBands).map(b =>
       struct(lit(b).as("band"), hpBandKey(b).as("key")))
-    v.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
-      .filter(size(col("members")) > 1 && size(col("members")) <= MaxBucket)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(members) - 1), i ->
-             transform(sequence(i + 1, size(members)), j ->
-               struct(members[i-1] AS a, members[j-1] AS b))))""")).as("p"))
+    val keyed = v
+      .select(col("vec_id").as("m"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("m"))
+    Lsh.bucketPairs(keyed)
       .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
       .distinct()
   }

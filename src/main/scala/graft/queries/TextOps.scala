@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -122,51 +123,70 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ein"),
     "zh" -> Seq("de", "le", "shi", "bu", "wo"))
 
+  // Shared langid/quality builders — ta_langid / ta_quality_score and the
+  // pipeline_corpus_clean funnel MUST compute the same expressions, so they
+  // are defined once (Spark columns and SQL fragments in lockstep).
+
+  /** Per-language stopword-hit score columns s_de..s_zh over `text`. */
+  private def langScoreCols: Seq[Column] = Stop.keys.toSeq.sorted.map { lg =>
+    size(filter(split(col("text"), " "),
+      x => x.isInCollection(Stop(lg)))).as(s"s_$lg")
+  }
+
+  private val LangScoresSql: String = Stop.toSeq.sortBy(_._1).map {
+    case (lg, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS s_$lg"
+  }.mkString(",\n               ")
+
+  /** Argmax language with fixed precedence, over the s_* columns. */
+  private def langPredCol: Column = when(
+    col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+      col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+    .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+      col("s_en") >= col("s_zh"), "en")
+    .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+    .when(col("s_fr") >= col("s_zh"), "fr")
+    .otherwise("zh")
+
+  private val LangPredSql = """CASE
+               WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+               WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+               WHEN s_fr >= s_zh THEN 'fr'
+               ELSE 'zh'
+             END"""
+
+  /** Composite quality score over n_tokens / n_distinct columns. */
+  private def qualityCol: Column =
+    lit(0.5) * least(col("n_tokens"), lit(200)) / lit(200.0) +
+      lit(0.5) * col("n_distinct") / col("n_tokens")
+
+  private val QualitySql =
+    """0.5::DOUBLE * least(n_tokens, 200) / 200.0::DOUBLE
+               + 0.5::DOUBLE * n_distinct / n_tokens"""
+
   val langid = Q(
     "ta_langid",
     "Language ID by stopword-hit scoring (n-gram-free heuristic): count " +
       "stopword occurrences per candidate language over the token array, " +
       "argmax with fixed precedence. Output is the lang×prediction " +
       "contingency table. Pure array expressions — codegen'd, no UDF.",
-    Some {
-      val scores = Stop.toSeq.sortBy(_._1).map { case (lg, ws) =>
-        val inList = ws.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS s_$lg"
-      }.mkString(",\n               ")
-      s"""
+    Some(s"""
       WITH scored AS (
         SELECT lang,
-               $scores
+               $LangScoresSql
         FROM documents)
       SELECT lang,
-             CASE
-               WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-               WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-               WHEN s_fr >= s_zh THEN 'fr'
-               ELSE 'zh'
-             END AS lang_pred,
+             $LangPredSql AS lang_pred,
              count(*) AS n_docs
-      FROM scored GROUP BY lang, lang_pred""".stripMargin
-    },
-    (spark, dir) => {
-      val toks = split(col("text"), " ")
-      def score(lg: String) =
-        size(filter(toks, x => x.isInCollection(Stop(lg)))).as(s"s_$lg")
-      val scored = t(spark, dir, "documents")
-        .select(col("lang") +: Stop.keys.toSeq.sorted.map(score): _*)
-      val pred = when(
-        col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
-          col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
-        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
-          col("s_en") >= col("s_zh"), "en")
-        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
-        .when(col("s_fr") >= col("s_zh"), "fr")
-        .otherwise("zh")
-      scored.withColumn("lang_pred", pred)
+      FROM scored GROUP BY lang, lang_pred""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("lang") +: langScoreCols: _*)
+        .withColumn("lang_pred", langPredCol)
         .groupBy(col("lang"), col("lang_pred"))
-        .agg(count(lit(1)).as("n_docs"))
-    })
+        .agg(count(lit(1)).as("n_docs")))
 
   val tokenStats = Q(
     "ta_token_stats",
@@ -203,7 +223,7 @@ object TextOps {
       "ratios are UNROUNDED: each is the identical IEEE expression tree over " +
       "exact integers on both engines, so the doubles match bitwise (rounding " +
       "would reintroduce HALF_UP-vs-half-even divergence).",
-    Some("""
+    Some(s"""
       WITH d AS (
         SELECT doc_id,
                len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
@@ -213,8 +233,7 @@ object TextOps {
       SELECT doc_id, n_tokens, n_distinct,
              n_distinct / n_tokens AS ttr,
              n_letters / n_tokens AS avg_word_len,
-             0.5::DOUBLE * least(n_tokens, 200) / 200.0::DOUBLE
-               + 0.5::DOUBLE * n_distinct / n_tokens AS quality
+             $QualitySql AS quality
       FROM d""".stripMargin),
     (spark, dir) => {
       val toks = filter(split(col("text"), " "), x => x =!= "")
@@ -227,8 +246,7 @@ object TextOps {
           col("doc_id"), col("n_tokens"), col("n_distinct"),
           (col("n_distinct") / col("n_tokens")).as("ttr"),
           (col("n_letters") / col("n_tokens")).as("avg_word_len"),
-          (lit(0.5) * least(col("n_tokens"), lit(200)) / lit(200.0)
-            + lit(0.5) * col("n_distinct") / col("n_tokens")).as("quality"))
+          qualityCol.as("quality"))
     })
 
   val fingerprint = Q(
@@ -303,12 +321,7 @@ object TextOps {
       "surviving corpus. Two exchanges total (the digest window and the " +
       "final agg); every stage is the same column expression its " +
       "standalone query uses. At sf0.01 the funnel keeps 200 of 500 docs.",
-    Some {
-      val scores = Stop.toSeq.sortBy(_._1).map { case (lg, ws) =>
-        val inList = ws.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS s_$lg"
-      }.mkString(",\n               ")
-      s"""
+    Some(s"""
       WITH base AS (
         SELECT doc_id, source, lang, text,
                min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
@@ -317,51 +330,31 @@ object TextOps {
         SELECT source, lang,
                len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
                len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_distinct,
-               $scores
+               $LangScoresSql
         FROM base WHERE doc_id = canonical_id),
            scored AS (
         SELECT source, lang, n_tokens,
-               0.5::DOUBLE * least(n_tokens, 200) / 200.0::DOUBLE
-                 + 0.5::DOUBLE * n_distinct / n_tokens AS quality,
-               CASE
-                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-                 WHEN s_fr >= s_zh THEN 'fr'
-                 ELSE 'zh'
-               END AS lang_pred
+               $QualitySql AS quality,
+               $LangPredSql AS lang_pred
         FROM feat)
       SELECT source, lang, count(*) AS n_docs,
              sum(n_tokens)::BIGINT AS total_tokens
       FROM scored
       WHERE quality >= 0.35 AND lang_pred = lang
-      GROUP BY source, lang""".stripMargin
-    },
+      GROUP BY source, lang""".stripMargin),
     (spark, dir) => {
       val w = Window.partitionBy(md5(col("text")))
       val toks = filter(split(col("text"), " "), x => x =!= "")
-      def score(lg: String) =
-        size(filter(split(col("text"), " "),
-          x => x.isInCollection(Stop(lg)))).as(s"s_$lg")
-      val pred = when(
-        col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
-          col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
-        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
-          col("s_en") >= col("s_zh"), "en")
-        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
-        .when(col("s_fr") >= col("s_zh"), "fr")
-        .otherwise("zh")
       t(spark, dir, "documents")
         .withColumn("canonical_id", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("canonical_id"))
-        .select(Seq(col("source"), col("lang"),
+        .select(Seq(col("text"), col("source"), col("lang"),
           size(toks).cast("long").as("n_tokens"),
           size(array_distinct(toks)).cast("long").as("n_distinct")) ++
-          Stop.keys.toSeq.sorted.map(score): _*)
-        .withColumn("quality",
-          lit(0.5) * least(col("n_tokens"), lit(200)) / lit(200.0)
-            + lit(0.5) * col("n_distinct") / col("n_tokens"))
-        .withColumn("lang_pred", pred)
+          langScoreCols: _*)
+        .withColumn("quality", qualityCol)
+        .withColumn("lang_pred", langPredCol)
+        .drop("text")
         .filter(col("quality") >= 0.35 && col("lang_pred") === col("lang"))
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),

@@ -12,26 +12,40 @@ package graft.state
   * the same [[KvStateMachine.step]] the KV operators use.
   */
 object ShardCtrlerCodec {
+  /** Percent-escapes the codec's delimiter characters so gids/servers
+    * containing them (e.g. `host:1234,host:5678`) round-trip instead of
+    * corrupting the config (the reference avoids this with JSON,
+    * shardcfg.go:51-65; this codec stays line-oriented but safe).
+    */
+  private def esc(s: String): String = s
+    .replace("%", "%25").replace("|", "%7C").replace(",", "%2C")
+    .replace("=", "%3D").replace(";", "%3B")
+
+  private def unesc(s: String): String = s
+    .replace("%3B", ";").replace("%3D", "=").replace("%2C", ",")
+    .replace("%7C", "|").replace("%25", "%")
+
   /** Deterministic text form (the reference marshals with shardcfg.String(),
-    * shardctrler.go:43-47): `num|shard0,...,shard11|gid=srv1;srv2,...`.
+    * shardctrler.go:43-47): `num|shard0,...,shard11|gid=srv1;srv2,...`,
+    * every string field delimiter-escaped.
     */
   def marshal(c: ShardConfig): String = {
     val groups = c.groups.toSeq.sortBy(_._1)
-      .map { case (g, srvs) => g + "=" + srvs.mkString(";") }
+      .map { case (g, srvs) => esc(g) + "=" + srvs.map(esc).mkString(";") }
       .mkString(",")
-    s"${c.num}|${c.shards.mkString(",")}|$groups"
+    s"${c.num}|${c.shards.map(esc).mkString(",")}|$groups"
   }
 
   def unmarshal(s: String): ShardConfig = {
     val Array(num, shards, groups) = s.split("\\|", -1)
     ShardConfig(
       num.toLong,
-      shards.split(",", -1).toVector,
+      shards.split(",", -1).toVector.map(unesc),
       if (groups.isEmpty) Map.empty
       else groups.split(",", -1).map { part =>
         val Array(g, srvs) = part.split("=", -1)
-        g -> (if (srvs.isEmpty) Seq.empty[String]
-              else srvs.split(";", -1).toSeq)
+        unesc(g) -> (if (srvs.isEmpty) Seq.empty[String]
+                     else srvs.split(";", -1).toSeq.map(unesc))
       }.toMap)
   }
 }

@@ -111,27 +111,34 @@ object Streams {
 
   case class DocEvent(doc_id: Long, text: String)
 
-  /** An arriving doc that landed in a band bucket already claimed by an
-    * earlier doc — a near-dup candidate against that first doc.
+  /** An arriving doc that landed in a band bucket already containing
+    * `prior_doc_id` — a near-dup candidate pair, emitted once per
+    * (pair, band) when the later doc arrives.
     */
-  case class DupCandidate(band: Int, doc_id: Long, first_doc_id: Long)
+  case class DupCandidate(band: Int, doc_id: Long, prior_doc_id: Long)
 
   /** Streaming MinHash-LSH dedup candidates: each arriving doc's b=4 band
     * keys come from the SAME stateless signature projection the batch path
     * uses (`Dedup.shingleArray` + per-band `array_min` fold — no shuffle
-    * before the keyed state), then one GroupState cell per (band, key)
-    * bucket remembers the first doc_id and every later doc in the bucket
-    * emits a candidate. Downstream, candidates feed the same exact-verify
-    * stage as the batch pipeline. State is one long per occupied bucket;
-    * a production deployment bounds it with an event-time timeout exactly
-    * like [[sessionize]] (omitted here — candidates are emitted, not
-    * accumulated).
+    * before the keyed state); one GroupState cell per (band, key) bucket
+    * holds ALL member doc_ids seen so far (capped at `Lsh.MaxBucket`), and
+    * each arrival emits a candidate against every prior member — the same
+    * in-bucket all-pairs contract as the batch `candidatePairsFrom`, so a
+    * true pair is emitted whenever ANY band agrees, regardless of which
+    * unrelated doc reached the bucket first. Candidates then feed the same
+    * exact-verify stage as the batch pipeline (dedup pairs across bands
+    * downstream). Cap semantics diverge from batch by necessity: batch
+    * drops an over-cap bucket retroactively; a stream cannot retract, so a
+    * bucket at the cap stops admitting members and emits nothing further
+    * (state stays bounded at MaxBucket longs per occupied bucket). A
+    * production deployment also ages buckets out with an event-time
+    * timeout exactly like [[sessionize]].
     */
   def lshDedupCandidates(spark: SparkSession,
       docs: Dataset[DocEvent]): Dataset[DupCandidate] = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    import graft.queries.Dedup
+    import graft.queries.{Dedup, Lsh}
     val bandStructs = (0 until Dedup.numHashes).map(s =>
       struct(lit(s).as("band"),
         array_min(transform(col("sh"), x => Dedup.md5hash32El(x, s)))
@@ -144,15 +151,20 @@ object Streams {
         col("doc_id"))
       .as[(Int, Long, Long)]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[Long, DupCandidate](
+      .flatMapGroupsWithState[Seq[Long], DupCandidate](
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (bk: (Int, Long), it: Iterator[(Int, Long, Long)],
-            state: GroupState[Long]) =>
-          val ids = it.map(_._3).toSeq.sorted
-          val first = state.getOption.getOrElse(ids.head)
-          if (!state.exists) state.update(first)
-          ids.filter(_ != first)
-            .map(d => DupCandidate(bk._1, d, first)).iterator
+            state: GroupState[Seq[Long]]) =>
+          var members = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[DupCandidate]
+          it.map(_._3).toSeq.sorted.foreach { d =>
+            if (members.size < Lsh.MaxBucket && !members.contains(d)) {
+              members.foreach(prior => out += DupCandidate(bk._1, d, prior))
+              members = members :+ d
+            }
+          }
+          state.update(members)
+          out.result().iterator
       }
   }
 }

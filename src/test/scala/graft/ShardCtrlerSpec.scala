@@ -17,7 +17,9 @@ class ShardCtrlerSpec extends AnyFunSuite {
       ShardConfig.initial("g1", Seq("s1", "s2")),
       ShardConfig.initial("g1", Seq("s1"))
         .join(Map("g2" -> Seq("s2a", "s2b"), "g3" -> Seq.empty)),
-      ShardConfig.initial("g1", Seq("s1")).leave(Seq("g1")))
+      ShardConfig.initial("g1", Seq("s1")).leave(Seq("g1")),
+      // Delimiter characters in gids/servers must round-trip (escaped).
+      ShardConfig.initial("g|1,x=y", Seq("host:1234,host:5678", "a;b%c")))
     cases.foreach { c =>
       assert(ShardCtrlerCodec.unmarshal(ShardCtrlerCodec.marshal(c)) == c,
         ShardCtrlerCodec.marshal(c))

@@ -149,12 +149,13 @@ class StreamsSpec extends AnyFunSuite {
       input.addData(DocEvent(1, textA), DocEvent(2, textA), DocEvent(3, textC))
       q.processAllAvailable()
       // Batch 2: another dup of doc 1 arrives later — state must remember
-      // that doc 1 claimed the buckets in batch 1.
+      // ALL batch-1 bucket members, so doc 4 pairs with both 1 and 2 (the
+      // batch pipeline's in-bucket all-pairs contract).
       input.addData(DocEvent(4, textA))
       q.processAllAvailable()
       val pairs = spark.table("lsh_dedup").as[DupCandidate]
-        .collect().map(c => (c.doc_id, c.first_doc_id)).toSet
-      assert(pairs == Set((2L, 1L), (4L, 1L)), s"got $pairs")
+        .collect().map(c => (c.doc_id, c.prior_doc_id)).toSet
+      assert(pairs == Set((2L, 1L), (4L, 1L), (4L, 2L)), s"got $pairs")
     } finally q.stop()
   }
 
