@@ -64,13 +64,17 @@ object Dedup {
   private def toks: Column = filter(split(col("text"), " "), x => x =!= "")
 
   /** Distinct 3-word shingles per doc: (doc_id, source, shingle) — the
-    * exploded form of [[shingleArray]] (single definition: the stateless
-    * signatures and this explosion can't silently diverge).
+    * exploded form of [[shingleArrayOfToks]] (single definition: the
+    * stateless signatures and this explosion can't silently diverge). The
+    * token array is materialized in its own projection first: inlining it
+    * would re-evaluate the split+filter for every one of its three
+    * references (measured ~1.5× on the sf0.1 shingle queries).
     */
   private[queries] def shingles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), toks.as("tk"))
       .select(col("doc_id"), col("source"),
-        explode(shingleArray(col("text"))).as("shingle"))
+        explode(shingleArrayOfToks(col("tk"))).as("shingle"))
 
   /** DuckDB mirror of [[shingles]] as a CTE body. */
   private val ShinglesSql = """
@@ -102,38 +106,36 @@ object Dedup {
     conv(substring(md5(concat(lit(seed.toString + ":"), x)), 1, 8), 16, 10)
       .cast("long")
 
-  /** Distinct 3-shingle array of a text column — the stateless per-row
-    * form of [[shingles]]'s explosion (empty array below 3 tokens).
+  /** Distinct 3-shingle array over a MATERIALIZED token-array column
+    * (pass an attribute, not the split expression — `tk` is referenced
+    * three times here, and Catalyst only leaves multiply-referenced
+    * expressions unduplicated when they are attributes).
     */
-  private[graft] def shingleArray(text: Column): Column = {
-    val tk = filter(split(text, " "), x => x =!= "")
+  private[graft] def shingleArrayOfToks(tk: Column): Column =
     when(size(tk) >= 3,
       array_distinct(transform(sequence(lit(1), size(tk) - 2),
         i => concat_ws(" ", slice(tk, i, lit(3))))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word tokens of a text column. */
+  private[graft] def toksOf(text: Column): Column =
+    filter(split(text, " "), x => x =!= "")
 
   private[graft] val numHashes: Int = NumHashes
 
-  /** MinHash signature per doc as a STATELESS per-row projection:
-    * m_s = array_min(transform(shingle_array, seeded hash)) — identical
-    * values to the explode→groupBy formulation ([[signaturesFrom]]; the
-    * min ranges over the same distinct-shingle set, docs with no shingle
-    * filtered like the group-by's absent rows) but with ZERO shuffles, so
-    * signature-only queries need no exchange before the band bucketing and
-    * the same expression drops into a streaming projection unchanged.
-    * [[lshVerified]] still derives signatures from its checkpointed
-    * exploded shingles (it needs the explosion anyway for the verify join);
-    * everything else uses this form.
+  /** MinHash signature per doc. Formulation note, measured at sf0.1
+    * (min-of-3): this explode→groupBy form benches 2× FASTER than the
+    * "shuffle-free" per-row array fold
+    * (`array_min(transform(shingleArrayOfToks(tk), hash))`, 1.9s vs 3.9s
+    * for dedup_minhash_pairs) — the array form allocates four hashed
+    * arrays per row, while the exchange it saves is negligible anyway:
+    * partial min collapses each doc to ONE pre-shuffle row (all of a
+    * doc's shingles are born in its partition). The array fold remains
+    * the right form where an aggregation is impossible — the streaming
+    * projection (`Streams.lshDedupCandidates`).
     */
-  private[queries] def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = (0 until NumHashes).map(s =>
-      array_min(transform(col("sh"), x => md5hash32El(x, s))).as(s"m$s"))
-    t(spark, dir, "documents")
-      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id") +: sigs: _*)
-  }
+  private[queries] def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesFrom(shingles(spark, dir))
 
   private val SignaturesSql = {
     val mins = (0 until NumHashes)

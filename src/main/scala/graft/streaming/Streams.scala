@@ -119,7 +119,7 @@ object Streams {
 
   /** Streaming MinHash-LSH dedup candidates: each arriving doc's b=4 band
     * keys come from the SAME stateless signature projection the batch path
-    * uses (`Dedup.shingleArray` + per-band `array_min` fold — no shuffle
+    * uses (`Dedup.shingleArrayOfToks` + per-band `array_min` fold — no shuffle
     * before the keyed state); one GroupState cell per (band, key) bucket
     * holds ALL member doc_ids seen so far (capped at `Lsh.MaxBucket`), and
     * each arrival emits a candidate against every prior member — the same
@@ -144,7 +144,8 @@ object Streams {
         array_min(transform(col("sh"), x => Dedup.md5hash32El(x, s)))
           .as("key")))
     docs.toDF()
-      .select(col("doc_id"), Dedup.shingleArray(col("text")).as("sh"))
+      .select(col("doc_id"), Dedup.toksOf(col("text")).as("tk"))
+      .select(col("doc_id"), Dedup.shingleArrayOfToks(col("tk")).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"),
