@@ -169,18 +169,25 @@ object Similarity {
   // the scan side streams once. (The test embeddings are isotropic, so the
   // cells have no semantic pull — the machinery is what's exercised.)
 
+  /** Mean vector per `key` column of a [[vecs]]-shaped frame: the Lloyd's
+    * update step, reusable for any cell keying (labels seed iteration 1;
+    * iteration-1 assignments feed iteration 2).
+    */
+  private[queries] def centroidsOver(v: DataFrame, key: String): DataFrame =
+    v.select(col(key).as("k"), posexplode(col("e")))
+      .groupBy(col("k"), col("pos"))
+      .agg(round(avg(col("col")) + lit(1e-9), 6).as("c"))
+      .groupBy(col("k"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+      .select(col("k").as("cell"), col("centroid"))
+
   /** Per-label mean vectors as arrays: (cell, centroid), from a [[vecs]]
     * frame (so callers can reuse one checkpointed scan).
     */
   private[queries] def centroidsFrom(v: DataFrame): DataFrame =
-    v.select(col("label"), posexplode(col("e")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("col")) + lit(1e-9), 6).as("c"))
-      .groupBy(col("label"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("centroid"))
-      .select(col("label").as("cell"), col("centroid"))
+    centroidsOver(v, "label")
 
   private val CentroidsSql = """
            cent AS (
@@ -193,21 +200,26 @@ object Similarity {
                    GROUP BY label, pos)
              GROUP BY label)"""
 
-  /** Quantizer assignment: (vec_id, cell, d2_raw) — nearest centroid by
-    * squared L2, rounded-measure ordering with cell tie-break.
+  /** Nearest-centroid assignment of `v` against a (cell, centroid) table:
+    * (vec_id, cell, d2_raw) by squared L2, rounded-measure ordering with
+    * cell tie-break. The centroid side broadcasts (k rows).
     */
-  private[queries] def kmeansAssignFrom(v: DataFrame): DataFrame = {
+  private[queries] def assignAgainst(v: DataFrame, cent: DataFrame): DataFrame = {
     val d2 = dot(col("e"), col("e")) -
       lit(2) * dot(col("e"), col("centroid")) +
       dot(col("centroid"), col("centroid"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(round(col("d2_raw") + lit(1e-9), 6), col("cell"))
-    v.join(broadcast(centroidsFrom(v)))
+    v.join(broadcast(cent))
       .withColumn("d2_raw", d2)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("cell"), col("d2_raw"))
   }
+
+  /** Quantizer assignment (one Lloyd's step from the label seeding). */
+  private[queries] def kmeansAssignFrom(v: DataFrame): DataFrame =
+    assignAgainst(v, centroidsFrom(v))
 
   /** Mirror of [[kmeansAssign]]; expects `n` ([[VecsSql]]) and
     * [[CentroidsSql]] CTEs. Ends in `assign(vec_id, cell, d2_raw)`.
@@ -243,6 +255,51 @@ object Similarity {
       kmeansAssignFrom(vecs(spark, dir).localCheckpoint())
         .select(col("vec_id"), col("cell"),
           Det.r2e(col("d2_raw")).as("dist2")))
+
+  val kmeansIter2 = Q(
+    "sim_kmeans_iter2",
+    "A full Lloyd's iteration on top of sim_kmeans_assign: recompute " +
+      "centroids as the means of the ITERATION-1 cells (not the label " +
+      "seeding), then re-assign every vector against them — the " +
+      "update+assign loop a production quantizer runs to convergence, " +
+      "demonstrated for one more round with the same broadcast-centroid " +
+      "plan shape and hash-exact cross-engine determinism (centroid " +
+      "components rounded before any distance math at every iteration).",
+    Some(s"""
+      WITH n AS ($VecsSql),$CentroidsSql,$AssignSql,
+           cent2 AS (
+             SELECT cell, list(c ORDER BY pos) AS centroid
+             FROM (SELECT cell, i AS pos, round(avg(e[i + 1]) + 1e-9, 6) AS c
+                   FROM (SELECT a.cell, n.e,
+                                unnest(range(0, len(n.e))) AS i
+                         FROM n JOIN assign a ON a.vec_id = n.vec_id)
+                   GROUP BY cell, i)
+             GROUP BY cell),
+           scored2 AS (
+             SELECT n.vec_id, cent2.cell,
+                    list_dot_product(n.e, n.e)
+                      - 2 * list_dot_product(n.e, cent2.centroid)
+                      + list_dot_product(cent2.centroid, cent2.centroid)
+                        AS d2_raw
+             FROM n, cent2),
+           assign2 AS (
+             SELECT vec_id, cell, d2_raw
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY round(d2_raw + 1e-9, 6), cell) AS rk
+                   FROM scored2)
+             WHERE rk = 1)
+      SELECT vec_id, cell, round(d2_raw + 1e-6, 2) AS dist2
+      FROM assign2""".stripMargin),
+    (spark, dir) => {
+      val v = vecs(spark, dir).localCheckpoint()
+      val a1 = kmeansAssignFrom(v)
+        .select(col("vec_id"), col("cell").as("cell1"))
+      val cent2 = centroidsOver(v.join(a1, "vec_id"), "cell1")
+      assignAgainst(v, cent2)
+        .select(col("vec_id"), col("cell"),
+          Det.r2e(col("d2_raw")).as("dist2"))
+    })
 
   val topkIvf = Q(
     "sim_topk_ivf",
@@ -380,6 +437,6 @@ object Similarity {
         .agg(round(avg(col("col")) + lit(1e-9), 6).as("c"),
           count(lit(1)).as("n")))
 
-  val all: Seq[Q] = Seq(topkBrute, topkIvf, kmeansAssignQ, nearDup,
-    histogram, labelCentroid)
+  val all: Seq[Q] = Seq(topkBrute, topkIvf, kmeansAssignQ, kmeansIter2,
+    nearDup, histogram, labelCentroid)
 }
