@@ -109,7 +109,7 @@ object Streams {
       }
   }
 
-  case class DocEvent(doc_id: Long, text: String)
+  case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
 
   /** An arriving doc that landed in a band bucket already containing
     * `prior_doc_id` — a near-dup candidate pair, emitted once per
@@ -130,12 +130,16 @@ object Streams {
     * downstream). Cap semantics diverge from batch by necessity: batch
     * drops an over-cap bucket retroactively; a stream cannot retract, so a
     * bucket at the cap stops admitting members and emits nothing further
-    * (state stays bounded at MaxBucket longs per occupied bucket). A
-    * production deployment also ages buckets out with an event-time
-    * timeout exactly like [[sessionize]].
+    * (state stays bounded at MaxBucket longs per occupied bucket). Buckets
+    * idle past `bucketTtlSeconds` of EVENT time are evicted by the same
+    * watermark-driven timeout as [[sessionize]] — total state is bounded
+    * by buckets ACTIVE within the TTL window, at the documented recall
+    * cost that a dup arriving after its bucket expired re-seeds it instead
+    * of pairing.
     */
-  def lshDedupCandidates(spark: SparkSession,
-      docs: Dataset[DocEvent]): Dataset[DupCandidate] = {
+  def lshDedupCandidates(spark: SparkSession, docs: Dataset[DocEvent],
+      bucketTtlSeconds: Long = 3600,
+      watermarkDelay: String = "1 hour"): Dataset[DupCandidate] = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.queries.{Dedup, Lsh}
@@ -144,28 +148,41 @@ object Streams {
         array_min(transform(col("sh"), x => Dedup.md5hash32El(x, s)))
           .as("key")))
     docs.toDF()
-      .select(col("doc_id"), Dedup.toksOf(col("text")).as("tk"))
-      .select(col("doc_id"), Dedup.shingleArrayOfToks(col("tk")).as("sh"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), Dedup.toksOf(col("text")).as("tk"))
+      .select(col("doc_id"), col("ts"),
+        Dedup.shingleArrayOfToks(col("tk")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("ts"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"),
-        col("doc_id"))
-      .as[(Int, Long, Long)]
+        col("doc_id"), col("ts"))
+      .as[(Int, Long, Long, Timestamp)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Seq[Long], DupCandidate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
-        (bk: (Int, Long), it: Iterator[(Int, Long, Long)],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (bk: (Int, Long), it: Iterator[(Int, Long, Long, Timestamp)],
             state: GroupState[Seq[Long]]) =>
-          var members = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[DupCandidate]
-          it.map(_._3).toSeq.sorted.foreach { d =>
-            if (members.size < Lsh.MaxBucket && !members.contains(d)) {
-              members.foreach(prior => out += DupCandidate(bk._1, d, prior))
-              members = members :+ d
+          if (state.hasTimedOut) {
+            // Bucket idle past the TTL: forget it (bounded state).
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            var members = state.getOption.getOrElse(Seq.empty)
+            val out = Seq.newBuilder[DupCandidate]
+            rows.map(_._3).sorted.foreach { d =>
+              if (members.size < Lsh.MaxBucket && !members.contains(d)) {
+                members.foreach(prior => out += DupCandidate(bk._1, d, prior))
+                members = members :+ d
+              }
             }
+            state.update(members)
+            val maxTsMs = rows.map(r => micros(r._4) / 1000L).max
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs + 1000,
+              maxTsMs + bucketTtlSeconds * 1000))
+            out.result().iterator
           }
-          state.update(members)
-          out.result().iterator
       }
   }
 }

@@ -134,7 +134,7 @@ class StreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
-  test("streaming LSH dedup emits candidates against the first bucket occupant") {
+  test("streaming LSH dedup pairs arrivals with ALL prior bucket members") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     import graft.streaming.Streams.{DocEvent, DupCandidate}
@@ -146,16 +146,51 @@ class StreamsSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       // Batch 1: doc 1, its exact dup doc 2, and an unrelated doc 3.
-      input.addData(DocEvent(1, textA), DocEvent(2, textA), DocEvent(3, textC))
+      input.addData(DocEvent(1, ts(0), textA), DocEvent(2, ts(1), textA),
+        DocEvent(3, ts(2), textC))
       q.processAllAvailable()
       // Batch 2: another dup of doc 1 arrives later — state must remember
       // ALL batch-1 bucket members, so doc 4 pairs with both 1 and 2 (the
       // batch pipeline's in-bucket all-pairs contract).
-      input.addData(DocEvent(4, textA))
+      input.addData(DocEvent(4, ts(5), textA))
       q.processAllAvailable()
       val pairs = spark.table("lsh_dedup").as[DupCandidate]
         .collect().map(c => (c.doc_id, c.prior_doc_id)).toSet
       assert(pairs == Set((2L, 1L), (4L, 1L), (4L, 2L)), s"got $pairs")
+    } finally q.stop()
+  }
+
+  test("streaming LSH dedup evicts idle buckets past the event-time TTL") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{DocEvent, DupCandidate}
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val textC = "completely different words about structured stream engines"
+    val input = MemoryStream[DocEvent]
+    // TTL 1h of event time, watermark delay 1h.
+    val q = Streams.lshDedupCandidates(spark, input.toDS(),
+      bucketTtlSeconds = 3600, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("lsh_dedup_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(DocEvent(1, ts(0), textA), DocEvent(2, ts(1), textA))
+      q.processAllAvailable()
+      // Advance event time far past TTL+delay (watermark applies from the
+      // NEXT batch), then trigger the batch where the timeout fires.
+      input.addData(DocEvent(3, ts(200), textC))
+      q.processAllAvailable()
+      input.addData(DocEvent(6, ts(210), textC))
+      q.processAllAvailable()
+      // textA's buckets expired (idle since minute 1, TTL 60): the late dup
+      // re-seeds them instead of pairing with docs 1/2.
+      input.addData(DocEvent(5, ts(215), textA))
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_dedup_ttl").as[DupCandidate]
+        .collect().map(c => (c.doc_id, c.prior_doc_id)).toSet
+      // (6,3) is the legitimate in-TTL textC pair; the absence of any
+      // (5, 1|2) pair proves the textA buckets were evicted.
+      assert(pairs == Set((2L, 1L), (6L, 3L)),
+        s"expired bucket leaked or eviction broke pairing: $pairs")
     } finally q.stop()
   }
 
