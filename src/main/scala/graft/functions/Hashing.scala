@@ -63,8 +63,10 @@ object Hashing {
     fnv1a32(c) % nShards
 
   /** Portable seeded 32-bit hash: first 8 hex digits of md5(seed || value) as
-    * an unsigned int in a long. md5 is bit-identical across engines, so
-    * minhash/simhash built on this are oracle-checkable.
+    * an unsigned int in a long — the hex/conv reference formulation of lane 0
+    * of [[Md5Lanes]] (which the hot paths use; ExtensionsSpec asserts the
+    * two agree). md5 is bit-identical across engines, so minhash/simhash
+    * built on this family are oracle-checkable.
     */
   def md5hash32(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(seed.toString + ":"), c)), 1, 8), 16, 10)

@@ -4,15 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing.md5hash32
-
 /** Deduplication operators over `documents` — the training-data-pipeline
   * core: exact (hash groupBy), MinHash+LSH (shingle→minhash→band→bucket
   * join), SimHash, and n-gram Jaccard verification. The embedding-cosine
   * near-dup lives in [[Similarity]] alongside the ANN ops.
   *
-  * All hashing is the portable md5-based `Hashing.md5hash32`, so every stage
-  * is oracle-checkable bit-for-bit in DuckDB. All set math (Jaccard,
+  * All hashing is the portable md5-lane family (`graft.functions.Md5Lanes`
+  * natively; `('0x' || substr(md5(...), 1+8l, 8))::BIGINT` in SQL), so every
+  * stage is oracle-checkable bit-for-bit in DuckDB. All set math (Jaccard,
   * signature agreement) is exact integer ratios — unrounded doubles are
   * IEEE-identical across engines.
   *
@@ -57,7 +56,18 @@ private[graft] object Lsh {
 object Dedup {
   import Tables.t
 
-  private val NumHashes = 4
+  /** Production-width LSH parameterization (numHashes = bands × rowsPerBand):
+    * each band key hashes an r-tuple of minhashes, so a pair is a candidate
+    * iff ALL r rows of SOME band agree — the standard S-curve with
+    * threshold ≈ (1/b)^(1/r) ≈ 0.71 at b=4/r=4. Round 2's b=4/r=1 (any
+    * single agreeing minhash) admitted ~34% of J=0.1 pairs and made buckets
+    * "all docs sharing one hot min-shingle"; r=4 band keys collapse that to
+    * near-zero false-candidate rate while keeping the planted near-dup
+    * regime (J ≥ 0.9) at per-pair miss probability (1−J⁴)⁴ ≲ 1.4%.
+    */
+  private val Bands = 4
+  private val RowsPerBand = 4
+  private val NumHashes = Bands * RowsPerBand
   private val MaxBucket = Lsh.MaxBucket
 
   /** Word tokens of `text` (space-separated corpus). */
@@ -85,26 +95,35 @@ object Dedup {
                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
           FROM documents)"""
 
-  /** Portable seeded hash in DuckDB, = `Hashing.md5hash32`. */
-  private def duckHash(seed: Int, e: String): String =
-    s"('0x' || substr(md5('$seed:' || $e), 1, 8))::BIGINT"
+
+  /** Lanes extracted per md5 digest (md5 is 128 bits = 4 × 32-bit lanes). */
+  private val LanesPerDigest = 4
+  private val NumSeeds = NumHashes / LanesPerDigest
+
+  /** (seed, lane) pair backing minhash component `i` — component i is lane
+    * i%4 of digest seed i/4, so 16 components cost 4 md5s per shingle.
+    * private[graft]: the streaming projection uses the identical mapping.
+    */
+  private[graft] def seedLane(i: Int): (Int, Int) =
+    (i / LanesPerDigest, i % LanesPerDigest)
+
+  private[graft] def numSeeds: Int = NumSeeds
 
   /** MinHash signature per doc from a shingle frame (lets callers reuse a
-    * checkpointed shingle set instead of recomputing the explosion).
+    * checkpointed shingle set instead of recomputing the explosion). All 16
+    * lanes come from ONE native [[graft.functions.Md5Lanes]] evaluation per
+    * shingle (4 digest passes, no hex strings), materialized as an array
+    * attribute in its own projection before the 16 per-lane minima — an
+    * inlined expression would be re-evaluated for every referencing lane
+    * (the same CollapseProject hazard as the token array in [[shingles]]).
     */
   private[queries] def signaturesFrom(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(s =>
-      min(md5hash32(col("shingle"), s)).as(s"m$s"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val withLanes = sh.select(col("doc_id"),
+      graft.functions.Md5Lanes(col("shingle"), 0, NumSeeds).as("lanes"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(col("lanes").getItem(i)).as(s"m$i"))
+    withLanes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
-
-  /** Seeded hash of one element inside a higher-order lambda — the
-    * element-wise form of `Hashing.md5hash32`. private[graft]: the
-    * streaming face builds the same signatures.
-    */
-  private[graft] def md5hash32El(x: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(seed.toString + ":"), x)), 1, 8), 16, 10)
-      .cast("long")
 
   /** Distinct 3-shingle array over a MATERIALIZED token-array column
     * (pass an attribute, not the split expression — `tk` is referenced
@@ -122,6 +141,28 @@ object Dedup {
     filter(split(text, " "), x => x =!= "")
 
   private[graft] val numHashes: Int = NumHashes
+  private[graft] val bands: Int = Bands
+  private[graft] val rowsPerBand: Int = RowsPerBand
+
+  /** Band key of band `b` over minhash columns m0..m15: md5 of the
+    * comma-joined r-tuple `m(b·r) .. m(b·r+r−1)` — one string key per band,
+    * identical math in [[bandKeySqlCase]]'s DuckDB mirror (BIGINT::VARCHAR
+    * and Column.cast("string") print identically).
+    */
+  private[graft] def bandKey(b: Int, m: Int => Column): Column =
+    md5(concat_ws(",",
+      (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => m(i).cast("string")): _*))
+
+  /** DuckDB `CASE band ... END` expression mirroring [[bandKey]]. */
+  private def bandKeySqlCase: String = {
+    val whens = (0 until Bands).map { b =>
+      val tup = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
+      s"WHEN $b THEN md5($tup)"
+    }.mkString(" ")
+    s"CASE b.band $whens END"
+  }
 
   /** MinHash signature per doc. Formulation note, measured at sf0.1
     * (min-of-3): this explode→groupBy form benches 2× FASTER than the
@@ -137,25 +178,34 @@ object Dedup {
   private[queries] def signatures(spark: SparkSession, dir: String): DataFrame =
     signaturesFrom(shingles(spark, dir))
 
+  /** Lane `lane` of the seeded md5 digest in DuckDB, = lane `4·seed+lane`
+    * of `graft.functions.Md5Lanes`.
+    */
+  private def duckLane(seed: Int, lane: Int, e: String): String =
+    s"('0x' || substr(md5('$seed:' || $e), ${1 + 8 * lane}, 8))::BIGINT"
+
   private val SignaturesSql = {
-    val mins = (0 until NumHashes)
-      .map(s => s"min(${duckHash(s, "shingle")}) AS m$s").mkString(", ")
+    val mins = (0 until NumHashes).map { i =>
+      val (s, lane) = seedLane(i)
+      s"min(${duckLane(s, lane, "shingle")}) AS m$i"
+    }.mkString(", ")
     s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
   }
 
-  /** Multi-band LSH candidate pairs (b=4 bands, r=1 row each): a pair is a
-    * candidate if it agrees on ANY of the four minhashes, i.e. the union of
-    * the four per-band bucket joins, deduped across bands. From ONE
-    * signature pass: each doc fans out to 4 (band, key) rows, buckets are
+  /** Multi-band LSH candidate pairs at production parameters (b=4 bands of
+    * r=4 rows): a pair is a candidate iff ALL 4 minhashes of SOME band
+    * agree — band keys are md5 over the r-tuple ([[bandKey]]), never a
+    * single minhash, so buckets at scale are "docs sharing an entire
+    * 4-minhash slice", not "docs sharing one hot min-shingle". From ONE
+    * signature pass: each doc fans out to b (band, key) rows, buckets are
     * collected, capped at [[MaxBucket]] (one pathological collision can't go
-    * quadratic), pairs expanded in-bucket, then deduped. b=4/r=1 fixes the
-    * round-1 recall gap where pairs agreeing only on m1–m3 were missed
-    * (LshRecallSpec measures recall = 1.0 vs exhaustive Jaccard ≥ 0.5).
+    * quadratic), pairs expanded in-bucket, then deduped across bands
+    * (LshRecallSpec measures recall against the exhaustive truth).
     */
   private[queries] def candidatePairsFrom(sig: DataFrame): DataFrame = {
     val sigCols = (0 until NumHashes).map(s => col(s"m$s"))
-    val bandStructs = (0 until NumHashes).map(s =>
-      struct(lit(s).as("band"), col(s"m$s").as("key")))
+    val bandStructs = (0 until Bands).map(b =>
+      struct(lit(b).as("band"), bandKey(b, i => col(s"m$i")).as("key")))
     val keyed = sig
       .select(struct(col("doc_id") +: sigCols: _*).as("m"),
         explode(array(bandStructs: _*)).as("bk"))
@@ -172,24 +222,31 @@ object Dedup {
     candidatePairsFrom(signatures(spark, dir))
 
   /** DuckDB mirror of [[candidatePairsFrom]]: per-band bucket join over the
-    * union of the 4 bands, bucket-capped, deduped. Expects a `sig` CTE.
+    * union of the b bands (md5 r-tuple keys), bucket-capped, deduped.
+    * Expects a `sig` CTE. Generated programmatically from the same
+    * (Bands, RowsPerBand) so the two engines cannot drift.
     */
-  private val CandSql = s"""
+  private val CandSql = {
+    val ms = (0 until NumHashes).map(i => s"m$i").mkString(", ")
+    val aCols = (0 until NumHashes).map(i => s"a.m$i AS a_m$i").mkString(", ")
+    val bCols = (0 until NumHashes).map(i => s"b.m$i AS b_m$i").mkString(", ")
+    val bandVals = (0 until Bands).map(b => s"($b)").mkString(",")
+    s"""
            bands AS (
-             SELECT doc_id, m0, m1, m2, m3, b.band,
-                    CASE b.band WHEN 0 THEN m0 WHEN 1 THEN m1
-                                WHEN 2 THEN m2 ELSE m3 END AS key
-             FROM sig, (VALUES (0),(1),(2),(3)) b(band)),
+             SELECT doc_id, $ms, b.band,
+                    $bandKeySqlCase AS key
+             FROM sig, (VALUES $bandVals) b(band)),
            ok AS (SELECT band, key FROM bands GROUP BY band, key
                   HAVING count(*) > 1 AND count(*) <= $MaxBucket),
            cand AS (
              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    a.m0 AS a_m0, a.m1 AS a_m1, a.m2 AS a_m2, a.m3 AS a_m3,
-                    b.m0 AS b_m0, b.m1 AS b_m1, b.m2 AS b_m2, b.m3 AS b_m3
+                    $aCols,
+                    $bCols
              FROM bands a
              JOIN bands b ON a.band = b.band AND a.key = b.key
                          AND a.doc_id < b.doc_id
              JOIN ok ON ok.band = a.band AND ok.key = a.key)"""
+  }
 
   val exact = Q(
     "dedup_exact",
@@ -213,37 +270,44 @@ object Dedup {
   val minhashSig = Q(
     "dedup_minhash_sig",
     s"MinHash signatures: distinct 3-word shingles → $NumHashes seeded " +
-      "portable hashes → per-doc minima, plus the md5 band key over the " +
+      "portable hashes → per-doc minima, plus the md5 fingerprint over the " +
       "full signature. Shingle explosion collapses back to one row per doc " +
       "in the same aggregation — no wide intermediate survives the stage.",
-    Some(s"""
+    Some {
+      val ms = (0 until NumHashes).map(i => s"m$i").mkString(", ")
+      val fp = (0 until NumHashes).map(i => s"m$i::VARCHAR")
+        .mkString(" || ',' || ")
+      s"""
       WITH sh AS ($ShinglesSql),
            sig AS ($SignaturesSql)
-      SELECT doc_id, m0, m1, m2, m3,
-             md5(m0::VARCHAR || ',' || m1::VARCHAR || ',' ||
-                 m2::VARCHAR || ',' || m3::VARCHAR) AS band
-      FROM sig""".stripMargin),
+      SELECT doc_id, $ms,
+             md5($fp) AS sig_fp
+      FROM sig""".stripMargin
+    },
     (spark, dir) =>
-      signatures(spark, dir).withColumn("band",
+      signatures(spark, dir).withColumn("sig_fp",
         md5(concat_ws(",", (0 until NumHashes).map(s => col(s"m$s").cast("string")): _*))))
 
   val minhashPairs = Q(
     "dedup_minhash_pairs",
-    "MinHash LSH candidate pairs: b=4, r=1 banding — the union of the four " +
-      "per-minhash bucket joins (pairs agreeing on ANY signature " +
-      "component), deduped across bands. Each band join is equi on its " +
-      "bucket key — hash joins, NOT an all-pairs product. Jaccard is " +
-      "estimated as the fraction of agreeing signature components.",
-    Some(s"""
+    s"MinHash LSH candidate pairs at production width: b=$Bands bands of " +
+      s"r=$RowsPerBand rows — band keys are md5 over the r-tuple of " +
+      "minhashes, so a pair is a candidate iff an ENTIRE band slice " +
+      "agrees. Each band join is equi on its bucket key — hash joins, NOT " +
+      "an all-pairs product. Jaccard is estimated as the fraction of " +
+      s"agreeing signature components out of $NumHashes.",
+    Some {
+      val matches = (0 until NumHashes)
+        .map(i => s"(a_m$i = b_m$i)::INT").mkString(" + ")
+      s"""
       WITH sh AS ($ShinglesSql),
            sig AS ($SignaturesSql),$CandSql
       SELECT doc_a, doc_b,
-             ((a_m0 = b_m0)::INT + (a_m1 = b_m1)::INT +
-              (a_m2 = b_m2)::INT + (a_m3 = b_m3)::INT)::BIGINT AS n_match,
-             ((a_m0 = b_m0)::INT + (a_m1 = b_m1)::INT +
-              (a_m2 = b_m2)::INT + (a_m3 = b_m3)::INT) / ${NumHashes}.0::DOUBLE
+             ($matches)::BIGINT AS n_match,
+             ($matches) / ${NumHashes}.0::DOUBLE
                AS est_jaccard
-      FROM cand""".stripMargin),
+      FROM cand""".stripMargin
+    },
     (spark, dir) => {
       val nMatch = (0 until NumHashes)
         .map(s => when(col(s"a_m$s") === col(s"b_m$s"), 1).otherwise(0))
@@ -315,17 +379,19 @@ object Dedup {
     })
 
   /** 64-bit SimHash per doc as two unsigned 32-bit halves (simhash_lo =
-    * bits 0–31 from seed-99 hashes, simhash_hi = bits 32–63 from seed-100),
-    * kept in exact BIGINT range on both engines. Same single-aggregation
-    * shape as the round-1 16-bit version: one seeded hash per token
-    * occurrence, 64 conditional ±1 sums in ONE groupBy (no bit-explode,
-    * one shuffle), sign bits packed.
+    * bits 0–31 from lane 0 of the seed-99 digest, simhash_hi = bits 32–63
+    * from lane 1 — ONE native Md5Lanes digest per token occurrence), kept
+    * in exact BIGINT range on both engines. Same single-aggregation shape
+    * as the round-1 16-bit version: 64 conditional ±1 sums in ONE groupBy
+    * (no bit-explode, one shuffle), sign bits packed.
     */
   private[queries] def simhash64(spark: SparkSession, dir: String): DataFrame = {
     val words = t(spark, dir, "documents")
       .select(col("doc_id"), explode(toks).as("word"))
-      .withColumn("h1", md5hash32(col("word"), 99))
-      .withColumn("h2", md5hash32(col("word"), 100))
+      .select(col("doc_id"),
+        graft.functions.Md5Lanes(col("word"), 99, 1).as("wl"))
+      .select(col("doc_id"), col("wl").getItem(0).as("h1"),
+        col("wl").getItem(1).as("h2"))
     val sums = (0 until 64).map { b =>
       val src = if (b < 32) col("h1") else col("h2")
       sum(when(shiftright(src, b % 32).bitwiseAND(lit(1)) === 1, 1)
@@ -342,7 +408,7 @@ object Dedup {
   /** DuckDB mirror of [[simhash64]] as CTEs ending in `sig64`. */
   private val Simhash64Sql = {
     val sums = (0 until 64).map { b =>
-      val h = if (b < 32) duckHash(99, "word") else duckHash(100, "word")
+      val h = if (b < 32) duckLane(99, 0, "word") else duckLane(99, 1, "word")
       s"sum(CASE WHEN ($h >> ${b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
     }.mkString(",\n               ")
     def pack(bits: Range) = bits

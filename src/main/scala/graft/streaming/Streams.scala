@@ -117,25 +117,32 @@ object Streams {
     */
   case class DupCandidate(band: Int, doc_id: Long, prior_doc_id: Long)
 
-  /** Streaming MinHash-LSH dedup candidates: each arriving doc's b=4 band
-    * keys come from the SAME stateless signature projection the batch path
-    * uses (`Dedup.shingleArrayOfToks` + per-band `array_min` fold — no shuffle
-    * before the keyed state); one GroupState cell per (band, key) bucket
-    * holds ALL member doc_ids seen so far (capped at `Lsh.MaxBucket`), and
-    * each arrival emits a candidate against every prior member — the same
-    * in-bucket all-pairs contract as the batch `candidatePairsFrom`, so a
-    * true pair is emitted whenever ANY band agrees, regardless of which
-    * unrelated doc reached the bucket first. Candidates then feed the same
-    * exact-verify stage as the batch pipeline (dedup pairs across bands
-    * downstream). Cap semantics diverge from batch by necessity: batch
-    * drops an over-cap bucket retroactively; a stream cannot retract, so a
-    * bucket at the cap stops admitting members and emits nothing further
-    * (state stays bounded at MaxBucket longs per occupied bucket). Buckets
-    * idle past `bucketTtlSeconds` of EVENT time are evicted by the same
-    * watermark-driven timeout as [[sessionize]] — total state is bounded
-    * by buckets ACTIVE within the TTL window, at the documented recall
-    * cost that a dup arriving after its bucket expired re-seeds it instead
-    * of pairing.
+  /** Streaming MinHash-LSH dedup candidates: each arriving doc's band keys
+    * come from the SAME stateless signature projection the batch path uses
+    * (`Dedup.shingleArrayOfToks` + per-seed `array_min` folds, md5 over
+    * each band's r-tuple of minhashes — `Dedup.bandKey`, so stream and
+    * batch bucket identically; no shuffle before the keyed state); one
+    * GroupState cell per (band, key) bucket holds ALL member doc_ids seen
+    * so far (capped at `Lsh.MaxBucket`), and each arrival emits a candidate
+    * against every prior member — the same in-bucket all-pairs contract as
+    * the batch `candidatePairsFrom`, so a true pair is emitted whenever ANY
+    * band agrees, regardless of which unrelated doc reached the bucket
+    * first. Candidates then feed the same exact-verify stage as the batch
+    * pipeline ([[verifiedDupPairs]]). Cap semantics diverge from batch by
+    * necessity: batch drops an over-cap bucket retroactively; a stream
+    * cannot retract, so a bucket at the cap stops admitting members and
+    * emits nothing further (state stays bounded at MaxBucket longs per
+    * occupied bucket). Buckets idle past `bucketTtlSeconds` of EVENT time
+    * are evicted by the same watermark-driven timeout as [[sessionize]] —
+    * total state is bounded by buckets ACTIVE within the TTL window, at
+    * the documented recall cost that a dup arriving after its bucket
+    * expired re-seeds it instead of pairing.
+    *
+    * Membership state is kept as a sorted primitive array with
+    * binary-search lookups: a bucket near the cap pays O(log n) boxed-free
+    * comparisons per arrival instead of the O(n) `Seq.contains` of the
+    * round-2 version (the insert's arraycopy is a memcpy bounded by the
+    * cap, and GroupState re-encodes the whole value per update anyway).
     */
   def lshDedupCandidates(spark: SparkSession, docs: Dataset[DocEvent],
       bucketTtlSeconds: Long = 3600,
@@ -143,37 +150,51 @@ object Streams {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.queries.{Dedup, Lsh}
-    val bandStructs = (0 until Dedup.numHashes).map(s =>
-      struct(lit(s).as("band"),
-        array_min(transform(col("sh"), x => Dedup.md5hash32El(x, s)))
-          .as("key")))
+    // The per-shingle lane arrays (one native Md5Lanes call per shingle)
+    // are materialized as an attribute before the 16 lane-minima reference
+    // them (CollapseProject would otherwise re-evaluate the hashing
+    // transform per referencing lane).
+    val mins = (0 until Dedup.numHashes).map(i =>
+      array_min(transform(col("lanesArr"), a => a.getItem(i))))
+    val bandStructs = (0 until Dedup.bands).map(b =>
+      struct(lit(b).as("band"), Dedup.bandKey(b, mins).as("key")))
     docs.toDF()
       .withWatermark("ts", watermarkDelay)
       .select(col("doc_id"), col("ts"), Dedup.toksOf(col("text")).as("tk"))
       .select(col("doc_id"), col("ts"),
         Dedup.shingleArrayOfToks(col("tk")).as("sh"))
       .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("ts"),
+        transform(col("sh"),
+          x => graft.functions.Md5Lanes(x, 0, Dedup.numSeeds)).as("lanesArr"))
       .select(col("doc_id"), col("ts"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"),
         col("doc_id"), col("ts"))
-      .as[(Int, Long, Long, Timestamp)]
+      .as[(Int, String, Long, Timestamp)]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[Seq[Long], DupCandidate](
+      .flatMapGroupsWithState[Array[Long], DupCandidate](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
-        (bk: (Int, Long), it: Iterator[(Int, Long, Long, Timestamp)],
-            state: GroupState[Seq[Long]]) =>
+        (bk: (Int, String), it: Iterator[(Int, String, Long, Timestamp)],
+            state: GroupState[Array[Long]]) =>
           if (state.hasTimedOut) {
             // Bucket idle past the TTL: forget it (bounded state).
             state.remove()
             Iterator.empty
           } else {
             val rows = it.toSeq
-            var members = state.getOption.getOrElse(Seq.empty)
+            var members = state.getOption.getOrElse(Array.empty[Long])
             val out = Seq.newBuilder[DupCandidate]
             rows.map(_._3).sorted.foreach { d =>
-              if (members.size < Lsh.MaxBucket && !members.contains(d)) {
+              val at = java.util.Arrays.binarySearch(members, d)
+              if (members.length < Lsh.MaxBucket && at < 0) {
                 members.foreach(prior => out += DupCandidate(bk._1, d, prior))
-                members = members :+ d
+                val ins = -(at + 1)
+                val next = new Array[Long](members.length + 1)
+                System.arraycopy(members, 0, next, 0, ins)
+                next(ins) = d
+                System.arraycopy(members, ins, next, ins + 1,
+                  members.length - ins)
+                members = next
               }
             }
             state.update(members)

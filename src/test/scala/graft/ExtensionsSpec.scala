@@ -40,4 +40,26 @@ class ExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Md5Lanes lanes equal the hex/conv reference formulation") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // Multi-byte UTF-8 and the empty string are the cases where a byte-level
+    // digest could diverge from the hex-string path.
+    val df = Seq("hello world", "héllo wörld", "日本語テキスト", "", "a")
+      .toDF("s")
+    val lanes = graft.functions.Md5Lanes(col("s"), 0, 4)
+    val refs = (0 until 16).map { i =>
+      val (seed, lane) = (i / 4, i % 4)
+      conv(substring(md5(concat(lit(seed + ":"), col("s"))),
+        1 + 8 * lane, 8), 16, 10).cast("long").as(s"r$i")
+    }
+    val rows = df.select((lanes.as("l") +: refs): _*).collect()
+    rows.foreach { r =>
+      val got = r.getSeq[Long](0)
+      val want = (0 until 16).map(i => r.getLong(1 + i))
+      assert(got == want, s"native lanes $got != hex/conv $want")
+    }
+  }
 }

@@ -5,26 +5,27 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
 
-/** LSH recall probe (the test SURVEY §2.35 commits to): the b=4/r=1
-  * multi-band candidate generation must recover EVERY pair whose exact
-  * (unblocked) shingle Jaccard is ≥ 0.5 — the threshold the verified dedup
-  * pipeline keeps. Recall is measured against the exhaustive all-pairs
+/** LSH recall probe (the test SURVEY §2.35 commits to), at the
+  * production-width parameters (16 minhashes, b=4 bands of r=4): a pair is
+  * a candidate iff an entire 4-minhash band slice agrees, so the catch
+  * probability is the S-curve 1 − (1 − J⁴)⁴ — threshold ≈ 0.71. The
+  * planted near-dups sit at J ≈ 0.9–0.99 (per-pair miss ≤ (1−0.9⁴)⁴ ≈
+  * 1.4%, deterministic with the fixed md5 seeds and driver testdata), and
+  * this spec asserts ALL of them are recovered; pairs in the marginal
+  * 0.5 ≤ J < 0.8 regime are reported but not required — that is the
+  * documented production trade (round 2's r=1 banding recalled them by
+  * admitting ~34% of all J=0.1 pairs as candidates, which does not
+  * survive 100×). Recall is measured against the exhaustive all-pairs
   * truth, which is only computable at test scale; the candidate set stays
   * bucketed at any scale.
-  *
-  * The planted near-dups sit at J ≈ 0.9–0.99, so the per-pair miss
-  * probability with 4 independent minhash bands is (1-J)^4 ≲ 1e-4 — with
-  * the fixed md5 seeds and driver testdata this is deterministic, and
-  * currently exact: recall 1.0 at both SFs (round-1's single-band m0
-  * bucketing missed 2 of 25 true pairs at sf0.01).
   */
 class LshRecallSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
-  /** Exhaustive (unblocked) shingle-Jaccard ≥ 0.5 ground truth — O(N²)
-    * worst case, test-scale only.
+  /** Exhaustive (unblocked) shingle-Jaccard ground truth with the exact J
+    * per pair — O(N²) worst case, test-scale only.
     */
-  private def truthPairs(dir: String): Set[(Long, Long)] = {
+  private def truthPairs(dir: String): Map[(Long, Long), Double] = {
     val sh = Dedup.shingles(spark, dir).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.alias("a")
@@ -36,35 +37,44 @@ class LshRecallSpec extends AnyFunSuite {
     common
       .join(sizes.alias("sa"), col("da") === col("sa.doc_id"))
       .join(sizes.alias("sb"), col("db") === col("sb.doc_id"))
-      .filter(col("nc") / (col("sa.n") + col("sb.n") - col("nc")) >= 0.5)
-      .select(col("da"), col("db"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .withColumn("j", col("nc") / (col("sa.n") + col("sb.n") - col("nc")))
+      .filter(col("j") >= 0.5)
+      .select(col("da"), col("db"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
   }
 
   private def checkRecall(dir: String): Unit = {
     val truth = truthPairs(dir)
     assert(truth.nonEmpty, s"no true near-dup pairs at $dir — probe is vacuous")
+    val highJ = truth.filter(_._2 >= 0.8).keySet
+    assert(highJ.nonEmpty,
+      s"no planted (J>=0.8) near-dup pairs at $dir — probe is vacuous")
     val cand = Dedup.candidatePairs(spark, dir)
-      .select(col("doc_a"), col("doc_b"),
-        (col("a_m0") === col("b_m0")).as("band0"))
+      .select(col("doc_a"), col("doc_b"))
       .collect()
     val multi = cand.map(r => (r.getLong(0), r.getLong(1))).toSet
-    val single = cand.filter(_.getBoolean(2))
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val missed = truth -- multi
-    info(s"$dir: truth=${truth.size}, multi-band hits=${(truth & multi).size}, " +
-      s"single-band (m0) hits=${(truth & single).size}, candidates=${multi.size}")
-    assert(missed.isEmpty,
-      s"multi-band LSH missed ${missed.size} true pairs: ${missed.take(5)}")
-    // The single-band set is definitionally a subset of the union-of-bands.
-    assert(single.subsetOf(multi))
+    val missedHigh = highJ -- multi
+    val marginal = truth.keySet -- highJ
+    info(s"$dir: truth(J>=0.5)=${truth.size} (planted J>=0.8: ${highJ.size}, " +
+      s"marginal: ${marginal.size}), candidates=${multi.size}, " +
+      s"planted hits=${(highJ & multi).size}, " +
+      s"marginal hits=${(marginal & multi).size}")
+    val missedAll = truth.keySet -- multi
+    if (missedAll.nonEmpty)
+      info(s"missed pairs (J): " +
+        missedAll.toSeq.sortBy(truth).map(p => f"$p=${truth(p)}%.3f")
+          .mkString(", "))
+    assert(missedHigh.isEmpty,
+      s"b=4/r=4 LSH missed ${missedHigh.size} planted (J>=0.8) pairs: " +
+        missedHigh.take(5).map(p => f"$p J=${truth(p)}%.3f"))
   }
 
-  test("multi-band LSH recalls all Jaccard>=0.5 pairs at sf0.001") {
+  test("production-width LSH recalls all planted near-dup pairs at sf0.001") {
     checkRecall("/root/testdata/sf0.001")
   }
 
-  test("multi-band LSH recalls all Jaccard>=0.5 pairs at sf0.01") {
+  test("production-width LSH recalls all planted near-dup pairs at sf0.01") {
     checkRecall("/root/testdata/sf0.01")
   }
 }
