@@ -352,12 +352,10 @@ object Dedup {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE n_common / (sa.n + sb.n - n_common) >= 0.5""".stripMargin),
     (spark, dir) => {
-      // localCheckpoint (not .cache()): eager, query-scoped, cleaner-managed
-      // — a session-lifetime cache pin would outlive the query in the
-      // Verify/Bench sweeps. The checkpoint turns 4 evaluations of the
-      // scan+explode subtree (frequency filter, sizes, both join sides)
-      // into one.
-      val sh0 = shingles(spark, dir).localCheckpoint()
+      // Materialized once (strategy via Q.materialize): turns 4 evaluations
+      // of the scan+explode subtree (frequency filter, sizes, both join
+      // sides) into one.
+      val sh0 = Q.materialize(shingles(spark, dir))
       val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxBucket).select(col("shingle"))
       val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
@@ -526,7 +524,7 @@ object Dedup {
       // once and reused by the signature subtree (via candidatePairsFrom),
       // the per-doc sizes, and both sides of the verification join —
       // round 1's plan evaluated it ~4× (5 scans of documents).
-      val sh = shingles(spark, dir).localCheckpoint()
+      val sh = Q.materialize(shingles(spark, dir))
       val cand = candidatePairsFrom(signaturesFrom(sh))
         .select(col("doc_a"), col("doc_b"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -23,6 +23,43 @@ final case class Q(
     oracle: Option[String],
     run: (SparkSession, String) => DataFrame)
 
+object Q {
+  /** Materialize a subtree that downstream operators reference more than
+    * once (shingle explosions, normalized vectors), with a config-driven
+    * strategy — `spark.graft.materialize`:
+    *
+    *  - `localCheckpoint` (default): eager, executor-local, query-scoped,
+    *    cleaner-managed — the right call on local[*] and the Verify/Bench
+    *    sweeps. NOT replicated: on a multi-node cluster losing an executor
+    *    kills the query instead of recomputing.
+    *  - `checkpoint`: reliable checkpoint to `spark.graft.checkpointDir`
+    *    (HDFS/object store on a cluster) — survives executor loss; the
+    *    cluster-production setting.
+    *  - `persist`: MEMORY_AND_DISK cache — recomputable lineage is kept, so
+    *    executor loss recovers; entries live in the session CacheManager
+    *    until `spark.catalog.clearCache()` (acceptable for long-lived
+    *    cluster jobs, wrong for many-query sweeps — hence not the default).
+    *  - `none`: pass-through (forces Catalyst to re-evaluate the subtree
+    *    everywhere it is referenced; only for plan-shape debugging).
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get("spark.graft.materialize", "localCheckpoint") match {
+      case "localCheckpoint" => df.localCheckpoint()
+      case "checkpoint" =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(
+            spark.conf.get("spark.graft.checkpointDir"))
+        df.checkpoint()
+      case "persist" =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "none" => df
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.materialize: unknown strategy '$other'")
+    }
+  }
+}
+
 object Det {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{lit, round}

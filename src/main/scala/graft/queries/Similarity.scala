@@ -252,7 +252,7 @@ object Similarity {
       SELECT vec_id, cell, round(d2_raw + 1e-6, 2) AS dist2
       FROM assign""".stripMargin),
     (spark, dir) =>
-      kmeansAssignFrom(vecs(spark, dir).localCheckpoint())
+      kmeansAssignFrom(Q.materialize(vecs(spark, dir)))
         .select(col("vec_id"), col("cell"),
           Det.r2e(col("d2_raw")).as("dist2")))
 
@@ -292,7 +292,7 @@ object Similarity {
       SELECT vec_id, cell, round(d2_raw + 1e-6, 2) AS dist2
       FROM assign2""".stripMargin),
     (spark, dir) => {
-      val v = vecs(spark, dir).localCheckpoint()
+      val v = Q.materialize(vecs(spark, dir))
       val a1 = kmeansAssignFrom(v)
         .select(col("vec_id"), col("cell").as("cell1"))
       val cent2 = centroidsOver(v.join(a1, "vec_id"), "cell1")
@@ -327,7 +327,7 @@ object Similarity {
             FROM scored)
       WHERE rank <= 5""".stripMargin),
     (spark, dir) => {
-      val v = vecs(spark, dir).localCheckpoint()
+      val v = Q.materialize(vecs(spark, dir))
       val assign = kmeansAssignFrom(v).select(col("vec_id"), col("cell"))
       val va = v.join(assign, "vec_id")
       val q = va.filter(col("vec_id") < 20)
@@ -371,7 +371,7 @@ object Similarity {
     (spark, dir) => {
       // One scan of embeddings: the normalized vectors are checkpointed and
       // reused by the band-key subtree and both sides of the verify join.
-      val v = vecs(spark, dir).localCheckpoint()
+      val v = Q.materialize(vecs(spark, dir))
       val a = v.select(col("vec_id").as("vec_a"), col("e").as("ae"),
         col("nrm").as("an"))
       val b = v.select(col("vec_id").as("vec_b"), col("e").as("be"),
@@ -402,7 +402,7 @@ object Similarity {
       JOIN n b ON b.vec_id = c.vec_b
       GROUP BY bucket""".stripMargin),
     (spark, dir) => {
-      val v = vecs(spark, dir).localCheckpoint()
+      val v = Q.materialize(vecs(spark, dir))
       val a = v.select(col("vec_id").as("vec_a"), col("e").as("ae"),
         col("nrm").as("an"))
       val b = v.select(col("vec_id").as("vec_b"), col("e").as("be"),

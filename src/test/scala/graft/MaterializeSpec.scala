@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Q.materialize strategy plumbing: the same multi-reference query must
+  * produce identical results under every strategy — localCheckpoint (local
+  * default), reliable checkpoint (cluster production), persist
+  * (recomputable-lineage cache), and none (pure re-evaluation, the
+  * semantics baseline the other three must preserve).
+  */
+class MaterializeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val ConfKey = "spark.graft.materialize"
+
+  private def runUnder(strategy: String): Set[String] = {
+    spark.conf.set(ConfKey, strategy)
+    try Dedup.lshVerified.run(spark, dir)
+      .collect().map(_.mkString("|")).toSet
+    finally spark.conf.unset(ConfKey)
+  }
+
+  test("all materialization strategies agree on dedup_lsh_verified") {
+    val baseline = runUnder("none")
+    assert(baseline.nonEmpty)
+    assert(runUnder("localCheckpoint") == baseline)
+    assert(runUnder("persist") == baseline)
+    spark.catalog.clearCache()
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", ckptDir)
+    try assert(runUnder("checkpoint") == baseline)
+    finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
+  test("unknown strategy fails loudly, not silently") {
+    spark.conf.set(ConfKey, "cache-everything")
+    try {
+      intercept[IllegalArgumentException] {
+        Dedup.lshVerified.run(spark, dir).collect()
+      }
+    } finally spark.conf.unset(ConfKey)
+  }
+}
