@@ -200,11 +200,14 @@ object Similarity {
                    GROUP BY label, pos)
              GROUP BY label)"""
 
-  /** Nearest-centroid assignment of `v` against a (cell, centroid) table:
-    * (vec_id, cell, d2_raw) by squared L2, rounded-measure ordering with
-    * cell tie-break. The centroid side broadcasts (k rows).
+  /** Per-vector centroid ranking of `v` against a (cell, centroid) table:
+    * every (vec_id, cell) scored by squared L2, row_number'd per vec_id on
+    * the rounded distance with cell tie-break, kept up to rank `p` — rank 1
+    * is the quantizer assignment, ranks ≤ nprobe are the probe set of an
+    * IVF search. The centroid side broadcasts (k rows). Keeps the `e`/`nrm`
+    * columns of `v` so probe consumers can score without a re-join.
     */
-  private[queries] def assignAgainst(v: DataFrame, cent: DataFrame): DataFrame = {
+  private[queries] def cellRanks(v: DataFrame, cent: DataFrame, p: Int): DataFrame = {
     val d2 = dot(col("e"), col("e")) -
       lit(2) * dot(col("e"), col("centroid")) +
       dot(col("centroid"), col("centroid"))
@@ -213,9 +216,14 @@ object Similarity {
     v.join(broadcast(cent))
       .withColumn("d2_raw", d2)
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cell"), col("d2_raw"))
+      .filter(col("rk") <= p)
   }
+
+  /** Nearest-centroid assignment of `v` against a (cell, centroid) table:
+    * (vec_id, cell, d2_raw) — the rank-1 row of [[cellRanks]].
+    */
+  private[queries] def assignAgainst(v: DataFrame, cent: DataFrame): DataFrame =
+    cellRanks(v, cent, 1).select(col("vec_id"), col("cell"), col("d2_raw"))
 
   /** Quantizer assignment (one Lloyd's step from the label seeding). */
   private[queries] def kmeansAssignFrom(v: DataFrame): DataFrame =
@@ -347,6 +355,62 @@ object Similarity {
           r4e(col("cos_raw")).as("cosine"))
     })
 
+  val topkIvfProbe2 = Q(
+    "sim_topk_ivf_probe2",
+    "IVF probed top-5 at nprobe=2 — the recall/cost knob every production " +
+      "ANN index exposes: each query ranks the broadcast centroid table " +
+      "and probes its TWO nearest cells (cellRanks rk ≤ 2), so candidates " +
+      "come from two equi cell-joins instead of one. Still no product: " +
+      "the probe set is 2×20 rows broadcast against cell-bucketed " +
+      "candidates, and a candidate belongs to exactly one cell, so the " +
+      "probe union is duplicate-free by construction. IvfRecallSpec " +
+      "measures recall@5 vs brute force improving from nprobe=1 to 2.",
+    Some(s"""
+      WITH n AS ($VecsSql),$CentroidsSql,$AssignSql,
+           probes AS (
+             SELECT vec_id, cell
+             FROM (SELECT vec_id, cell, row_number() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY round(d2_raw + 1e-9, 6), cell) AS rk
+                   FROM cscored WHERE vec_id < 20)
+             WHERE rk <= 2),
+           na AS (SELECT n.*, assign.cell FROM n
+                  JOIN assign ON assign.vec_id = n.vec_id),
+           scored AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_dot_product(qn.e, c.e) / (qn.nrm * c.nrm) AS cos_raw
+             FROM probes q
+             JOIN n qn ON qn.vec_id = q.vec_id
+             JOIN na c ON c.cell = q.cell AND c.vec_id <> q.vec_id)
+      SELECT query_id, neighbor_id, rank,
+             round(cos_raw + 1e-8, 4) AS cosine
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY round(cos_raw + 1e-9, 6) DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""".stripMargin),
+    (spark, dir) => {
+      val v = Q.materialize(vecs(spark, dir))
+      val cent = centroidsFrom(v)
+      val assign = assignAgainst(v, cent).select(col("vec_id"), col("cell"))
+      val c = v.join(assign, "vec_id")
+        .select(col("vec_id").as("neighbor_id"), col("cell").as("ccell"),
+          col("e").as("ce"), col("nrm").as("cn"))
+      val q = cellRanks(v.filter(col("vec_id") < 20), cent, 2)
+        .select(col("vec_id").as("query_id"), col("cell"),
+          col("e").as("qe"), col("nrm").as("qn"))
+      val scored = broadcast(q)
+        .join(c, col("cell") === col("ccell") &&
+          col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_raw", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("cos_raw") + lit(1e-9), 6).desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          r4e(col("cos_raw")).as("cosine"))
+    })
+
   val nearDup = Q(
     "dedup_embedding_cosine",
     "Embedding near-dup pairs at cosine ≥ 0.45 via random-hyperplane LSH: " +
@@ -437,6 +501,6 @@ object Similarity {
         .agg(round(avg(col("col")) + lit(1e-9), 6).as("c"),
           count(lit(1)).as("n")))
 
-  val all: Seq[Q] = Seq(topkBrute, topkIvf, kmeansAssignQ, kmeansIter2,
-    nearDup, histogram, labelCentroid)
+  val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
+    kmeansIter2, nearDup, histogram, labelCentroid)
 }
