@@ -111,6 +111,12 @@ object Streams {
 
   case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
 
+  /** A streaming candidate pair that survived exact shingle-Jaccard
+    * verification — the incremental form of a `dedup_lsh_verified` row.
+    */
+  case class VerifiedDupPair(doc_id: Long, prior_doc_id: Long,
+      n_common: Long, jaccard: Double)
+
   /** An arriving doc that landed in a band bucket already containing
     * `prior_doc_id` — a near-dup candidate pair, emitted once per
     * (pair, band) when the later doc arrives.
@@ -205,5 +211,53 @@ object Streams {
             out.result().iterator
           }
       }
+  }
+
+  /** The full streaming dedup pipeline: [[lshDedupCandidates]] composed
+    * with the SAME exact shingle-Jaccard verification the batch
+    * `dedup_lsh_verified` query applies — candidates are joined (stateless
+    * stream-static equi joins) against a doc store carrying each document's
+    * distinct shingle set, the exact intersection/union ratio is computed
+    * per candidate pair, and only pairs at `jaccardMin` or above are
+    * emitted. Verification cost is O(candidates) — the LSH contract — and
+    * the Jaccard math is the identical exact integer ratio as batch
+    * (`|A∩B| / (|A|+|B|−|A∩B|)` over distinct shingle sets), so
+    * StreamsSpec can assert stream == batch pair-for-pair.
+    *
+    * Delivery is at-least-once per pair: a pair whose signatures agree on
+    * k bands is verified and emitted up to k times (bounded by b=4). A
+    * cross-band streaming distinct would need a second stateful operator
+    * chained after flatMapGroupsWithState (unsupported combination) — the
+    * standard contract applies instead: the sink upserts on the pair key,
+    * which is also how exactly-once is achieved for re-delivered
+    * micro-batches generally.
+    *
+    * `docStore` is the static (doc_id, text) corpus the arrivals are being
+    * checked against (at scale: the deduped store the pipeline maintains,
+    * refreshed per deployment's compaction cadence — stream-static join
+    * re-reads it per micro-batch).
+    */
+  def verifiedDupPairs(spark: SparkSession, docs: Dataset[DocEvent],
+      docStore: DataFrame, jaccardMin: Double = 0.5,
+      bucketTtlSeconds: Long = 3600,
+      watermarkDelay: String = "1 hour"): Dataset[VerifiedDupPair] = {
+    import spark.implicits._
+    import graft.queries.Dedup
+    val store = docStore
+      .select(col("doc_id"), Dedup.toksOf(col("text")).as("tk"))
+      .select(col("doc_id"), Dedup.shingleArrayOfToks(col("tk")).as("sh"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    lshDedupCandidates(spark, docs, bucketTtlSeconds, watermarkDelay)
+      .join(store.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+        col("doc_id") === col("a_id"))
+      .join(store.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        col("prior_doc_id") === col("b_id"))
+      .withColumn("n_common", inter.cast("long"))
+      .withColumn("jaccard", col("n_common") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("n_common")))
+      .filter(col("jaccard") >= jaccardMin)
+      .select(col("doc_id"), col("prior_doc_id"), col("n_common"),
+        col("jaccard"))
+      .as[VerifiedDupPair]
   }
 }

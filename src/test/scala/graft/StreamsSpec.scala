@@ -194,6 +194,41 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-verified dup pairs equal batch dedup_lsh_verified on the corpus") {
+    // End-to-end parity of the full pipeline: replay the sf0.001 documents
+    // table as a stream against itself as the doc store; the verified
+    // (J >= 0.5) pair set must equal the batch dedup_lsh_verified result —
+    // same candidates (identical band keys), same exact-Jaccard math.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams.{DocEvent, VerifiedDupPair}
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = graft.queries.Tables.t(spark, dir, "documents")
+    val events = docsDf.select(col("doc_id"), col("text")).collect()
+      .map(r => DocEvent(r.getLong(0), ts(r.getLong(0).toInt % 30), r.getString(1)))
+    val input = MemoryStream[DocEvent]
+    val q = Streams.verifiedDupPairs(spark, input.toDS(), docsDf)
+      .writeStream.format("memory").queryName("verified_dups")
+      .outputMode("append").start()
+    try {
+      input.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("verified_dups").as[VerifiedDupPair].collect()
+        .map(p => (math.min(p.doc_id, p.prior_doc_id),
+          math.max(p.doc_id, p.prior_doc_id), p.n_common, p.jaccard)).toSet
+      val want = graft.queries.Dedup.lshVerified.run(spark, dir)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map(t => (math.min(t._1, t._2), math.max(t._1, t._2), t._3, t._4))
+        .toSet
+      assert(want.nonEmpty, "batch truth is empty — parity test is vacuous")
+      assert(got == want,
+        s"stream-batch divergence: stream-only=${got -- want}, " +
+          s"batch-only=${want -- got}")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates keeps first per key") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
