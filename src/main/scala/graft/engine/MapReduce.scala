@@ -19,8 +19,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale note: `wholeTextFiles` matches the reference's one-map-task-per-file
   * granularity (src/mr/coordinator.go:191-207) and is right for corpus-style
   * inputs (many files ≪ executor memory each). For 100 TB of line-oriented
-  * text use the splittable DataFrame path (`graft.queries` modules), not this
-  * faithful whole-file surface.
+  * text use [[runLines]] (block-splittable `spark.read.text`) or the
+  * relational DataFrame path (`graft.queries` modules), not this faithful
+  * whole-file surface.
   */
 object MapReduce {
 
@@ -56,6 +57,31 @@ object MapReduce {
       val p = new java.net.URI(uri).getPath
       if (p == null || p.isEmpty) uri else p
     } catch { case _: Exception => uri }
+
+  /** Splittable line-oriented run: the 100 TB ingestion path for apps whose
+    * map distributes over lines (`map(f, a + "\n" + b) == map(f, a) ++
+    * map(f, b)` — true of wc/grep-style tokenizers that treat newline as a
+    * separator; NOT of apps with per-document map state, e.g. the
+    * indexer's per-file distinct, which keep the faithful [[run]]). Input comes
+    * through `spark.read.text` — splittable at block boundaries, so one
+    * 10 GB file becomes many parallel map tasks instead of one
+    * memory-bound whole-file task, and partition count follows
+    * `spark.sql.files.maxPartitionBytes` rather than file count. Map tasks
+    * see the owning file's plain path, like [[run]]'s apps do
+    * (reference granularity: src/mr/coordinator.go:191-207).
+    */
+  def runLines(spark: SparkSession, app: MRApp, inputGlob: String,
+               nReduce: Int = 10): RDD[(String, String)] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    spark.read.text(inputGlob)
+      .select(input_file_name().as("file"), col("value"))
+      .rdd
+      .flatMap(r =>
+        app.map(plainPath(r.getString(0)), r.getString(1))
+          .map(kv => (kv.key, kv.value)))
+      .groupByKey(new FnvPartitioner(nReduce))
+      .map { case (k, vs) => (k, app.reduce(k, vs.toSeq)) }
+  }
 
   /** Map-side-combinable fast path for algebraic reducers (associative +
     * commutative over the raw values). Not the general contract — see [[run]].

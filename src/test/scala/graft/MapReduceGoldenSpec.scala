@@ -35,6 +35,16 @@ class MapReduceGoldenSpec extends AnyFunSuite {
     assert(distributedSorted("wc", 3) == distributedSorted("wc", 10))
   }
 
+  test("wc: splittable runLines equals whole-file run on the pg corpus") {
+    // wc's map distributes over lines (newline is a token separator).
+    // indexer does NOT (its map-side `.distinct` is per-DOCUMENT);
+    // collector/filecount need whole-file context — all three stay on the
+    // faithful whole-file path.
+    val viaLines = MapReduce.runLines(spark, AppRegistry("wc"), glob, 10)
+      .map { case (k, v) => s"$k $v" }.collect().toSeq.sorted
+    assert(viaLines == distributedSorted("wc", 10))
+  }
+
   test("wc: algebraic combiner path (runAlgebraic) equals groupByKey path") {
     // wc's reduce is a count => combinable as integer addition.
     val viaCombiner = MapReduce
