@@ -40,14 +40,15 @@ object EngineOps {
     "Versioned-KV CAS replay (S1/S2 spec, src/kvsrv1/rpc/rpc.go:19-39): " +
       "events become an ordered Put log per user — non-error events carry " +
       "the correct expected version (count of prior non-error ops), error " +
-      "events carry a poisoned version and must be rejected. ONE shuffle: " +
-      "the version derivation (a running count, formerly a separate window " +
-      "over the same key) and the CAS fold through the REAL sequential " +
-      "state machine both happen inside the single groupByKey pass — " +
-      "round 1 shuffled the same data twice (window on long key, then " +
-      "groupByKey on its string form). The oracle is the closed form the " +
-      "deterministic log implies. Scales per-key with no cross-key " +
-      "coordination — the state-store sharding contract.",
+      "events carry a poisoned version and must be rejected. ONE shuffle " +
+      "with a SECONDARY SORT: repartition by user + in-partition sort on " +
+      "(user, event_id) delivers each user's log as a contiguous ordered " +
+      "run that STREAMS through the CAS fold — no per-user " +
+      "materialization, so a pathologically hot user spills in the sort " +
+      "instead of blowing the heap (round 2 held each history in a Seq). " +
+      "The oracle is the closed form the deterministic log implies. Scales " +
+      "per-key with no cross-key coordination — the state-store sharding " +
+      "contract.",
     Some("""
       SELECT user_id AS key,
              coalesce(max(CASE WHEN event_type <> 'error' THEN event_id END)::VARCHAR, '')
@@ -62,16 +63,28 @@ object EngineOps {
       t(spark, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
         .as[(Long, Long, String)]
-        .groupByKey(_._2)
-        .mapGroups { (uid, it) =>
-          var priorOk = 0L
-          val ops = it.toSeq.sortBy(_._1).map { case (eid, _, etype) =>
-            val version = if (etype == "error") 999999999L else priorOk
-            if (etype != "error") priorOk += 1
-            KvOp(uid.toString, eid.toString, version, retried = false,
-              seq = eid)
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("event_id"))
+        .mapPartitions { it =>
+          val buf = it.buffered
+          new Iterator[graft.state.KvResult] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): graft.state.KvResult = {
+              val uid = buf.head._2
+              var priorOk = 0L
+              val ops = new Iterator[KvOp] {
+                def hasNext: Boolean = buf.hasNext && buf.head._2 == uid
+                def next(): KvOp = {
+                  val (eid, _, etype) = buf.next()
+                  val version = if (etype == "error") 999999999L else priorOk
+                  if (etype != "error") priorOk += 1
+                  KvOp(uid.toString, eid.toString, version, retried = false,
+                    seq = eid)
+                }
+              }
+              KvStateMachine.replayKey(uid.toString, ops)
+            }
           }
-          KvStateMachine.replayKey(uid.toString, ops.iterator)
         }
         .toDF()
         .select(col("key").cast("long").as("key"), col("value"),

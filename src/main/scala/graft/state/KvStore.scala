@@ -74,16 +74,36 @@ object KvStateMachine {
 }
 
 object KvBatch {
-  /** Distributed CAS replay: ops are shuffled by key (the S6 shard routing
-    * at engine level), each key's log folded sequentially in seq order —
-    * per-key order is the only order CAS semantics need, so the operator
-    * scales to arbitrarily many keys with no cross-key coordination.
+  /** Distributed CAS replay via secondary sort: ops are shuffled by key
+    * (the S6 shard routing at engine level) and sorted WITHIN partitions by
+    * (key, seq), so each key's log arrives as a contiguous ordered run and
+    * streams through the sequential fold — no per-key materialization
+    * (`mapGroups` + `toSeq.sortBy` held a whole key's history in memory; a
+    * pathologically hot key was a heap hotspot, and the partition sort
+    * spills to disk where a Seq cannot). Per-key order is the only order
+    * CAS semantics need, so the operator scales to arbitrarily many keys
+    * with no cross-key coordination.
     */
   def replay(spark: SparkSession, ops: Dataset[KvOp]): Dataset[KvResult] = {
+    import org.apache.spark.sql.functions.col
     import spark.implicits._
-    ops.groupByKey(_.key)
-      .mapGroups { (key, it) =>
-        KvStateMachine.replayKey(key, it.toSeq.sortBy(_.seq).iterator)
+    ops.repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("seq"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[KvResult] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): KvResult = {
+            val key = buf.head.key
+            val run = new Iterator[KvOp] {
+              def hasNext: Boolean = buf.hasNext && buf.head.key == key
+              def next(): KvOp = buf.next()
+            }
+            // replayKey drains the run before the outer next() returns, so
+            // the runs partition the iterator exactly.
+            KvStateMachine.replayKey(key, run)
+          }
+        }
       }
   }
 }

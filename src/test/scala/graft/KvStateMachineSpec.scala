@@ -65,6 +65,25 @@ class KvStateMachineSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed replay streams a 200k-op hot key exactly (secondary sort)") {
+    // The secondary-sort path must fold a pathologically hot key's ordered
+    // log without materializing it (it arrives as one contiguous sorted
+    // run): 200k correct-version puts to one key interleaved with a cold
+    // key, shuffled input order, exact summary out.
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val n = 200000
+    val hot = (0 until n).map(i => KvOp("hot", s"v$i", i.toLong, seq = i.toLong))
+    val cold = Seq(KvOp("cold", "x", 0L, seq = 0L),
+      KvOp("cold", "y", 5L, seq = 1L)) // version mismatch: rejected
+    val ops = new scala.util.Random(11).shuffle(hot ++ cold)
+    val results = KvBatch.replay(spark, ops.toDS())
+      .collect().map(r => r.key -> r).toMap
+    assert(results("hot") ==
+      KvResult("hot", s"v${n - 1}", n.toLong, n.toLong, 0L))
+    assert(results("cold") == KvResult("cold", "x", 1L, 1L, 1L))
+  }
+
   test("lock: mutual exclusion and owner-only release") {
     val (c1, ok1) = KvLock.tryAcquire(None, "alice")
     assert(ok1)
