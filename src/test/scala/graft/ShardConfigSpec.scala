@@ -76,4 +76,42 @@ class ShardConfigSpec extends AnyFunSuite {
       assert(c.groupForKey(k).contains(c.shards(ShardConfig.key2shard(k))))
     }
   }
+
+  test("S9 batch migration: freeze/install/delete across a Join/Leave rebalance") {
+    import graft.state.ShardMigration
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+
+    val allKeys = (0 until 100).map(i => (s"k$i", s"v$i"))
+    def contents(m: Map[String, org.apache.spark.sql.DataFrame]) =
+      m.view.mapValues(_.as[(String, String)].collect().toSet).toMap
+
+    // g1 owns everything; g2 joins -> ~half the shards move to g2.
+    val c1 = ShardConfig.initial("g1", Seq("s1"))
+    val c2 = c1.join(Map("g2" -> Seq("s2")))
+    val st1 = Map("g1" -> allKeys.toDF("key", "value"))
+    val st2 = contents(ShardMigration.migrate(st1, c1, c2))
+    // No key lost or duplicated, and each group holds exactly its shards.
+    assert(st2.values.map(_.size).sum == allKeys.size)
+    for ((gid, rows) <- st2; (k, _) <- rows)
+      assert(c2.shards(ShardConfig.key2shard(k)) == gid,
+        s"$k landed on $gid, config says ${c2.shards(ShardConfig.key2shard(k))}")
+    assert(st2("g2").nonEmpty, "rebalance moved no shards — test is vacuous")
+
+    // g1 leaves -> everything migrates back onto g2.
+    val c3 = c2.leave(Seq("g1"))
+    val dfs2 = st2.view.mapValues(_.toSeq.toDF("key", "value")).toMap
+    val st3 = contents(ShardMigration.migrate(dfs2, c2, c3))
+    assert(st3("g2") == allKeys.toSet)
+    assert(st3("g1").isEmpty)
+
+    // The three RPC analogs compose: freeze+delete partition a store.
+    val g1 = dfs2("g1")
+    val shard = ShardConfig.key2shard(st2("g1").head._1)
+    val frozen = ShardMigration.freeze(g1, shard)
+    val rest = ShardMigration.delete(g1, shard)
+    assert(frozen.count() + rest.count() == g1.count())
+    assert(frozen.join(rest, Seq("key"), "inner").count() == 0)
+  }
 }
