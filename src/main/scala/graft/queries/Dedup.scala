@@ -495,16 +495,11 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
     })
 
-  val lshVerified = Q(
-    "dedup_lsh_verified",
-    "The full scale-path dedup pipeline in one plan: MinHash-LSH candidate " +
-      "generation (bucket join on m0) → exact n-gram Jaccard verification " +
-      "of ONLY the candidates (shingle join semi-restricted to the " +
-      "candidate pair set) → keep J ≥ 0.5. At 100 TB the verification cost " +
-      "is O(candidates), not O(pairs) — this query is the production shape; " +
-      "dedup_ngram_jaccard's block-join is the exhaustive baseline.",
-    Some(s"""
-      WITH sh AS ($ShinglesSql),
+  /** CTE chain ending in `verified(doc_a, doc_b, n_common, jaccard)` — the
+    * LSH → exact-verify pipeline's product, shared by the verified-pairs
+    * query and the component clustering built on it.
+    */
+  private val VerifiedCtes = s"""sh AS ($ShinglesSql),
            sig AS ($SignaturesSql),$CandSql,
            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
            common AS (
@@ -512,34 +507,106 @@ object Dedup {
              FROM cand c
              JOIN sh a ON a.doc_id = c.doc_a
              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-             GROUP BY c.doc_a, c.doc_b)
-      SELECT doc_a, doc_b, n_common,
-             n_common / (sa.n + sb.n - n_common) AS jaccard
-      FROM common
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE n_common / (sa.n + sb.n - n_common) >= 0.5""".stripMargin),
+             GROUP BY c.doc_a, c.doc_b),
+           verified AS (
+             SELECT doc_a, doc_b, n_common,
+                    n_common / (sa.n + sb.n - n_common) AS jaccard
+             FROM common
+             JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b
+             WHERE n_common / (sa.n + sb.n - n_common) >= 0.5)"""
+
+  /** The LSH → exact-verify pipeline as a frame (doc_a, doc_b, n_common,
+    * jaccard at J ≥ 0.5). One scan of documents total: the shingle
+    * explosion is materialized once and reused by the signature subtree
+    * (via candidatePairsFrom), the per-doc sizes, and both sides of the
+    * verification join — round 1's plan evaluated it ~4× (5 scans).
+    */
+  private[queries] def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Q.materialize(shingles(spark, dir))
+    val cand = candidatePairsFrom(signaturesFrom(sh))
+      .select(col("doc_a"), col("doc_b"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.alias("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.alias("b"), col("doc_b") === col("b.doc_id") &&
+        col("b.shingle") === col("a.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") / (col("sa.n") + col("sb.n") - col("n_common"))
+    common
+      .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
+  }
+
+  val lshVerified = Q(
+    "dedup_lsh_verified",
+    "The full scale-path dedup pipeline in one plan: MinHash-LSH candidate " +
+      "generation (md5 r-tuple band-bucket joins) → exact n-gram Jaccard " +
+      "verification of ONLY the candidates (shingle join semi-restricted " +
+      "to the candidate pair set) → keep J ≥ 0.5. At 100 TB the " +
+      "verification cost is O(candidates), not O(pairs) — this query is " +
+      "the production shape; dedup_ngram_jaccard's block-join is the " +
+      "exhaustive baseline.",
+    Some(s"""
+      WITH $VerifiedCtes
+      SELECT doc_a, doc_b, n_common, jaccard FROM verified""".stripMargin),
+    (spark, dir) => verifiedPairs(spark, dir))
+
+  val components = Q(
+    "dedup_components",
+    "Duplicate-cluster assignment — what a dedup pipeline actually ships: " +
+      "connected components over the verified pair graph, each doc mapped " +
+      "to the min-doc_id canonical of its component (the same canonical " +
+      "convention as dedup_exact), singletons their own canonical. " +
+      "Iterative min-label propagation: per round, every node takes the " +
+      "min of its own and its neighbors' labels (one equi join + one " +
+      "groupBy on doc_id per round, both on hash-partitioned keys — no " +
+      "product, labels table is one row per doc, edges are the verified " +
+      "pairs which are vastly smaller), converging in diameter rounds — " +
+      "near-dup components are stars/cliques around a template, so 2-3 " +
+      "rounds in practice; the large-star/small-star alternation is the " +
+      "O(log²) refinement if diameters ever grow. Convergence is checked " +
+      "with an aggregate (changed-row count), never a collect. The DuckDB " +
+      "oracle computes the same fixpoint with a recursive CTE.",
+    Some(s"""
+      WITH RECURSIVE $VerifiedCtes,
+           edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+                     UNION ALL SELECT doc_b, doc_a FROM verified),
+           reach(node, m) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b)
+      SELECT node AS doc_id, min(m) AS canonical_id,
+             (node <> min(m)) AS is_dup
+      FROM reach GROUP BY node""".stripMargin),
     (spark, dir) => {
-      // One scan of documents total: the shingle explosion is checkpointed
-      // once and reused by the signature subtree (via candidatePairsFrom),
-      // the per-doc sizes, and both sides of the verification join —
-      // round 1's plan evaluated it ~4× (5 scans of documents).
-      val sh = Q.materialize(shingles(spark, dir))
-      val cand = candidatePairsFrom(signaturesFrom(sh))
-        .select(col("doc_a"), col("doc_b"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val common = cand
-        .join(sh.alias("a"), col("doc_a") === col("a.doc_id"))
-        .join(sh.alias("b"), col("doc_b") === col("b.doc_id") &&
-          col("b.shingle") === col("a.shingle"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      val jac = col("n_common") / (col("sa.n") + col("sb.n") - col("n_common"))
-      common
-        .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
+      val pairs = Q.materialize(
+        verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+      var labels = Q.materialize(t(spark, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("label")))
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 50) {
+        val nbr = edges
+          .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+          .select(col("src").as("doc_id"), col("label"))
+        val next = Q.materialize(labels.union(nbr)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
+        changed = next
+          .join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+        iters += 1
+      }
+      require(changed == 0, s"components did not converge in $iters rounds")
+      labels.select(col("doc_id"), col("label").as("canonical_id"),
+        (col("doc_id") =!= col("label")).as("is_dup"))
     })
 
   val editDistance = Q(
@@ -571,5 +638,5 @@ object Dedup {
     })
 
   val all: Seq[Q] = Seq(exact, minhashSig, minhashPairs, ngramJaccard,
-    simhash, simhashHamming, lshVerified, editDistance)
+    simhash, simhashHamming, lshVerified, components, editDistance)
 }
