@@ -310,6 +310,62 @@ object TextOps {
         col("doc_id"),
         graft.functions.RollingHash31(col("text")).as("rhash")))
 
+  val tfidf = Q(
+    "ta_tfidf",
+    "Top-3 TF-IDF terms per document — the relevance/keyword-extraction " +
+      "primitive: tf = term count / doc tokens (exact integer ratio), " +
+      "idf = ln(N/df). ONE pass over the token explosion builds the " +
+      "(doc, term) counts; doc lengths (sum of counts) and document " +
+      "frequencies (row counts) both derive from that aggregated frame — " +
+      "no second scan of the corpus — and the corpus size joins in as a " +
+      "broadcast 1-row aggregate, not a driver-side constant. Ranking " +
+      "orders by the rounded score with a term tie-break; the score is " +
+      "epsilon-rounded (ln is libm on both engines — identical inputs, " +
+      "sub-ulp noise absorbed by the shift).",
+    Some("""
+      WITH w AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents),
+           tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY doc_id, term),
+           n AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens FROM tf GROUP BY doc_id),
+           df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           tot AS (SELECT count(*) AS n_docs FROM documents),
+           scored AS (
+             SELECT tf.doc_id, tf.term,
+                    (1.0 * c / n_tokens) * ln(1.0 * n_docs / df) AS s
+             FROM tf
+             JOIN n ON n.doc_id = tf.doc_id
+             JOIN df ON df.term = tf.term, tot)
+      SELECT doc_id, term, rank, round(s + 1e-8, 4) AS tfidf
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY round(s + 1e-9, 6) DESC, term) AS rank
+            FROM scored)
+      WHERE rank <= 3""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val tf = Q.materialize(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("c")))
+      val n = tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tot = t(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(n, "doc_id").join(dfreq, "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("s",
+          (col("c").cast("double") / col("n_tokens")) *
+            log(col("n_docs").cast("double") / col("df")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(round(col("s") + lit(1e-9), 6).desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("rank"),
+          Det.r4e(col("s")).as("tfidf"))
+    })
+
   val corpusClean = Q(
     "pipeline_corpus_clean",
     "The end-to-end corpus-cleaning funnel a pretraining pipeline runs, " +
@@ -361,7 +417,39 @@ object TextOps {
           sum(col("n_tokens")).cast("long").as("total_tokens"))
     })
 
+  val sampleStratified = Q(
+    "pipeline_sample_stratified",
+    "Deterministic stratified Bernoulli sampling — the data-mixing " +
+      "primitive a training pipeline uses to hit per-source token budgets: " +
+      "keep a doc iff lane 0 of the seed-7 md5 digest of its id is below " +
+      "rate × 2³², so " +
+      "membership is a pure function of the doc id (reproducible across " +
+      "runs, engines, and partitionings — Spark's sample() is neither " +
+      "deterministic under repartitioning nor mirrorable in SQL) and " +
+      "needs no shuffle at all: the filter pushes to the scan side. " +
+      "30% target rate; output is the per-source kept/total census with " +
+      "the realized exact-ratio rate.",
+    Some("""
+      WITH s AS (
+        SELECT source,
+               CASE WHEN ('0x' || substr(md5('7:' || doc_id), 1, 8))::BIGINT
+                         < 1288490189 THEN 1 ELSE 0 END AS kept
+        FROM documents)
+      SELECT source, count(*) AS n_total,
+             sum(kept)::BIGINT AS n_sampled,
+             sum(kept) / count(*) AS rate
+      FROM s GROUP BY source""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("source"),
+          when(graft.functions.Md5Lanes(col("doc_id").cast("string"), 7, 1)
+            .getItem(0) < lit(1288490189L), 1L).otherwise(0L).as("kept"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("kept")).cast("long").as("n_sampled"),
+          (sum(col("kept")) / count(lit(1))).as("rate")))
+
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
-    corpusClean)
+    tfidf, corpusClean, sampleStratified)
 }

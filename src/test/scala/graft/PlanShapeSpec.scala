@@ -6,10 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * is the narrative audit; this spec keeps it true): pushed-down filters
   * on the TPC-H scans, the single-exchange shapes round 2 established, and
   * the no-all-pairs-product rule across EVERY declared query — the only
-  * BroadcastNestedLoopJoins allowed are the two deliberate
-  * bounded-broadcast ones (the 20-row query batch in sim_topk_bruteforce
-  * and the k=10 centroid table in the k-means quantizer, which
-  * sim_topk_ivf inherits).
+  * BroadcastNestedLoopJoins allowed are the deliberate bounded-broadcast
+  * ones (the 20-row query batch in sim_topk_bruteforce, the k=10 centroid
+  * table in the k-means quantizer — which the IVF probes inherit — and
+  * ta_tfidf's 1-row corpus-size scalar join).
   */
 class PlanShapeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -41,7 +41,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // broadcast (20-row query batch / 10-row centroid table / single-row
     // aggregate cross in the set-ops summary), never N x N.
     val whitelist = Set("sim_topk_bruteforce", "sim_kmeans_assign",
-      "sim_kmeans_iter2", "sim_topk_ivf", "sim_topk_ivf_probe2", "q_events_setops")
+      "sim_kmeans_iter2", "sim_topk_ivf", "sim_topk_ivf_probe2", "ta_tfidf", "q_events_setops")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
