@@ -21,10 +21,10 @@ object Bench {
     "mr_wordcount", "mr_inverted_index", "ta_quality_score",
     "ta_rolling_hash",
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_lsh_verified",
-    "dedup_simhash", "dedup_simhash_hamming",
+    "dedup_components", "dedup_simhash", "dedup_simhash_hamming",
     "sim_topk_bruteforce", "sim_kmeans_assign", "sim_kmeans_iter2",
     "sim_topk_ivf", "sim_topk_ivf_probe2", "dedup_embedding_cosine",
-    "kv_cas_replay", "pipeline_corpus_clean", "mm_decode_stub")
+    "kv_cas_replay", "ta_tfidf", "pipeline_corpus_clean", "mm_decode_stub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
