@@ -391,7 +391,11 @@ object Similarity {
       WHERE rank <= 5""".stripMargin),
     (spark, dir) => {
       val v = Q.materialize(vecs(spark, dir))
-      val cent = centroidsFrom(v)
+      // The k-row centroid table feeds BOTH the assignment and the probe
+      // ranking, which live in different broadcast subtrees — without
+      // materialization each would re-run the full centroid aggregation
+      // over every vector (no exchange reuse across broadcast builds).
+      val cent = Q.materialize(centroidsFrom(v))
       val assign = assignAgainst(v, cent).select(col("vec_id"), col("cell"))
       val c = v.join(assign, "vec_id")
         .select(col("vec_id").as("neighbor_id"), col("cell").as("ccell"),
