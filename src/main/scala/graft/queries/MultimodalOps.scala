@@ -31,5 +31,74 @@ object MultimodalOps {
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           col("channels")))
 
-  val all: Seq[Q] = Seq(decodeStub)
+  val frameSample = Q(
+    "mm_frame_sample",
+    "Frame sampling over the payload stream — the video-ingestion " +
+      "primitive (sample every k-th frame, fingerprint it): 256-byte " +
+      "frames at stride 1024, up to 4 per payload, each md5-fingerprinted. " +
+      "Pure scan-side column math (sequence + substring + md5): no " +
+      "shuffle, no codec dependency — a real decoder would replace the " +
+      "byte slice with a pixel decode at the same plan position. Payload " +
+      "bytes never leave the scan stage; only (doc, frame_idx, " +
+      "fingerprint) rows flow on.",
+    Some("""
+      SELECT doc_id, i::BIGINT AS frame_idx,
+             md5(substr(text, (1 + i*1024)::INT, 256)) AS frame_fp,
+             length(substr(text, (1 + i*1024)::INT, 256))::BIGINT AS frame_chars
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, least(3, (length(text)-1)//1024) + 1)) AS i
+            FROM documents WHERE length(text) > 0)""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0L, least(3L, (length(text)-1) div 1024))"))
+            .as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          expr("substring(text, cast(1 + frame_idx*1024 as int), 256)")
+            .as("frame"))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_fp"),
+          length(col("frame")).cast("long").as("frame_chars")))
+
+  val byteEntropy = Q(
+    "mm_byte_entropy",
+    "Byte-distribution features over the payload — the corruption/" +
+      "compressibility detector a media pipeline runs before decode " +
+      "(uniform bytes ≈ encrypted/compressed, low entropy ≈ padding/" +
+      "truncation): per-payload byte histogram → distinct-byte count and " +
+      "Shannon entropy. One explode + two aggregations, payload-local " +
+      "until only (doc, features) rows remain. The corpus payload is " +
+      "ASCII, so char-level histograms are byte histograms and the DuckDB " +
+      "oracle matches exactly (entropy epsilon-rounded: summation order " +
+      "differs across engines).",
+    Some("""
+      WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+                  FROM documents),
+           h AS (SELECT doc_id, c, count(*) AS n
+                 FROM ch WHERE c <> '' GROUP BY doc_id, c),
+           tot AS (SELECT doc_id, sum(n)::BIGINT AS total,
+                          count(*) AS n_distinct
+                   FROM h GROUP BY doc_id)
+      SELECT h.doc_id, n_distinct,
+             round(-sum((1.0*n/total) * ln(1.0*n/total)) + 1e-8, 4) AS entropy
+      FROM h JOIN tot ON tot.doc_id = h.doc_id
+      GROUP BY h.doc_id, n_distinct""".stripMargin),
+    (spark, dir) => {
+      val h = Q.materialize(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+          .filter(col("c") =!= "")
+          .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n")))
+      val tot = h.groupBy(col("doc_id"))
+        .agg(sum(col("n")).cast("long").as("total"),
+          count(lit(1)).as("n_distinct"))
+      val p = col("n").cast("double") / col("total")
+      h.join(tot, "doc_id")
+        .groupBy(col("doc_id"), col("n_distinct"))
+        .agg(Det.r4e(-sum(p * log(p))).as("entropy"))
+        .select(col("doc_id"), col("n_distinct"), col("entropy"))
+    })
+
+  val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy)
 }
