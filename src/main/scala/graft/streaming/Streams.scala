@@ -109,6 +109,45 @@ object Streams {
       }
   }
 
+  /** A click joined to the purchase it converted into. */
+  case class Conversion(user_id: Long, click_id: Long, purchase_id: Long,
+      click_epoch: Long, purchase_epoch: Long, value: Double)
+
+  /** Stream-stream interval join — conversion attribution: every click
+    * joined to the same user's purchases arriving within `windowSeconds`
+    * AFTER it. Both sides are watermarked and the join condition carries
+    * the time-range bound, so Spark can size the join state from the
+    * watermark delay + interval and evict rows deterministically in event
+    * time — the state-bounding contract of production stream-stream joins
+    * (an unbounded-condition stream join would accumulate state forever).
+    * Equi key (user_id) + range predicate: shuffles both sides once by
+    * user, never a product. StreamsSpec asserts equality with the same
+    * join run as a batch query on the same data.
+    */
+  def attributedConversions(events: Dataset[Event],
+      windowSeconds: Long = 1800,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val clicks = events.toDF()
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.toDF()
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $windowSeconds seconds"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_timestamp(col("click_ts")).as("click_epoch"),
+        unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
+        col("value"))
+  }
+
   case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
 
   /** A streaming candidate pair that survived exact shingle-Jaccard

@@ -194,6 +194,34 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join on the same events") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 7, "click", 0.0),
+      Event(2, ts(10), 7, "purchase", 9.99),   // within 30 min of click 1
+      Event(3, ts(45), 7, "purchase", 5.00),   // outside click 1's window
+      Event(4, ts(40), 7, "click", 0.0),       // catches purchase 3
+      Event(5, ts(5), 8, "purchase", 1.00),    // other user: no click
+      Event(6, ts(12), 9, "click", 0.0))       // no purchase
+    val input = MemoryStream[Event]
+    val q = Streams.attributedConversions(input.toDS())
+      .writeStream.format("memory").queryName("conversions")
+      .outputMode("append").start()
+    try {
+      input.addData(events.take(3): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("conversions")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      val want = Streams.attributedConversions(events.toDS())
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == want)
+      assert(got.map(t => (t._2, t._3)) == Set((1L, 2L), (4L, 3L)))
+    } finally q.stop()
+  }
+
   test("stream-verified dup pairs equal batch dedup_lsh_verified on the corpus") {
     // End-to-end parity of the full pipeline: replay the sf0.001 documents
     // table as a stream against itself as the doc store; the verified
