@@ -216,6 +216,57 @@ object Extras {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders")))
 
+  val pivot = Q(
+    "q_pivot_status",
+    "PIVOT: per-priority order counts spread into one column per status " +
+      "(P/O/F) via Spark's groupBy().pivot() with an EXPLICIT value list — " +
+      "the two-pass value-discovery variant would collect distinct keys to " +
+      "the driver, which is both nondeterministic in column order and a " +
+      "driver bottleneck at scale. The oracle is the equivalent " +
+      "conditional aggregation (what pivot compiles to anyway).",
+    Some("""
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS n_p,
+             count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_o,
+             count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS n_f
+      FROM orders GROUP BY o_orderpriority""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("P", "O", "F"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("P"), lit(0L)).as("n_p"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("F"), lit(0L)).as("n_f")))
+
+  val unpivot = Q(
+    "q_unpivot_balances",
+    "UNPIVOT/melt: the customer's two numeric measures (account balance, " +
+      "name length as a stand-in second measure) melted into " +
+      "(customer, measure, value) long form — Spark's native unpivot " +
+      "operator (Expand under the hood, no shuffle at all until the " +
+      "consumer aggregates). Long-form output is the shape feature " +
+      "pipelines expect.",
+    Some("""
+      SELECT c_custkey, measure, round(value + 1e-6, 2) AS value
+      FROM (
+        SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS value FROM customer
+        UNION ALL
+        SELECT c_custkey, 'name_len' AS measure, length(c_name)::DOUBLE AS value
+        FROM customer)
+      WHERE c_custkey <= 200""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "customer")
+        .filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal"),
+          length(col("c_name")).cast("double").as("name_len"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("name_len")), "measure", "value")
+        .select(col("c_custkey"), col("measure"),
+          Det.r2e(col("value")).as("value")))
+
   val all: Seq[Q] = Seq(rollup, windowFuncs, asof, scalarFuncs,
-    approxDistinct, saltedWordcount, percentiles, corrStats, cube)
+    approxDistinct, saltedWordcount, percentiles, corrStats, cube,
+    pivot, unpivot)
 }
