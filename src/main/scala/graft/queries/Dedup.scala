@@ -561,11 +561,12 @@ object Dedup {
       "connected components over the verified pair graph, each doc mapped " +
       "to the min-doc_id canonical of its component (the same canonical " +
       "convention as dedup_exact), singletons their own canonical. " +
-      "Iterative min-label propagation: per round, every node takes the " +
-      "min of its own and its neighbors' labels (one equi join + one " +
-      "groupBy on doc_id per round, both on hash-partitioned keys — no " +
-      "product, labels table is one row per doc, edges are the verified " +
-      "pairs which are vastly smaller), converging in diameter rounds — " +
+      "Iterative min-label propagation over ONLY the dup subgraph (docs " +
+      "appearing in a verified pair — singletons join back at the end, so " +
+      "per-round shuffles move a few % of the corpus, not all of it): per " +
+      "round, every node takes the min of its own and its neighbors' " +
+      "labels (one equi join + one groupBy on doc_id, both " +
+      "hash-partitioned — no product), converging in diameter rounds — " +
       "near-dup components are stars/cliques around a template, so 2-3 " +
       "rounds in practice; the large-star/small-star alternation is the " +
       "O(log²) refinement if diameters ever grow. Convergence is checked " +
@@ -588,8 +589,12 @@ object Dedup {
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
-      var labels = Q.materialize(t(spark, dir, "documents")
-        .select(col("doc_id"), col("doc_id").as("label")))
+      // Iterate ONLY over docs that appear in a pair — singletons are
+      // trivially their own canonical and join back at the end, so the
+      // per-round shuffle is |docs in the dup subgraph| (a few % of the
+      // corpus at scale), not |corpus|.
+      var labels = Q.materialize(edges.select(col("src").as("doc_id"))
+        .distinct().withColumn("label", col("doc_id")))
       var changed = 1L
       var iters = 0
       while (changed > 0 && iters < 50) {
@@ -605,8 +610,11 @@ object Dedup {
         iters += 1
       }
       require(changed == 0, s"components did not converge in $iters rounds")
-      labels.select(col("doc_id"), col("label").as("canonical_id"),
-        (col("doc_id") =!= col("label")).as("is_dup"))
+      t(spark, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("canonical_id"))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
     })
 
   val editDistance = Q(
