@@ -58,17 +58,23 @@ object MapReduce {
       if (p == null || p.isEmpty) uri else p
     } catch { case _: Exception => uri }
 
-  /** Splittable line-oriented run: the 100 TB ingestion path for apps whose
-    * map distributes over lines (`map(f, a + "\n" + b) == map(f, a) ++
-    * map(f, b)` — true of wc/grep-style tokenizers that treat newline as a
-    * separator; NOT of apps with per-document map state, e.g. the
-    * indexer's per-file distinct, which keep the faithful [[run]]). Input comes
-    * through `spark.read.text` — splittable at block boundaries, so one
-    * 10 GB file becomes many parallel map tasks instead of one
-    * memory-bound whole-file task, and partition count follows
-    * `spark.sql.files.maxPartitionBytes` rather than file count. Map tasks
-    * see the owning file's plain path, like [[run]]'s apps do
-    * (reference granularity: src/mr/coordinator.go:191-207).
+  /** Splittable line-oriented run, for apps whose map distributes over
+    * lines (`map(f, a + "\n" + b) == map(f, a) ++ map(f, b)` — true of
+    * wc/grep-style tokenizers that treat newline as a separator; NOT of
+    * apps with per-document map state, e.g. the indexer's per-file
+    * distinct, which keep the faithful [[run]]). Input comes through
+    * `spark.read.text` — splittable at block boundaries, so one 10 GB file
+    * becomes many parallel MAP tasks bounded by
+    * `spark.sql.files.maxPartitionBytes` rather than file count. The
+    * REDUCE side still honors the reference contract (the full value list
+    * per key, no combiner) and therefore still materializes a hot key's
+    * values on one reducer — at ingestion scale, algebraic apps (wc is)
+    * must take [[runAlgebraic]]'s map-side-combine path instead; this
+    * runner fixes the map side only. Map tasks see the owning file's
+    * plain path, like [[run]]'s apps do (reference granularity:
+    * src/mr/coordinator.go:191-207); the URI→path parse is memoized per
+    * partition (input_file_name is constant within a split — paying a URI
+    * parse per LINE would dominate the hot path).
     */
   def runLines(spark: SparkSession, app: MRApp, inputGlob: String,
                nReduce: Int = 10): RDD[(String, String)] = {
@@ -76,9 +82,15 @@ object MapReduce {
     spark.read.text(inputGlob)
       .select(input_file_name().as("file"), col("value"))
       .rdd
-      .flatMap(r =>
-        app.map(plainPath(r.getString(0)), r.getString(1))
-          .map(kv => (kv.key, kv.value)))
+      .mapPartitions { rows =>
+        var lastUri: String = null
+        var lastPath: String = null
+        rows.flatMap { r =>
+          val uri = r.getString(0)
+          if (uri != lastUri) { lastUri = uri; lastPath = plainPath(uri) }
+          app.map(lastPath, r.getString(1)).map(kv => (kv.key, kv.value))
+        }
+      }
       .groupByKey(new FnvPartitioner(nReduce))
       .map { case (k, vs) => (k, app.reduce(k, vs.toSeq)) }
   }

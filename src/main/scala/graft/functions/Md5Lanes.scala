@@ -3,10 +3,11 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** All `numSeeds × 4` portable 32-bit hash lanes of a string in ONE native
@@ -22,6 +23,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class Md5Lanes(child: Expression, seedBase: Int, numSeeds: Int)
     extends UnaryExpression {
+  // Guard at construction (driver), not first evaluation (executor): a
+  // direct case-class instantiation bypasses the Column-level apply.
+  require(seedBase >= 0 && numSeeds > 0 &&
+    seedBase + numSeeds <= Md5Lanes.MaxSeed,
+    s"seed range [$seedBase, ${seedBase + numSeeds}) outside [0, ${Md5Lanes.MaxSeed})")
+
+  // Fail at analysis, not execution, on a non-string child.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5 lanes require a string child, got ${child.dataType.simpleString}")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -40,7 +53,7 @@ object Md5Lanes {
     MessageDigest.getInstance("MD5"))
 
   /** Pre-encoded "seed:" prefixes (one allocation ever, not per row). */
-  private val MaxSeed = 128
+  private[functions] val MaxSeed = 128
   private val prefixes: Array[Array[Byte]] =
     Array.tabulate(MaxSeed)(s => s"$s:".getBytes("UTF-8"))
 
@@ -67,8 +80,6 @@ object Md5Lanes {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  def apply(c: Column, seedBase: Int, numSeeds: Int): Column = {
-    require(seedBase >= 0 && seedBase + numSeeds <= MaxSeed)
+  def apply(c: Column, seedBase: Int, numSeeds: Int): Column =
     GraftShim.column(Md5Lanes(GraftShim.expression(c), seedBase, numSeeds))
-  }
 }

@@ -566,12 +566,13 @@ object Dedup {
       "per-round shuffles move a few % of the corpus, not all of it): per " +
       "round, every node takes the min of its own and its neighbors' " +
       "labels (one equi join + one groupBy on doc_id, both " +
-      "hash-partitioned — no product), converging in diameter rounds — " +
-      "near-dup components are stars/cliques around a template, so 2-3 " +
-      "rounds in practice; the large-star/small-star alternation is the " +
-      "O(log²) refinement if diameters ever grow. Convergence is checked " +
-      "with an aggregate (changed-row count), never a collect. The DuckDB " +
-      "oracle computes the same fixpoint with a recursive CTE.",
+      "hash-partitioned — no product) plus a pointer-jumping shortcut " +
+      "(label := label(label)) that halves distance-to-minimum per round, " +
+      "so convergence is O(log diameter) even for chain-shaped clusters — " +
+      "2-3 rounds on real near-dup components (stars/cliques around a " +
+      "template). Convergence is checked with an aggregate (changed-row " +
+      "count), never a collect. The DuckDB oracle computes the same " +
+      "fixpoint with a recursive CTE.",
     Some(s"""
       WITH RECURSIVE $VerifiedCtes,
            edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
@@ -601,8 +602,30 @@ object Dedup {
         val nbr = edges
           .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
           .select(col("src").as("doc_id"), col("label"))
-        val next = Q.materialize(labels.union(nbr)
+        // Materialized before the self-join: a self-join of the same
+        // union+aggregate plan trips Catalyst's Union constraint rewrite
+        // (NoSuchElementException on the duplicated attribute ids), and
+        // the frame is subgraph-sized anyway.
+        val half = Q.materialize(labels.union(nbr)
           .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
+        // Pointer jumping: follow the label's own label (labels only ever
+        // decrease, so label(label(d)) ≤ label(d) and the fixpoint is
+        // unchanged) — distance-to-minimum halves per round on top of the
+        // one-hop neighbor step, so convergence is O(log diameter) and a
+        // 50-round cap is unreachable for any physical graph (a crash at
+        // the cap was the alternative for chain-shaped clusters longer
+        // than the cap under plain propagation).
+        val nextM = Q.materialize(half.alias("a")
+          .join(half.select(col("doc_id").as("k"), col("label").as("l2")),
+            col("a.label") === col("k"))
+          .select(col("a.doc_id").as("doc_id"), col("l2").as("label")))
+        // Rebaseline: a checkpointed self-join output carries
+        // originConstraints referencing its PRE-checkpoint attribute ids,
+        // and feeding that into next round's union trips Catalyst's
+        // constraint rewrite (NoSuchElementException). A fresh frame over
+        // the same rows drops the stale constraints; the labels frame is
+        // subgraph-sized, so the row round-trip is noise.
+        val next = spark.createDataFrame(nextM.rdd, nextM.schema)
         changed = next
           .join(labels.withColumnRenamed("label", "old"), "doc_id")
           .filter(col("label") =!= col("old")).count()

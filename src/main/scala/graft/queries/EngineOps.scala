@@ -65,27 +65,18 @@ object EngineOps {
         .as[(Long, Long, String)]
         .repartition(col("user_id"))
         .sortWithinPartitions(col("user_id"), col("event_id"))
-        .mapPartitions { it =>
-          val buf = it.buffered
-          new Iterator[graft.state.KvResult] {
-            def hasNext: Boolean = buf.hasNext
-            def next(): graft.state.KvResult = {
-              val uid = buf.head._2
-              var priorOk = 0L
-              val ops = new Iterator[KvOp] {
-                def hasNext: Boolean = buf.hasNext && buf.head._2 == uid
-                def next(): KvOp = {
-                  val (eid, _, etype) = buf.next()
-                  val version = if (etype == "error") 999999999L else priorOk
-                  if (etype != "error") priorOk += 1
-                  KvOp(uid.toString, eid.toString, version, retried = false,
-                    seq = eid)
-                }
-              }
-              KvStateMachine.replayKey(uid.toString, ops)
+        .mapPartitions(it =>
+          graft.engine.SortedRuns.fold(it,
+            (r: (Long, Long, String)) => r._2) { (uid, run) =>
+            var priorOk = 0L
+            val ops = run.map { case (eid, _, etype) =>
+              val version = if (etype == "error") 999999999L else priorOk
+              if (etype != "error") priorOk += 1
+              KvOp(uid.toString, eid.toString, version, retried = false,
+                seq = eid)
             }
-          }
-        }
+            KvStateMachine.replayKey(uid.toString, ops)
+          })
         .toDF()
         .select(col("key").cast("long").as("key"), col("value"),
           col("version"), col("nApplied").as("n_applied"),

@@ -204,10 +204,15 @@ object Similarity {
     * every (vec_id, cell) scored by squared L2, row_number'd per vec_id on
     * the rounded distance with cell tie-break, kept up to rank `p` — rank 1
     * is the quantizer assignment, ranks ≤ nprobe are the probe set of an
-    * IVF search. The centroid side broadcasts (k rows). Keeps the `e`/`nrm`
-    * columns of `v` so probe consumers can score without a re-join.
+    * IVF search. The centroid side broadcasts (k rows). `carry` names the
+    * extra `v` columns kept through the ranking (probe consumers ask for
+    * e/nrm to score without a re-join); everything else — in particular the
+    * k centroid-array copies per vector from the broadcast join — is
+    * projected away BEFORE the window's per-vec_id exchange, which would
+    * otherwise shuffle O(N·k·d) centroid bytes for no reader.
     */
-  private[queries] def cellRanks(v: DataFrame, cent: DataFrame, p: Int): DataFrame = {
+  private[queries] def cellRanks(v: DataFrame, cent: DataFrame, p: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val d2 = dot(col("e"), col("e")) -
       lit(2) * dot(col("e"), col("centroid")) +
       dot(col("centroid"), col("centroid"))
@@ -215,6 +220,7 @@ object Similarity {
       .orderBy(round(col("d2_raw") + lit(1e-9), 6), col("cell"))
     v.join(broadcast(cent))
       .withColumn("d2_raw", d2)
+      .select((Seq("vec_id", "cell", "d2_raw") ++ carry).map(col): _*)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= p)
   }
@@ -400,7 +406,8 @@ object Similarity {
       val c = v.join(assign, "vec_id")
         .select(col("vec_id").as("neighbor_id"), col("cell").as("ccell"),
           col("e").as("ce"), col("nrm").as("cn"))
-      val q = cellRanks(v.filter(col("vec_id") < 20), cent, 2)
+      val q = cellRanks(v.filter(col("vec_id") < 20), cent, 2,
+          carry = Seq("e", "nrm"))
         .select(col("vec_id").as("query_id"), col("cell"),
           col("e").as("qe"), col("nrm").as("qn"))
       val scored = broadcast(q)

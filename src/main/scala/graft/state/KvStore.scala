@@ -89,22 +89,9 @@ object KvBatch {
     import spark.implicits._
     ops.repartition(col("key"))
       .sortWithinPartitions(col("key"), col("seq"))
-      .mapPartitions { it =>
-        val buf = it.buffered
-        new Iterator[KvResult] {
-          def hasNext: Boolean = buf.hasNext
-          def next(): KvResult = {
-            val key = buf.head.key
-            val run = new Iterator[KvOp] {
-              def hasNext: Boolean = buf.hasNext && buf.head.key == key
-              def next(): KvOp = buf.next()
-            }
-            // replayKey drains the run before the outer next() returns, so
-            // the runs partition the iterator exactly.
-            KvStateMachine.replayKey(key, run)
-          }
-        }
-      }
+      .mapPartitions(it =>
+        graft.engine.SortedRuns.fold(it, (op: KvOp) => op.key)(
+          KvStateMachine.replayKey))
   }
 }
 

@@ -281,10 +281,14 @@ object Streams {
       bucketTtlSeconds: Long = 3600,
       watermarkDelay: String = "1 hour"): Dataset[VerifiedDupPair] = {
     import spark.implicits._
-    import graft.queries.Dedup
-    val store = docStore
+    import graft.queries.{Dedup, Q}
+    // Materialized ONCE: the store is static, but a stream-static join
+    // re-evaluates the static plan on EVERY micro-batch — and it appears
+    // on both join sides, so without this the full tokenize+shingle
+    // explosion would run twice per batch forever.
+    val store = Q.materialize(docStore
       .select(col("doc_id"), Dedup.toksOf(col("text")).as("tk"))
-      .select(col("doc_id"), Dedup.shingleArrayOfToks(col("tk")).as("sh"))
+      .select(col("doc_id"), Dedup.shingleArrayOfToks(col("tk")).as("sh")))
     val inter = size(array_intersect(col("a_sh"), col("b_sh")))
     lshDedupCandidates(spark, docs, bucketTtlSeconds, watermarkDelay)
       .join(store.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
