@@ -41,5 +41,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"rolling_hash31 expects exactly 1 argument, got ${children.size}")
         RollingHash31(Cast(children.head, StringType))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_lanes"),
+      new ExpressionInfo(classOf[Md5Lanes].getName, "md5_lanes"),
+      (children: Seq[Expression]) => {
+        // md5_lanes(value, seedBase, numSeeds) -> array<bigint> of
+        // numSeeds*4 portable 32-bit hash lanes.
+        require(children.size == 3,
+          s"md5_lanes expects 3 arguments (value, seedBase, numSeeds), " +
+            s"got ${children.size}")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"md5_lanes $what must be an integer literal, got $other")
+        }
+        Md5Lanes(Cast(children.head, StringType),
+          intLit(children(1), "seedBase"), intLit(children(2), "numSeeds"))
+      }))
   }
 }

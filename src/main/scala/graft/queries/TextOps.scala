@@ -417,6 +417,41 @@ object TextOps {
           sum(col("n_tokens")).cast("long").as("total_tokens"))
     })
 
+  val chunkPack = Q(
+    "ta_chunk_pack",
+    "Sequence chunking — the tokenize-and-pack primitive of a pretraining " +
+      "pipeline: each doc split into 64-token windows at stride 48 " +
+      "(16-token overlap preserves cross-boundary context), each chunk " +
+      "md5-fingerprinted for downstream chunk-level dedup. Pure scan-side " +
+      "column math (sequence + slice + concat_ws): the token array is " +
+      "built once per doc, chunks explode from it with no shuffle — at " +
+      "100 TB this is a map-only stage whose output feeds the packer.",
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents),
+           c AS (SELECT doc_id, toks,
+                        unnest(range(0, (len(toks) + 47) // 48)) AS chunk_idx
+                 FROM d WHERE len(toks) > 0)
+      SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+             len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64])::BIGINT AS n_tokens,
+             md5(array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' '))
+               AS chunk_fp
+      FROM c""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => x =!= "").as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(0L, (size(tk) + 47) div 48 - 1)"))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("slice(tk, cast(chunk_idx*48 + 1 as int), 64)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_fp")))
+
   val sampleStratified = Q(
     "pipeline_sample_stratified",
     "Deterministic stratified Bernoulli sampling — the data-mixing " +
@@ -451,5 +486,5 @@ object TextOps {
 
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
-    tfidf, corpusClean, sampleStratified)
+    tfidf, chunkPack, corpusClean, sampleStratified)
 }

@@ -33,6 +33,15 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().head.getLong(0)
       // ((0*31+97)*31+98)*31+99 masked to 31 bits.
       assert(rh == (((97L * 31 + 98) * 31 + 99) & 0x7FFFFFFFL))
+      val lanes = spark.sql("SELECT md5_lanes('abc', 0, 1)")
+        .collect().head.getSeq[Long](0)
+      val ref = spark.sql(
+        """SELECT conv(substring(md5('0:abc'), 1, 8), 16, 10),
+                  conv(substring(md5('0:abc'), 9, 8), 16, 10)""")
+        .collect().head
+      assert(lanes.length == 4)
+      assert(lanes(0) == ref.getString(0).toLong)
+      assert(lanes(1) == ref.getString(1).toLong)
     } finally {
       prior.foreach { s =>
         SparkSession.setDefaultSession(s)
