@@ -194,6 +194,41 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH dedup state round-trips through RocksDB identically") {
+    // The bucket state is a primitive Array[Long]; its encoder must
+    // behave identically under the production RocksDB store (which
+    // serializes per update) as under the default in-memory provider.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{DocEvent, DupCandidate}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val textA = "the quick brown fox jumps over the lazy dog tonight"
+      val input = MemoryStream[DocEvent]
+      val q = Streams.lshDedupCandidates(spark, input.toDS())
+        .writeStream.format("memory").queryName("lsh_dedup_rocks")
+        .outputMode("append").start()
+      try {
+        input.addData(DocEvent(1, ts(0), textA), DocEvent(2, ts(1), textA))
+        q.processAllAvailable()
+        // Batch 2 exercises state DESERIALIZATION from RocksDB.
+        input.addData(DocEvent(4, ts(5), textA))
+        q.processAllAvailable()
+        val pairs = spark.table("lsh_dedup_rocks").as[DupCandidate]
+          .collect().map(c => (c.doc_id, c.prior_doc_id)).toSet
+        assert(pairs == Set((2L, 1L), (4L, 1L), (4L, 2L)), s"got $pairs")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch join on the same events") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
