@@ -484,7 +484,73 @@ object TextOps {
           sum(col("kept")).cast("long").as("n_sampled"),
           (sum(col("kept")) / count(lit(1))).as("rate")))
 
+  val trainingCorpus = Q(
+    "pipeline_training_corpus",
+    "The capstone: the FULL training-corpus preparation pipeline in ONE " +
+      "plan, composed from the library's own stages — exact-dedup " +
+      "canonicalization → quality filter (≥ 0.35) → language-consistency " +
+      "filter → deterministic 30% stratified sample (seed-7 md5 lane) → " +
+      "64-token/stride-48 chunking → per-(source, lang) doc/chunk/token " +
+      "census. Every stage is the identical expression its standalone " +
+      "query declares (single definitions, no drift). Two exchanges total " +
+      "(the dedup window and the final census agg); sampling and chunking " +
+      "are scan-side. This is the query a pretraining data team actually " +
+      "ships.",
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, source, lang, text,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        FROM documents),
+           prep AS (
+        SELECT doc_id, source, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+               $LangScoresSql
+        FROM base WHERE doc_id = canonical_id),
+           feat AS (
+        SELECT *, len(toks)::BIGINT AS n_tokens,
+               len(list_distinct(toks))::BIGINT AS n_distinct
+        FROM prep),
+           kept AS (
+        SELECT doc_id, source, lang, toks FROM feat
+        WHERE ($QualitySql) >= 0.35
+          AND ($LangPredSql) = lang
+          AND ('0x' || substr(md5('7:' || doc_id), 1, 8))::BIGINT < 1288490189
+          AND len(toks) > 0),
+           chunks AS (
+        SELECT doc_id, source, lang, toks,
+               unnest(range(0, (len(toks) + 47) // 48)) AS i
+        FROM kept)
+      SELECT source, lang,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_chunks,
+             sum(len(toks[i*48 + 1 : i*48 + 64]))::BIGINT AS total_chunk_tokens
+      FROM chunks GROUP BY source, lang""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(md5(col("text")))
+      val toksExpr = filter(split(col("text"), " "), x => x =!= "")
+      t(spark, dir, "documents")
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(Seq(col("doc_id"), col("source"), col("lang"),
+          toksExpr.as("tk")) ++ langScoreCols: _*)
+        .withColumn("n_tokens", size(col("tk")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("tk"))).cast("long"))
+        .filter(qualityCol >= 0.35 && langPredCol === col("lang"))
+        .filter(graft.functions.Md5Lanes(col("doc_id").cast("string"), 7, 1)
+          .getItem(0) < lit(1288490189L))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("source"), col("lang"), col("tk"),
+          explode(expr("sequence(0L, (size(tk) + 47) div 48 - 1)")).as("i"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(expr("slice(tk, cast(i*48 + 1 as int), 64)")).cast("long")
+            .as("chunk_tokens"))
+        .groupBy(col("source"), col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).cast("long").as("total_chunk_tokens"))
+    })
+
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
-    tfidf, chunkPack, corpusClean, sampleStratified)
+    tfidf, chunkPack, corpusClean, sampleStratified, trainingCorpus)
 }
