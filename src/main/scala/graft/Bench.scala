@@ -24,7 +24,8 @@ object Bench {
     "dedup_components", "dedup_simhash", "dedup_simhash_hamming",
     "sim_topk_bruteforce", "sim_kmeans_assign", "sim_kmeans_iter2",
     "sim_topk_ivf", "sim_topk_ivf_probe2", "dedup_embedding_cosine",
-    "kv_cas_replay", "ta_tfidf", "pipeline_corpus_clean", "mm_decode_stub")
+    "kv_cas_replay", "ta_tfidf", "pipeline_corpus_clean",
+    "pipeline_training_corpus", "mm_decode_stub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
