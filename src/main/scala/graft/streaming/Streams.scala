@@ -99,7 +99,7 @@ object Streams {
               // (millis API; must stay above the current watermark or Spark
               // rejects it).
               state.setTimeoutTimestamp(math.max(
-                state.getCurrentWatermarkMs + 1000,
+                state.getCurrentWatermarkMs() + 1000,
                 s.lastTs / 1000 + gapSeconds * 2 * 1000))
               out += SessionUpdate(user, new Timestamp(s.start / 1000), s.n,
                 s.total, closed = false)
@@ -245,7 +245,7 @@ object Streams {
             state.update(members)
             val maxTsMs = rows.map(r => micros(r._4) / 1000L).max
             state.setTimeoutTimestamp(math.max(
-              state.getCurrentWatermarkMs + 1000,
+              state.getCurrentWatermarkMs() + 1000,
               maxTsMs + bucketTtlSeconds * 1000))
             out.result().iterator
           }
