@@ -25,9 +25,12 @@ case class Md5Lanes(child: Expression, seedBase: Int, numSeeds: Int)
     extends UnaryExpression {
   // Guard at construction (driver), not first evaluation (executor): a
   // direct case-class instantiation bypasses the Column-level apply.
+  // No `seedBase + numSeeds` here: with untrusted ints (the SQL surface)
+  // the addition can overflow past the check and resurrect the
+  // executor-side ArrayIndexOutOfBounds this guard exists to prevent.
   require(seedBase >= 0 && numSeeds > 0 &&
-    seedBase + numSeeds <= Md5Lanes.MaxSeed,
-    s"seed range [$seedBase, ${seedBase + numSeeds}) outside [0, ${Md5Lanes.MaxSeed})")
+    seedBase <= Md5Lanes.MaxSeed - numSeeds,
+    s"seed range [$seedBase, +$numSeeds) outside [0, ${Md5Lanes.MaxSeed})")
 
   // Fail at analysis, not execution, on a non-string child.
   override def checkInputDataTypes(): TypeCheckResult =
