@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators a pretraining data pipeline runs between raw
+  * ingestion and tokenization — the published filter families, re-expressed
+  * as Catalyst plans:
+  *
+  *  - repetition metrics (Gopher's "repetitive text" rules, Rae et al. 2021
+  *    §A1.1: fraction of text in the most frequent n-gram / in duplicated
+  *    n-grams) — [[repetition]];
+  *  - cross-document duplicated-span detection (RefinedWeb / MassiveText
+  *    line-dedup analog; the corpus has no newlines, so the unit is a
+  *    16-token window at stride 8) — [[spanDedup]];
+  *  - benchmark decontamination (the GPT-3 appendix-C / PaLM n-gram-overlap
+  *    procedure: flag training docs sharing 8-gram spans with a held-out
+  *    benchmark set) — [[decontaminate]].
+  *
+  * All three share the same whitespace tokenization as ta_* (TextOps) and
+  * hash n-grams to md5 before any shuffle, so shuffled keys are fixed-width
+  * digests, never text. Plans are explode → hash-partitioned groupBy joins —
+  * no products; the benchmark gram set of [[decontaminate]] is broadcast
+  * (benchmark suites are MB-scale against a 100 TB corpus — the canonical
+  * broadcast-side asymmetry).
+  */
+object CorpusOps {
+  import Tables.t
+
+  /** Shared tokenizer CTE: non-empty whitespace tokens per doc. */
+  private val ToksSql =
+    "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents"
+
+  private def toksCol = filter(split(col("text"), " "), x => x =!= "")
+
+  val repetition = Q(
+    "ta_repetition",
+    "Gopher-style repetition quality metrics (Rae et al. 2021, §A1.1) per " +
+      "document: the count and fraction of 2-gram positions taken by the " +
+      "MOST frequent 2-gram, and the count and fraction of 8-gram " +
+      "positions whose 8-gram occurs more than once in the doc — the " +
+      "signals that catch boilerplate and degenerate repetition. Two " +
+      "per-doc (doc_id, gram) aggregations over one materialized token " +
+      "scan; grams never leave their doc's partition key, so the shuffle " +
+      "is corpus-sized, not quadratic. Fractions are exact integer ratios " +
+      "(identical IEEE division on both engines — unrounded by design).",
+    Some(s"""
+      WITH d AS ($ToksSql),
+           b AS (SELECT doc_id, tk FROM d WHERE len(tk) >= 8),
+           g2 AS (SELECT doc_id, tk[i+1] || ' ' || tk[i+2] AS g
+                  FROM (SELECT doc_id, tk, unnest(range(0, len(tk)-1)) AS i FROM b)),
+           c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+           a2 AS (SELECT doc_id, max(c)::BIGINT AS top2_cnt, sum(c)::BIGINT AS tot2
+                  FROM c2 GROUP BY doc_id),
+           g8 AS (SELECT doc_id, array_to_string(tk[i+1:i+8], ' ') AS g
+                  FROM (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS i FROM b)),
+           c8 AS (SELECT doc_id, g, count(*) AS c FROM g8 GROUP BY doc_id, g),
+           a8 AS (SELECT doc_id, sum(c)::BIGINT AS tot8,
+                         coalesce(sum(c) FILTER (WHERE c >= 2), 0)::BIGINT AS dup8
+                  FROM c8 GROUP BY doc_id)
+      SELECT a2.doc_id AS doc_id, top2_cnt, top2_cnt / tot2 AS top2_frac,
+             dup8 AS dup8_cnt, dup8 / tot8 AS dup8_frac
+      FROM a2 JOIN a8 ON a8.doc_id = a2.doc_id""".stripMargin),
+    (spark, dir) => {
+      val base = Q.materialize(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), toksCol.as("tk"))
+          .filter(size(col("tk")) >= 8))
+      val c2 = base
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val a2 = c2.groupBy(col("doc_id"))
+        .agg(max(col("c")).cast("long").as("top2_cnt"),
+          sum(col("c")).cast("long").as("tot2"))
+      val c8 = base
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk)-8), i -> concat_ws(' ', slice(tk, i+1, 8)))"))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val a8 = c8.groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("tot8"),
+          coalesce(sum(when(col("c") >= 2, col("c"))), lit(0))
+            .cast("long").as("dup8"))
+      a2.join(a8, "doc_id")
+        .select(col("doc_id"), col("top2_cnt"),
+          (col("top2_cnt") / col("tot2")).as("top2_frac"),
+          col("dup8").as("dup8_cnt"),
+          (col("dup8") / col("tot8")).as("dup8_frac"))
+    })
+
+  val spanDedup = Q(
+    "dedup_span",
+    "Cross-document duplicated-span detection — the sub-document dedup " +
+      "stage of RefinedWeb/MassiveText (their unit is the line; this " +
+      "corpus has no newlines, so the unit is a 16-token window at stride " +
+      "8 — any shared run of ≥ 23 tokens is guaranteed to contain an " +
+      "aligned window on at least one side's grid, and the 2× overlap " +
+      "keeps volume at ~len/8 spans per doc). Spans are md5-hashed before " +
+      "the shuffle (fixed-width digests, never text), document frequency " +
+      "is one groupBy on the hash, and each doc reports how many of its " +
+      "spans appear in ≥ 2 distinct documents. At 100 TB this is the plan " +
+      "that replaces line-dedup: explode → hash agg → hash join, all " +
+      "equi, no text movement.",
+    Some(s"""
+      WITH d AS ($ToksSql),
+           b AS (SELECT doc_id, tk FROM d WHERE len(tk) >= 16),
+           sp AS (SELECT doc_id, md5(array_to_string(tk[i*8+1:i*8+16], ' ')) AS h
+                  FROM (SELECT doc_id, tk,
+                               unnest(range(0, (len(tk)-16)//8 + 1)) AS i FROM b)),
+           df AS (SELECT h, count(DISTINCT doc_id) AS dfreq FROM sp GROUP BY h),
+           j AS (SELECT sp.doc_id, CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END AS dup
+                 FROM sp JOIN df ON df.h = sp.h)
+      SELECT doc_id, count(*)::BIGINT AS n_spans, sum(dup)::BIGINT AS n_dup_spans,
+             sum(dup) / count(*) AS dup_frac
+      FROM j GROUP BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val sp = Q.materialize(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), toksCol.as("tk"))
+          .filter(size(col("tk")) >= 16)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, (size(tk)-16) div 8), " +
+              "i -> md5(concat_ws(' ', slice(tk, cast(i*8+1 as int), 16))))"))
+            .as("h")))
+      val dfreq = sp.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("dfreq"))
+      sp.join(dfreq, "h")
+        .select(col("doc_id"),
+          when(col("dfreq") >= 2, 1L).otherwise(0L).as("dup"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_spans"),
+          sum(col("dup")).cast("long").as("n_dup_spans"),
+          (sum(col("dup")) / count(lit(1))).as("dup_frac"))
+    })
+
+  val decontaminate = Q(
+    "ta_decontaminate",
+    "Benchmark decontamination (the GPT-3 appendix-C / PaLM procedure): " +
+      "flag training documents that share any 8-gram with a held-out " +
+      "benchmark set — here the deterministic doc_id % 83 == 0 slice " +
+      "stands in for the benchmark suite. Benchmark grams are md5-hashed, " +
+      "DEDUPLICATED, and BROADCAST (benchmark suites are MB-scale against " +
+      "a 100 TB corpus — the canonical small-side asymmetry); the corpus " +
+      "side streams its gram positions once through a broadcast left join, " +
+      "so no shuffle of the corpus at all. Output: per-doc gram count, " +
+      "overlap count, contamination flag.",
+    Some(s"""
+      WITH d AS ($ToksSql),
+           b AS (SELECT doc_id, tk FROM d WHERE len(tk) >= 8),
+           g AS (SELECT doc_id, md5(array_to_string(tk[i+1:i+8], ' ')) AS h
+                 FROM (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS i FROM b)),
+           bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 83 = 0),
+           corp AS (SELECT doc_id, h FROM g WHERE doc_id % 83 <> 0),
+           j AS (SELECT corp.doc_id, CASE WHEN bench.h IS NULL THEN 0 ELSE 1 END AS hit
+                 FROM corp LEFT JOIN bench ON bench.h = corp.h)
+      SELECT doc_id, count(*)::BIGINT AS n_grams, sum(hit)::BIGINT AS n_overlap,
+             (sum(hit) > 0) AS contaminated
+      FROM j GROUP BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val g = Q.materialize(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), toksCol.as("tk"))
+          .filter(size(col("tk")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(tk)-8), " +
+              "i -> md5(concat_ws(' ', slice(tk, i+1, 8))))"))
+            .as("h")))
+      val bench = g.filter(col("doc_id") % 83 === 0)
+        .select(col("h")).distinct().withColumn("mark", lit(1L))
+      g.filter(col("doc_id") % 83 =!= 0)
+        .join(broadcast(bench), Seq("h"), "left")
+        .select(col("doc_id"),
+          when(col("mark").isNull, 0L).otherwise(1L).as("hit"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(col("hit")).cast("long").as("n_overlap"),
+          (sum(col("hit")) > 0).as("contaminated"))
+    })
+
+  val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate)
+}
