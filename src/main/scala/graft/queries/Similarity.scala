@@ -422,6 +422,182 @@ object Similarity {
           r4e(col("cos_raw")).as("cosine"))
     })
 
+  // ---- Product quantization (Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search") ------------------------------------------
+  //
+  // The 64-dim vectors split into M=4 contiguous 16-dim subvectors; each
+  // subspace gets its own k-cell codebook (per-label mean subvectors — the
+  // same label seeding as the IVF quantizer, so k = #labels), and a vector
+  // is stored as M small codes. Asymmetric distance (ADC): a query keeps
+  // its EXACT subvectors and scores a database vector as the sum of
+  // query-subvector→codeword distances read from a per-query lookup table.
+  // This is the memory-side scale path a real ANN system pairs with IVF:
+  // 100 TB of float vectors become M bytes per vector + a broadcast
+  // codebook, and the scan never touches the original floats.
+
+  private val PqM = 4
+  private val PqSubDim = 16
+
+  /** (vec_id, label, s, se): each vector split into M contiguous
+    * subvectors — built scan-side from one explode, no shuffle.
+    */
+  private def pqSub(v: DataFrame): DataFrame = {
+    val parts = (0 until PqM).map(s =>
+      struct(lit(s).as("s"), slice(col("e"), s * PqSubDim + 1, PqSubDim).as("se")))
+    v.select(col("vec_id"), col("label"), explode(array(parts: _*)).as("x"))
+      .select(col("vec_id"), col("label"), col("x.s").as("s"),
+        col("x.se").as("se"))
+  }
+
+  /** Per-(subspace, cell) mean subvector: the M independent sub-codebooks,
+    * components rounded to 6 decimals pre-distance (the cross-engine
+    * centroid convention).
+    */
+  private def pqCodebook(sub: DataFrame): DataFrame =
+    sub.select(col("s"), col("label").as("cell"), posexplode(col("se")))
+      .groupBy(col("s"), col("cell"), col("pos"))
+      .agg(round(avg(col("col")) + lit(1e-9), 6).as("c"))
+      .groupBy(col("s"), col("cell"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  /** Every (vec_id, s, cell) squared-L2 score against the BROADCAST
+    * codebook (M·k rows) — the shared scoring frame of encode and LUT.
+    */
+  private def pqScored(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val d2 = dot(col("se"), col("se")) -
+      lit(2) * dot(col("se"), col("centroid")) +
+      dot(col("centroid"), col("centroid"))
+    sub.join(broadcast(cb), "s")
+      .withColumn("d2_raw", d2)
+      .select(col("vec_id"), col("s"), col("cell"), col("d2_raw"))
+  }
+
+  /** Argmin cell per (vec_id, subspace) via min-of-struct aggregation —
+    * NOT a window: min(struct(rounded_d2, cell, d2)) partial-aggregates on
+    * the map side, so the k-way scoring explosion collapses to one row per
+    * (vector, subspace) BEFORE any shuffle (a row_number window would
+    * shuffle all N·M·k scored rows). (rd, cell) is unique per group, so
+    * the lexicographic min is exactly the oracle's row_number rk=1.
+    */
+  private def pqEncode(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(round(col("d2_raw") + lit(1e-9), 6).as("rd"),
+        col("cell"), col("d2_raw"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.cell").as("code"),
+        col("m.d2_raw").as("d2_raw"))
+
+  /** Shared PQ CTE chain: expects `n` ([[VecsSql]]); defines sub/cb/escored
+    * and `enc(vec_id, s, code)` — the codes table.
+    */
+  private val PqSql = s"""
+           sub AS (SELECT vec_id, label, s,
+                          e[s*$PqSubDim+1:s*$PqSubDim+$PqSubDim] AS se
+                   FROM n, range(0, $PqM) t(s)),
+           cb AS (SELECT s, cell, list(c ORDER BY pos) AS centroid
+                  FROM (SELECT s, label AS cell, i AS pos,
+                               round(avg(se[i+1]) + 1e-9, 6) AS c
+                        FROM (SELECT s, label, se,
+                                     unnest(range(0, len(se))) AS i FROM sub)
+                        GROUP BY s, cell, pos)
+                  GROUP BY s, cell),
+           escored AS (
+             SELECT sub.vec_id, sub.s, cb.cell,
+                    list_dot_product(sub.se, sub.se)
+                      - 2 * list_dot_product(sub.se, cb.centroid)
+                      + list_dot_product(cb.centroid, cb.centroid) AS d2_raw
+             FROM sub JOIN cb ON cb.s = sub.s),
+           enc AS (
+             SELECT vec_id, s, cell AS code, d2_raw
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY vec_id, s
+                     ORDER BY round(d2_raw + 1e-9, 6), cell) AS rk
+                   FROM escored)
+             WHERE rk = 1)"""
+
+  val pqEncodeQ = Q(
+    "sim_pq_encode",
+    "Product-quantization encoding (Jégou et al. 2011): each 64-dim vector " +
+      "split into 4 contiguous 16-dim subvectors, each assigned to the " +
+      "nearest cell of its subspace's codebook (per-label mean subvectors, " +
+      "components rounded pre-distance) — the vector becomes 4 small " +
+      "codes. The codebook (M·k rows) broadcasts; the argmin is a " +
+      "min-of-struct aggregation that partial-aggregates map-side, so the " +
+      "k-way scoring explosion never reaches a shuffle. At 100 TB this is " +
+      "how float vectors leave the hot path: codes + a broadcast codebook.",
+    Some(s"""
+      WITH n AS ($VecsSql),$PqSql
+      SELECT vec_id, s::BIGINT AS subspace, code::BIGINT AS code,
+             round(d2_raw + 1e-6, 2) AS dist2
+      FROM enc""".stripMargin),
+    (spark, dir) => {
+      val v = Q.materialize(vecs(spark, dir))
+      val sub = pqSub(v)
+      val cb = pqCodebook(sub)
+      pqEncode(pqScored(sub, cb))
+        .select(col("vec_id"), col("s").cast("long").as("subspace"),
+          col("code").cast("long").as("code"),
+          Det.r2e(col("d2_raw")).as("dist2"))
+    })
+
+  val topkPqAdc = Q(
+    "sim_topk_pq_adc",
+    "PQ asymmetric-distance top-5 for the 20-query batch: each query keeps " +
+      "its EXACT subvectors and builds a per-subspace lookup table of " +
+      "query→codeword distances (Q·M·k rows — broadcast); database " +
+      "vectors are scored from their CODES ALONE by an equi join on " +
+      "(subspace, code) + a sum — the original floats never enter the " +
+      "scan. Distances enter the LUT as exact micro-units " +
+      "(floor(d2·1e6) over bit-identical doubles), so the ADC sum is " +
+      "pure BIGINT arithmetic — order-free, hash-exact, no FP-summation " +
+      "divergence. The plan: codes stream once, broadcast-hash-join " +
+      "against the LUT, partial-aggregated sum per (query, neighbor), " +
+      "one rank window over Q·N score rows.",
+    Some(s"""
+      WITH n AS ($VecsSql),$PqSql,
+           lut AS (
+             SELECT vec_id AS query_id, s, cell,
+                    floor(d2_raw * 1e6 + 1e-3)::BIGINT AS d2i
+             FROM escored WHERE vec_id < 20),
+           adc AS (
+             SELECT lut.query_id, enc.vec_id AS neighbor_id,
+                    sum(d2i)::BIGINT AS adc_d2_micro
+             FROM enc JOIN lut ON lut.s = enc.s AND lut.cell = enc.code
+             WHERE enc.vec_id <> lut.query_id
+             GROUP BY lut.query_id, enc.vec_id)
+      SELECT query_id, neighbor_id, rank, adc_d2_micro
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY adc_d2_micro, neighbor_id) AS rank
+            FROM adc)
+      WHERE rank <= 5""".stripMargin),
+    (spark, dir) => {
+      val v = Q.materialize(vecs(spark, dir))
+      val sub = pqSub(v)
+      // The M·k-row codebook feeds two broadcast subtrees (codes + LUT) —
+      // without materialization each re-runs the codebook aggregation.
+      val cb = Q.materialize(pqCodebook(sub))
+      val codes = pqEncode(pqScored(sub, cb))
+        .select(col("vec_id").as("neighbor_id"), col("s"), col("code"))
+      val lut = pqScored(pqSub(v.filter(col("vec_id") < 20)), cb)
+        .select(col("vec_id").as("query_id"), col("s").as("ls"),
+          col("cell"), floor(col("d2_raw") * 1e6 + 1e-3).cast("long").as("d2i"))
+      val adc = codes
+        .join(broadcast(lut),
+          col("s") === col("ls") && col("code") === col("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("d2i")).cast("long").as("adc_d2_micro"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_d2_micro"), col("neighbor_id"))
+      adc.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("adc_d2_micro"))
+    })
+
   val nearDup = Q(
     "dedup_embedding_cosine",
     "Embedding near-dup pairs at cosine ≥ 0.45 via random-hyperplane LSH: " +
@@ -513,5 +689,5 @@ object Similarity {
           count(lit(1)).as("n")))
 
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
-    kmeansIter2, nearDup, histogram, labelCentroid)
+    kmeansIter2, pqEncodeQ, topkPqAdc, nearDup, histogram, labelCentroid)
 }
