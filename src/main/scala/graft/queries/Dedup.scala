@@ -615,21 +615,24 @@ object Dedup {
         // 50-round cap is unreachable for any physical graph (a crash at
         // the cap was the alternative for chain-shaped clusters longer
         // than the cap under plain propagation).
+        // The previous round's label rides along (one more equi join inside
+        // the SAME materialization job), so the convergence check below is
+        // a filter-count over already-checkpointed partitions — not the
+        // separate join+shuffle job it used to be (3 jobs/round → 2).
         val nextM = Q.materialize(half.alias("a")
           .join(half.select(col("doc_id").as("k"), col("label").as("l2")),
             col("a.label") === col("k"))
-          .select(col("a.doc_id").as("doc_id"), col("l2").as("label")))
+          .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+          .select(col("doc_id"), col("l2").as("label"), col("old")))
+        changed = nextM.filter(col("label") =!= col("old")).count()
         // Rebaseline: a checkpointed self-join output carries
         // originConstraints referencing its PRE-checkpoint attribute ids,
         // and feeding that into next round's union trips Catalyst's
         // constraint rewrite (NoSuchElementException). A fresh frame over
         // the same rows drops the stale constraints; the labels frame is
         // subgraph-sized, so the row round-trip is noise.
-        val next = spark.createDataFrame(nextM.rdd, nextM.schema)
-        changed = next
-          .join(labels.withColumnRenamed("label", "old"), "doc_id")
-          .filter(col("label") =!= col("old")).count()
-        labels = next
+        val clean = nextM.select(col("doc_id"), col("label"))
+        labels = spark.createDataFrame(clean.rdd, clean.schema)
         iters += 1
       }
       require(changed == 0, s"components did not converge in $iters rounds")

@@ -126,7 +126,26 @@ object Streams {
     */
   def attributedConversions(events: Dataset[Event],
       windowSeconds: Long = 1800,
-      watermarkDelay: String = "1 hour"): DataFrame = {
+      watermarkDelay: String = "1 hour"): DataFrame =
+    conversionJoin(events, windowSeconds, watermarkDelay, "inner")
+
+  /** Left-outer form of [[attributedConversions]] — the abandoned-click
+    * analysis: every click, with the converting purchase's columns when
+    * one arrived inside the window and NULLs when none did. The NULL rows
+    * of a streaming left-outer interval join emit only once the watermark
+    * passes the click's join-state bound (click_ts + window + delay) —
+    * the deterministic event-time point where "no purchase" stops being
+    * "not yet" and becomes a fact. Same state-bounding contract and
+    * equi-key shuffle as the inner join; StreamsSpec asserts stream ==
+    * batch left join including the NULL rows.
+    */
+  def attributedConversionsOuter(events: Dataset[Event],
+      windowSeconds: Long = 1800,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    conversionJoin(events, windowSeconds, watermarkDelay, "left_outer")
+
+  private def conversionJoin(events: Dataset[Event], windowSeconds: Long,
+      watermarkDelay: String, joinType: String): DataFrame = {
     val clicks = events.toDF()
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
@@ -141,7 +160,8 @@ object Streams {
     clicks.join(purchases,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"interval $windowSeconds seconds"))
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $windowSeconds seconds"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         unix_timestamp(col("click_ts")).as("click_epoch"),
         unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
