@@ -61,10 +61,13 @@ object CorpusOps {
              dup8 AS dup8_cnt, dup8 / tot8 AS dup8_frac
       FROM a2 JOIN a8 ON a8.doc_id = a2.doc_id""".stripMargin),
     (spark, dir) => {
-      val base = Q.materialize(
-        t(spark, dir, "documents")
-          .select(col("doc_id"), toksCol.as("tk"))
-          .filter(size(col("tk")) >= 8))
+      // Plain re-tokenization per gram branch — two stateless codegen
+      // scans. Materializing the tokenized corpus to share one scan
+      // would checkpoint ~corpus-sized token arrays for work the scan
+      // does nearly for free.
+      val base = t(spark, dir, "documents")
+        .select(col("doc_id"), toksCol.as("tk"))
+        .filter(size(col("tk")) >= 8)
       val c2 = base
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
@@ -158,17 +161,22 @@ object CorpusOps {
              (sum(hit) > 0) AS contaminated
       FROM j GROUP BY doc_id""".stripMargin),
     (spark, dir) => {
-      val g = Q.materialize(
-        t(spark, dir, "documents")
-          .select(col("doc_id"), toksCol.as("tk"))
-          .filter(size(col("tk")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(tk)-8), " +
-              "i -> md5(concat_ws(' ', slice(tk, i+1, 8))))"))
-            .as("h")))
-      val bench = g.filter(col("doc_id") % 83 === 0)
+      // Two scans by design, NOT one materialized gram explosion: the
+      // benchmark side's doc_id filter pushes into its parquet scan (it
+      // reads ~1/83 of the corpus), while the corpus side streams its
+      // grams straight into the broadcast join — checkpointing the full
+      // 8-gram explosion to share one scan would write ~8× the corpus.
+      def grams(docs: org.apache.spark.sql.DataFrame) = docs
+        .select(col("doc_id"), toksCol.as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk)-8), " +
+            "i -> md5(concat_ws(' ', slice(tk, i+1, 8))))"))
+          .as("h"))
+      val docs = t(spark, dir, "documents")
+      val bench = grams(docs.filter(col("doc_id") % 83 === 0))
         .select(col("h")).distinct().withColumn("mark", lit(1L))
-      g.filter(col("doc_id") % 83 =!= 0)
+      grams(docs.filter(col("doc_id") % 83 =!= 0))
         .join(broadcast(bench), Seq("h"), "left")
         .select(col("doc_id"),
           when(col("mark").isNull, 0L).otherwise(1L).as("hit"))
