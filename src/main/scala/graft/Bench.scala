@@ -24,7 +24,7 @@ object Bench {
     "dedup_components", "dedup_simhash", "dedup_simhash_hamming",
     "sim_topk_bruteforce", "sim_kmeans_assign", "sim_kmeans_iter2",
     "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_pq_encode",
-    "sim_topk_pq_adc", "dedup_embedding_cosine",
+    "sim_topk_pq_adc", "dedup_semantic", "dedup_embedding_cosine",
     "kv_cas_replay", "ta_tfidf", "ta_repetition", "dedup_span",
     "ta_decontaminate", "pipeline_corpus_clean",
     "pipeline_training_corpus", "mm_decode_stub")

@@ -635,6 +635,60 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), r4e(col("cos_raw")).as("cosine"))
     })
 
+  val semanticDedup = Q(
+    "dedup_semantic",
+    "SemDeDup (Abbas et al. 2023): cluster-then-dedup — vectors are " +
+      "grouped by their k-means cell (the sim_kmeans_assign quantizer), " +
+      "pairwise cosine runs ONLY within each cell (an equi self-join on " +
+      "the cell key — a hash join over cell blocks, never a global " +
+      "product), and pairs at cosine ≥ 0.45 are the semantic duplicates. " +
+      "Output is the per-cell dedup census: vectors, pairs scored, dups " +
+      "found, max cosine. The published contract is that k scales with N " +
+      "so cells stay bounded (SemDeDup uses 11k clusters for 600M docs); " +
+      "here k = 10 label-seeded cells exercise the machinery. The " +
+      "N²-within-cell cost is the algorithm's own design point, not a " +
+      "plan accident — the cell join is the same per-bucket block shape " +
+      "as sim_topk_ivf.",
+    Some(s"""
+      WITH n AS ($VecsSql),$CentroidsSql,$AssignSql,
+           na AS (SELECT n.*, assign.cell FROM n
+                  JOIN assign ON assign.vec_id = n.vec_id),
+           sizes AS (SELECT cell, count(*) AS n_vectors FROM na GROUP BY cell),
+           pairs AS (SELECT a.cell,
+                            list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos_raw
+                     FROM na a JOIN na b ON a.cell = b.cell
+                                        AND a.vec_id < b.vec_id),
+           stats AS (SELECT cell, count(*) AS n_pairs,
+                            sum(CASE WHEN cos_raw >= 0.45 THEN 1 ELSE 0 END) AS n_dup_pairs,
+                            max(cos_raw) AS mc
+                     FROM pairs GROUP BY cell)
+      SELECT sizes.cell AS cell, n_vectors, n_pairs::BIGINT AS n_pairs,
+             n_dup_pairs::BIGINT AS n_dup_pairs,
+             round(mc + 1e-8, 4) AS max_cosine
+      FROM sizes JOIN stats ON stats.cell = sizes.cell""".stripMargin),
+    (spark, dir) => {
+      val v = Q.materialize(vecs(spark, dir))
+      val na = v.join(kmeansAssignFrom(v).select(col("vec_id"), col("cell")),
+        "vec_id")
+      val sizes = na.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      val a = na.select(col("cell"), col("vec_id").as("va"),
+        col("e").as("ae"), col("nrm").as("an"))
+      val b = na.select(col("cell").as("bcell"), col("vec_id").as("vb"),
+        col("e").as("be"), col("nrm").as("bn"))
+      val stats = a
+        .join(b, col("cell") === col("bcell") && col("va") < col("vb"))
+        .withColumn("cos_raw",
+          dot(col("ae"), col("be")) / (col("an") * col("bn")))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(when(col("cos_raw") >= 0.45, 1L).otherwise(0L))
+            .cast("long").as("n_dup_pairs"),
+          r4e(max(col("cos_raw"))).as("max_cosine"))
+      sizes.join(stats, "cell")
+        .select(col("cell"), col("n_vectors"), col("n_pairs"),
+          col("n_dup_pairs"), col("max_cosine"))
+    })
+
   val histogram = Q(
     "sim_cosine_histogram",
     "Cosine distribution of the LSH candidate pairs in 0.1 buckets — the " +
@@ -689,5 +743,6 @@ object Similarity {
           count(lit(1)).as("n")))
 
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
-    kmeansIter2, pqEncodeQ, topkPqAdc, nearDup, histogram, labelCentroid)
+    kmeansIter2, pqEncodeQ, topkPqAdc, semanticDedup, nearDup, histogram,
+    labelCentroid)
 }

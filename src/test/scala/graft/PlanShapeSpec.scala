@@ -41,7 +41,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // broadcast (20-row query batch / 10-row centroid table / single-row
     // aggregate cross in the set-ops summary), never N x N.
     val whitelist = Set("sim_topk_bruteforce", "sim_kmeans_assign",
-      "sim_kmeans_iter2", "sim_topk_ivf", "sim_topk_ivf_probe2", "ta_tfidf", "q_events_setops")
+      "sim_kmeans_iter2", "sim_topk_ivf", "sim_topk_ivf_probe2",
+      "dedup_semantic", "ta_tfidf", "q_events_setops")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
