@@ -58,5 +58,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Md5Lanes(Cast(children.head, StringType),
           intLit(children(1), "seedBase"), intLit(children(2), "numSeeds"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts"),
+      (children: Seq[Expression]) => {
+        // cdc_cuts(text, window, maskBits) -> array<bigint> of 1-based
+        // code-point cut positions (Rabin-Karp content-defined chunking).
+        require(children.size == 3,
+          s"cdc_cuts expects 3 arguments (text, window, maskBits), " +
+            s"got ${children.size}")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"cdc_cuts $what must be an integer literal, got $other")
+        }
+        CdcCuts(Cast(children.head, StringType),
+          intLit(children(1), "window"), intLit(children(2), "maskBits"))
+      }))
   }
 }

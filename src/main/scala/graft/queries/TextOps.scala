@@ -452,6 +452,59 @@ object TextOps {
           size(col("chunk")).cast("long").as("n_tokens"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_fp")))
 
+  val cdcChunks = Q(
+    "ta_cdc_chunks",
+    "Content-defined chunking (Rabin-Karp CDC, the LBFS/rsync boundary " +
+      "rule): cut wherever the rolling hash of the last 8 code points has " +
+      "its low 5 bits zero (expected chunk ≈ 32 chars), so boundaries " +
+      "depend only on LOCAL content and re-synchronize after edits — " +
+      "ta_chunk_pack's fixed-stride windows shift every boundary " +
+      "downstream of an insertion; CDC chunks make chunk-level dedup " +
+      "robust to it. Cut positions come from the native CdcCuts codegen " +
+      "expression (one forward pass, ring buffer, zero allocation per " +
+      "row); the oracle recomputes each window's weighted sum directly in " +
+      "BIGINT — equal mod 2³¹ by construction, so chunk boundaries and " +
+      "md5 fingerprints are bit-portable. Map-only: explode from the cut " +
+      "array, no shuffle.",
+    Some("""
+      WITH cps AS (SELECT doc_id, text,
+                          list_transform(range(1, length(text)+1),
+                            i -> ord(substr(text, i::INT, 1))::BIGINT) AS cp
+                   FROM documents),
+           cut AS (SELECT doc_id, text,
+                          list_filter(range(8, len(cp)+1), i ->
+                            (list_sum(list_transform(range(0, 8),
+                               j -> cp[(i-j)::INT] * (31 ** j)::BIGINT))::BIGINT
+                              & 31) = 0) AS cuts
+                   FROM cps),
+           ch AS (SELECT doc_id, text,
+                         list_prepend(0::BIGINT, cuts) AS starts,
+                         list_append(cuts, length(text)::BIGINT) AS ends
+                  FROM cut),
+           unn AS (SELECT doc_id, text, i AS chunk_idx,
+                          starts[(i+1)::INT] AS s, ends[(i+1)::INT] AS e
+                   FROM (SELECT *, unnest(range(0, len(starts))) AS i FROM ch))
+      SELECT doc_id, chunk_idx, s AS start_cp, (e - s) AS chunk_chars,
+             md5(substr(text, (s+1)::INT, (e-s)::INT)) AS chunk_fp
+      FROM unn WHERE e > s""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.functions.CdcCuts(col("text"), 8, 5).as("cuts"))
+        .select(col("doc_id"), col("text"),
+          expr("concat(array(0L), cuts)").as("starts"),
+          expr("concat(cuts, array(cast(length(text) as bigint)))").as("ends"))
+        .select(col("doc_id"), col("text"), col("starts"), col("ends"),
+          explode(expr("sequence(0L, cast(size(starts) - 1 as long))"))
+            .as("chunk_idx"))
+        .withColumn("s", expr("starts[cast(chunk_idx as int)]"))
+        .withColumn("e", expr("ends[cast(chunk_idx as int)]"))
+        .filter(col("e") > col("s"))
+        .select(col("doc_id"), col("chunk_idx"), col("s").as("start_cp"),
+          (col("e") - col("s")).as("chunk_chars"),
+          md5(expr("substring(text, cast(s+1 as int), cast(e-s as int))"))
+            .as("chunk_fp")))
+
   val sampleStratified = Q(
     "pipeline_sample_stratified",
     "Deterministic stratified Bernoulli sampling — the data-mixing " +
@@ -552,5 +605,6 @@ object TextOps {
 
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
-    tfidf, chunkPack, corpusClean, sampleStratified, trainingCorpus)
+    tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
+    trainingCorpus)
 }

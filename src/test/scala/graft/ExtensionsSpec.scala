@@ -9,7 +9,7 @@ import graft.functions.GraftExtensions
 /** The extensions-registered SQL surface of the native expressions. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("fnv1a32, arr_dot, rolling_hash31 callable from SQL via GraftExtensions") {
+  test("fnv1a32, arr_dot, rolling_hash31, md5_lanes, cdc_cuts callable from SQL via GraftExtensions") {
     // Extensions bind at session build; getOrCreate would return the shared
     // test session without them. Clear the default/active session so the
     // builder constructs a fresh one (reusing the JVM's SparkContext), then
@@ -42,6 +42,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(lanes.length == 4)
       assert(lanes(0) == ref.getString(0).toLong)
       assert(lanes(1) == ref.getString(1).toLong)
+      val text = "the quick brown fox jumps over the lazy dog again " * 4
+      val cuts = spark.sql(s"SELECT cdc_cuts('$text', 8, 5)")
+        .collect().head.getSeq[Long](0)
+      assert(cuts == graft.functions.CdcCuts.cuts(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 8, 5)
+        .toLongArray().toSeq)
+      assert(cuts.nonEmpty && cuts.forall(c => c >= 8 && c <= text.length))
     } finally {
       prior.foreach { s =>
         SparkSession.setDefaultSession(s)
