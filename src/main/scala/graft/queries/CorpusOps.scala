@@ -186,5 +186,84 @@ object CorpusOps {
           (sum(col("hit")) > 0).as("contaminated"))
     })
 
-  val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate)
+  /** Spark-side CDC chunk fingerprints (doc_id, chunk_fp) — the
+    * ta_cdc_chunks pipeline reduced to its dedup-relevant columns.
+    */
+  private def cdcFps(docs: org.apache.spark.sql.DataFrame) = docs
+    .select(col("doc_id"), col("text"),
+      graft.functions.CdcCuts(col("text"), 8, 5).as("cuts"))
+    .select(col("doc_id"), col("text"),
+      expr("concat(array(0L), cuts)").as("starts"),
+      expr("concat(cuts, array(cast(length(text) as bigint)))").as("ends"))
+    .select(col("doc_id"), col("text"), col("starts"), col("ends"),
+      explode(expr("sequence(0L, cast(size(starts) - 1 as long))")).as("i"))
+    .withColumn("s", expr("starts[cast(i as int)]"))
+    .withColumn("e", expr("ends[cast(i as int)]"))
+    .filter(col("e") > col("s"))
+    .select(col("doc_id"),
+      md5(expr("substring(text, cast(s+1 as int), cast(e-s as int))"))
+        .as("chunk_fp"))
+
+  /** The ta_cdc_chunks CTE chain as SQL, ending in fps(doc_id, chunk_fp). */
+  private val CdcFpsSql = """
+           cps AS (SELECT doc_id, text,
+                          list_transform(range(1, length(text)+1),
+                            i -> ord(substr(text, i::INT, 1))::BIGINT) AS cp
+                   FROM documents),
+           cut AS (SELECT doc_id, text,
+                          list_filter(range(8, len(cp)+1), i ->
+                            (list_sum(list_transform(range(0, 8),
+                               j -> cp[(i-j)::INT] * (31 ** j)::BIGINT))::BIGINT
+                              & 31) = 0) AS cuts
+                   FROM cps),
+           ch AS (SELECT doc_id, text,
+                         list_prepend(0::BIGINT, cuts) AS starts,
+                         list_append(cuts, length(text)::BIGINT) AS ends
+                  FROM cut),
+           fps AS (SELECT doc_id,
+                          md5(substr(text, (starts[(i+1)::INT]+1)::INT,
+                            (ends[(i+1)::INT]-starts[(i+1)::INT])::INT)) AS chunk_fp
+                   FROM (SELECT *, unnest(range(0, len(starts))) AS i FROM ch)
+                   WHERE ends[(i+1)::INT] > starts[(i+1)::INT])"""
+
+  val cdcDedup = Q(
+    "dedup_cdc",
+    "Chunk-level cross-document dedup over CONTENT-DEFINED boundaries — " +
+      "what CdcCuts exists for: because chunk edges depend only on local " +
+      "content, a near-dup that inserts or deletes text still shares most " +
+      "chunk fingerprints with its source (fixed-stride chunking loses " +
+      "every chunk after the first edit). Per doc: CDC chunks, chunks " +
+      "whose fingerprint appears in ≥ 2 distinct docs, and the shared " +
+      "fraction — the sub-document dedup census. Same plan family as " +
+      "dedup_span (explode → hash agg on the digest → equi join back), " +
+      "only 32-byte digests ever shuffle. The ~32-char expected chunks " +
+      "(maskBits=5, matching ta_cdc_chunks) recur across unrelated docs " +
+      "of this small-vocabulary synthetic corpus — an honest property of " +
+      "the data, not a bug; production CDC dedup uses 2-8 KB expected " +
+      "chunks (maskBits 11-13, the expression's knobs) where accidental " +
+      "collision is negligible.",
+    Some(s"""
+      WITH $CdcFpsSql,
+           df AS (SELECT chunk_fp, count(DISTINCT doc_id) AS dfreq
+                  FROM fps GROUP BY chunk_fp),
+           j AS (SELECT fps.doc_id, CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END AS shared
+                 FROM fps JOIN df ON df.chunk_fp = fps.chunk_fp)
+      SELECT doc_id, count(*)::BIGINT AS n_chunks,
+             sum(shared)::BIGINT AS n_shared_chunks,
+             sum(shared) / count(*) AS shared_frac
+      FROM j GROUP BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val fps = Q.materialize(cdcFps(t(spark, dir, "documents")))
+      val dfreq = fps.groupBy(col("chunk_fp"))
+        .agg(countDistinct(col("doc_id")).as("dfreq"))
+      fps.join(dfreq, "chunk_fp")
+        .select(col("doc_id"),
+          when(col("dfreq") >= 2, 1L).otherwise(0L).as("shared"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+          sum(col("shared")).cast("long").as("n_shared_chunks"),
+          (sum(col("shared")) / count(lit(1))).as("shared_frac"))
+    })
+
+  val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup)
 }
