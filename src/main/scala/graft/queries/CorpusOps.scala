@@ -32,6 +32,18 @@ object CorpusOps {
 
   private def toksCol = filter(split(col("text"), " "), x => x =!= "")
 
+  /** (doc_id, h): the md5 of every 8-token gram of `docs` — the overlap
+    * unit of [[decontaminate]], shared with the pipeline capstone so both
+    * compute the identical grams (single definition, no drift).
+    */
+  private[queries] def gramFps(docs: org.apache.spark.sql.DataFrame) = docs
+    .select(col("doc_id"), toksCol.as("tk"))
+    .filter(size(col("tk")) >= 8)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(tk)-8), " +
+        "i -> md5(concat_ws(' ', slice(tk, i+1, 8))))"))
+      .as("h"))
+
   val repetition = Q(
     "ta_repetition",
     "Gopher-style repetition quality metrics (Rae et al. 2021, §A1.1) per " +
@@ -166,17 +178,10 @@ object CorpusOps {
       // reads ~1/83 of the corpus), while the corpus side streams its
       // grams straight into the broadcast join — checkpointing the full
       // 8-gram explosion to share one scan would write ~8× the corpus.
-      def grams(docs: org.apache.spark.sql.DataFrame) = docs
-        .select(col("doc_id"), toksCol.as("tk"))
-        .filter(size(col("tk")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(tk)-8), " +
-            "i -> md5(concat_ws(' ', slice(tk, i+1, 8))))"))
-          .as("h"))
       val docs = t(spark, dir, "documents")
-      val bench = grams(docs.filter(col("doc_id") % 83 === 0))
+      val bench = gramFps(docs.filter(col("doc_id") % 83 === 0))
         .select(col("h")).distinct().withColumn("mark", lit(1L))
-      grams(docs.filter(col("doc_id") % 83 =!= 0))
+      gramFps(docs.filter(col("doc_id") % 83 =!= 0))
         .join(broadcast(bench), Seq("h"), "left")
         .select(col("doc_id"),
           when(col("mark").isNull, 0L).otherwise(1L).as("hit"))

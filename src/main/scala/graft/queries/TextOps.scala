@@ -541,19 +541,37 @@ object TextOps {
     "pipeline_training_corpus",
     "The capstone: the FULL training-corpus preparation pipeline in ONE " +
       "plan, composed from the library's own stages — exact-dedup " +
-      "canonicalization → quality filter (≥ 0.35) → language-consistency " +
-      "filter → deterministic 30% stratified sample (seed-7 md5 lane) → " +
-      "64-token/stride-48 chunking → per-(source, lang) doc/chunk/token " +
-      "census. Every stage is the identical expression its standalone " +
-      "query declares (single definitions, no drift). Two exchanges total " +
-      "(the dedup window and the final census agg); sampling and chunking " +
-      "are scan-side. This is the query a pretraining data team actually " +
-      "ships.",
+      "canonicalization → benchmark decontamination (drop the held-out " +
+      "doc_id % 83 slice AND every doc sharing an 8-gram with it, " +
+      "ta_decontaminate's exact gram definition via the shared " +
+      "CorpusOps.gramFps builder) → quality filter (≥ 0.35) → " +
+      "language-consistency filter → deterministic 30% stratified sample " +
+      "(seed-7 md5 lane) → 64-token/stride-48 chunking → per-(source, " +
+      "lang) doc/chunk/token census. Every stage is the identical " +
+      "expression its standalone query declares (single definitions, no " +
+      "drift). The decontamination joins are broadcast (bench grams, then " +
+      "the contaminated doc-id set — both MB-scale against a 100 TB " +
+      "corpus); the corpus-side exchanges stay two (the dedup window and " +
+      "the final census agg); sampling and chunking are scan-side. This " +
+      "is the query a pretraining data team actually ships.",
     Some(s"""
       WITH base AS (
         SELECT doc_id, source, lang, text,
                min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
         FROM documents),
+           tok8 AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+           bgr AS (
+        SELECT DISTINCT md5(array_to_string(tk[i+1:i+8], ' ')) AS h
+        FROM (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS i
+              FROM tok8 WHERE len(tk) >= 8 AND doc_id % 83 = 0)),
+           cont AS (
+        SELECT DISTINCT g.doc_id
+        FROM (SELECT doc_id, md5(array_to_string(tk[i+1:i+8], ' ')) AS h
+              FROM (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS i
+                    FROM tok8 WHERE len(tk) >= 8 AND doc_id % 83 <> 0)) g
+        JOIN bgr ON bgr.h = g.h),
            prep AS (
         SELECT doc_id, source, lang,
                list_filter(string_split(text, ' '), x -> x <> '') AS toks,
@@ -565,7 +583,9 @@ object TextOps {
         FROM prep),
            kept AS (
         SELECT doc_id, source, lang, toks FROM feat
-        WHERE ($QualitySql) >= 0.35
+        WHERE doc_id % 83 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM cont)
+          AND ($QualitySql) >= 0.35
           AND ($LangPredSql) = lang
           AND ('0x' || substr(md5('7:' || doc_id), 1, 8))::BIGINT < 1288490189
           AND len(toks) > 0),
@@ -581,9 +601,20 @@ object TextOps {
     (spark, dir) => {
       val w = Window.partitionBy(md5(col("text")))
       val toksExpr = filter(split(col("text"), " "), x => x =!= "")
-      t(spark, dir, "documents")
+      val docs0 = t(spark, dir, "documents")
+      // Decontamination inputs (ta_decontaminate's exact gram builder):
+      // bench grams broadcast into a semi join that yields the
+      // contaminated doc-id set, itself broadcast into an anti join below.
+      val benchGrams = CorpusOps.gramFps(docs0.filter(col("doc_id") % 83 === 0))
+        .select(col("h")).distinct()
+      val contaminated = CorpusOps.gramFps(docs0.filter(col("doc_id") % 83 =!= 0))
+        .join(broadcast(benchGrams), Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs0
         .withColumn("canonical_id", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("canonical_id"))
+        .filter(col("doc_id") % 83 =!= 0)
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         .select(Seq(col("doc_id"), col("source"), col("lang"),
           toksExpr.as("tk")) ++ langScoreCols: _*)
         .withColumn("n_tokens", size(col("tk")).cast("long"))
