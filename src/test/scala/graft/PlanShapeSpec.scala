@@ -8,8 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * the no-all-pairs-product rule across EVERY declared query — the only
   * BroadcastNestedLoopJoins allowed are the deliberate bounded-broadcast
   * ones (the 20-row query batch in sim_topk_bruteforce, the k=10 centroid
-  * table in the k-means quantizer — which the IVF probes inherit — and
-  * ta_tfidf's 1-row corpus-size scalar join).
+  * table in the k-means quantizer — which the IVF probes and SemDeDup
+  * inherit — and ta_tfidf's 1-row corpus-size scalar join).
   */
 class PlanShapeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
