@@ -537,6 +537,70 @@ object TextOps {
           sum(col("kept")).cast("long").as("n_sampled"),
           (sum(col("kept")) / count(lit(1))).as("rate")))
 
+  val tokenBudget = Q(
+    "pipeline_token_budget",
+    "Budget-allocated data mixing (the mT5/PaLM temperature-sampling " +
+      "stage): a 30%-of-corpus token budget is allocated across sources " +
+      "by sqrt-temperature shares (τ=0.5 upsamples small sources — " +
+      "rate_i = min(1, B·√S_i / Σ√S_j / S_i)), then each doc keeps/drops " +
+      "by the seed-7 md5 lane against ITS SOURCE'S threshold. Per-source " +
+      "stats are a tiny broadcast; the corpus streams once through the " +
+      "rate join and the census agg — membership stays a pure function " +
+      "of (doc_id, per-source rate), reproducible across runs, engines " +
+      "and partitionings. Determinism: token counts are exact BIGINTs, " +
+      "sqrt is IEEE-exact (unlike pow), and the one summation-order-" +
+      "sensitive value (Σ√S_j) is epsilon-rounded on both engines before " +
+      "any rate math; the keep threshold is a floor to BIGINT of " +
+      "identical doubles.",
+    Some("""
+      WITH d AS (SELECT doc_id, source,
+                        len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n
+                 FROM documents),
+           s AS (SELECT source, sum(n)::BIGINT AS toks FROM d GROUP BY source),
+           tot AS (SELECT sum(toks)::BIGINT AS all_toks,
+                          round(sum(sqrt(toks)) + 1e-9, 6) AS sum_sqrt FROM s),
+           r AS (SELECT source, toks,
+                        least(1.0::DOUBLE, 0.3::DOUBLE * all_toks * sqrt(toks)
+                          / sum_sqrt / toks) AS rate
+                 FROM s, tot),
+           k AS (SELECT d.doc_id, d.source, d.n, r.rate,
+                        CASE WHEN ('0x' || substr(md5('7:' || d.doc_id), 1, 8))::BIGINT
+                                  < floor(r.rate * 4294967296.0)::BIGINT
+                             THEN 1 ELSE 0 END AS kept
+                 FROM d JOIN r ON r.source = d.source)
+      SELECT source, count(*) AS n_total, sum(kept)::BIGINT AS n_sampled,
+             sum(CASE WHEN kept = 1 THEN n ELSE 0 END)::BIGINT AS sampled_tokens,
+             rate AS target_rate
+      FROM k GROUP BY source, rate""".stripMargin),
+    (spark, dir) => {
+      val toksN = size(filter(split(col("text"), " "), x => x =!= ""))
+        .cast("long")
+      val d = t(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), toksN.as("n"))
+      val s = d.groupBy(col("source")).agg(sum(col("n")).cast("long").as("toks"))
+      val tot = s.agg(sum(col("toks")).cast("long").as("all_toks"),
+        round(sum(sqrt(col("toks"))) + lit(1e-9), 6).as("sum_sqrt"))
+      // Same left-to-right association as the SQL: 0.3·T·√S / Σ√S / S.
+      val r = s.crossJoin(broadcast(tot))
+        .withColumn("rate", least(lit(1.0),
+          lit(0.3) * col("all_toks") * sqrt(col("toks")) / col("sum_sqrt")
+            / col("toks")))
+        .select(col("source"), col("rate"))
+      d.join(broadcast(r), "source")
+        .withColumn("kept",
+          when(graft.functions.Md5Lanes(col("doc_id").cast("string"), 7, 1)
+            .getItem(0) <
+            floor(col("rate") * lit(4294967296.0)).cast("long"), 1L)
+            .otherwise(0L))
+        .groupBy(col("source"), col("rate"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("kept")).cast("long").as("n_sampled"),
+          sum(when(col("kept") === 1L, col("n")).otherwise(0L))
+            .cast("long").as("sampled_tokens"))
+        .select(col("source"), col("n_total"), col("n_sampled"),
+          col("sampled_tokens"), col("rate").as("target_rate"))
+    })
+
   val trainingCorpus = Q(
     "pipeline_training_corpus",
     "The capstone: the FULL training-corpus preparation pipeline in ONE " +
@@ -637,5 +701,5 @@ object TextOps {
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
-    trainingCorpus)
+    tokenBudget, trainingCorpus)
 }
