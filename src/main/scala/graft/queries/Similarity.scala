@@ -689,6 +689,46 @@ object Similarity {
           col("n_dup_pairs"), col("max_cosine"))
     })
 
+  val modalCuration = Q(
+    "pipeline_modal_curation",
+    "Cross-modal curation matrix — the text and embedding families joined " +
+      "in one plan: every document's composite quality score (TextOps' " +
+      "shared expression) meets its embedding's k-means cell (the " +
+      "sim_kmeans_assign quantizer) on doc_id = vec_id, aggregated to the " +
+      "per-(cell, lang) census a data team reads to decide which " +
+      "embedding-space regions × languages carry quality token mass. The " +
+      "id join is equi (hash co-partitioned at scale); the centroid " +
+      "broadcast is the quantizer's whitelisted k-row build side; avg " +
+      "quality is epsilon-rounded (cross-group summation order).",
+    Some(s"""
+      WITH n AS ($VecsSql),$CentroidsSql,$AssignSql,
+           q AS (SELECT doc_id, lang, n_tokens, n_distinct,
+                        ${TextOps.QualitySql} AS quality
+                 FROM (SELECT doc_id, lang,
+                              len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+                              len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_distinct
+                       FROM documents))
+      SELECT a.cell AS cell, q.lang AS lang, count(*) AS n_docs,
+             sum(q.n_tokens)::BIGINT AS total_tokens,
+             round(avg(q.quality) + 1e-6, 2) AS avg_quality
+      FROM q JOIN assign a ON a.vec_id = q.doc_id
+      GROUP BY cell, lang""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val q = t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .withColumn("quality", TextOps.qualityCol)
+      val assign = kmeansAssignFrom(Q.materialize(vecs(spark, dir)))
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      q.join(assign, "doc_id")
+        .groupBy(col("cell"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          Det.r2e(avg(col("quality"))).as("avg_quality"))
+    })
+
   val histogram = Q(
     "sim_cosine_histogram",
     "Cosine distribution of the LSH candidate pairs in 0.1 buckets — the " +
@@ -743,6 +783,6 @@ object Similarity {
           count(lit(1)).as("n")))
 
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
-    kmeansIter2, pqEncodeQ, topkPqAdc, semanticDedup, nearDup, histogram,
-    labelCentroid)
+    kmeansIter2, pqEncodeQ, topkPqAdc, semanticDedup, modalCuration,
+    nearDup, histogram, labelCentroid)
 }

@@ -157,12 +157,13 @@ object TextOps {
                ELSE 'zh'
              END"""
 
-  /** Composite quality score over n_tokens / n_distinct columns. */
-  private def qualityCol: Column =
+  /** Composite quality score over n_tokens / n_distinct columns (shared
+    * with the cross-modal curation join in Similarity). */
+  private[queries] def qualityCol: Column =
     lit(0.5) * least(col("n_tokens"), lit(200)) / lit(200.0) +
       lit(0.5) * col("n_distinct") / col("n_tokens")
 
-  private val QualitySql =
+  private[queries] val QualitySql =
     """0.5::DOUBLE * least(n_tokens, 200) / 200.0::DOUBLE
                + 0.5::DOUBLE * n_distinct / n_tokens"""
 
