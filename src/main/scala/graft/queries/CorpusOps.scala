@@ -51,19 +51,24 @@ object CorpusOps {
       "MOST frequent 2-gram, and the count and fraction of 8-gram " +
       "positions whose 8-gram occurs more than once in the doc — the " +
       "signals that catch boilerplate and degenerate repetition. Two " +
-      "per-doc (doc_id, gram) aggregations over one materialized token " +
-      "scan; grams never leave their doc's partition key, so the shuffle " +
-      "is corpus-sized, not quadratic. Fractions are exact integer ratios " +
+      "per-doc (doc_id, gram) aggregations; grams are hashed to a " +
+      "portable 32-bit md5 lane BEFORE the shuffle — counting is " +
+      "per-document (≲ a few hundred grams), where a 32-bit space is " +
+      "collision-safe and shuffling 8-byte keys beats 50-byte gram " +
+      "strings; the oracle hashes identically, so even a collision " +
+      "cannot diverge the engines. Fractions are exact integer ratios " +
       "(identical IEEE division on both engines — unrounded by design).",
     Some(s"""
       WITH d AS ($ToksSql),
            b AS (SELECT doc_id, tk FROM d WHERE len(tk) >= 8),
-           g2 AS (SELECT doc_id, tk[i+1] || ' ' || tk[i+2] AS g
+           g2 AS (SELECT doc_id,
+                         ('0x' || substr(md5('0:' || tk[i+1] || ' ' || tk[i+2]), 1, 8))::BIGINT AS g
                   FROM (SELECT doc_id, tk, unnest(range(0, len(tk)-1)) AS i FROM b)),
            c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
            a2 AS (SELECT doc_id, max(c)::BIGINT AS top2_cnt, sum(c)::BIGINT AS tot2
                   FROM c2 GROUP BY doc_id),
-           g8 AS (SELECT doc_id, array_to_string(tk[i+1:i+8], ' ') AS g
+           g8 AS (SELECT doc_id,
+                         ('0x' || substr(md5('0:' || array_to_string(tk[i+1:i+8], ' ')), 1, 8))::BIGINT AS g
                   FROM (SELECT doc_id, tk, unnest(range(0, len(tk)-7)) AS i FROM b)),
            c8 AS (SELECT doc_id, g, count(*) AS c FROM g8 GROUP BY doc_id, g),
            a8 AS (SELECT doc_id, sum(c)::BIGINT AS tot8,
@@ -80,10 +85,13 @@ object CorpusOps {
       val base = t(spark, dir, "documents")
         .select(col("doc_id"), toksCol.as("tk"))
         .filter(size(col("tk")) >= 8)
+      def lane0(c: org.apache.spark.sql.Column) =
+        graft.functions.Md5Lanes(c, 0, 1).getItem(0)
       val c2 = base
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
-          .as("g"))
+          .as("gs"))
+        .select(col("doc_id"), lane0(col("gs")).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       val a2 = c2.groupBy(col("doc_id"))
         .agg(max(col("c")).cast("long").as("top2_cnt"),
@@ -91,7 +99,8 @@ object CorpusOps {
       val c8 = base
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(tk)-8), i -> concat_ws(' ', slice(tk, i+1, 8)))"))
-          .as("g"))
+          .as("gs"))
+        .select(col("doc_id"), lane0(col("gs")).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       val a8 = c8.groupBy(col("doc_id"))
         .agg(sum(col("c")).cast("long").as("tot8"),
