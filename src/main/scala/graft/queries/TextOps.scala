@@ -127,8 +127,9 @@ object TextOps {
   // pipeline_corpus_clean funnel MUST compute the same expressions, so they
   // are defined once (Spark columns and SQL fragments in lockstep).
 
-  /** Per-language stopword-hit score columns s_de..s_zh over `text`. */
-  private def langScoreCols: Seq[Column] = Stop.keys.toSeq.sorted.map { lg =>
+  /** Per-language stopword-hit score columns s_de..s_zh over `text`
+    * (shared with the streaming corpus-clean face). */
+  private[graft] def langScoreCols: Seq[Column] = Stop.keys.toSeq.sorted.map { lg =>
     size(filter(split(col("text"), " "),
       x => x.isInCollection(Stop(lg)))).as(s"s_$lg")
   }
@@ -140,7 +141,7 @@ object TextOps {
   }.mkString(",\n               ")
 
   /** Argmax language with fixed precedence, over the s_* columns. */
-  private def langPredCol: Column = when(
+  private[graft] def langPredCol: Column = when(
     col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
       col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
     .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
@@ -158,8 +159,8 @@ object TextOps {
              END"""
 
   /** Composite quality score over n_tokens / n_distinct columns (shared
-    * with the cross-modal curation join in Similarity). */
-  private[queries] def qualityCol: Column =
+    * with the cross-modal curation join and the streaming face). */
+  private[graft] def qualityCol: Column =
     lit(0.5) * least(col("n_tokens"), lit(200)) / lit(200.0) +
       lit(0.5) * col("n_distinct") / col("n_tokens")
 

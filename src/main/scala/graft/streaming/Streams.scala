@@ -170,6 +170,37 @@ object Streams {
 
   case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
 
+  /** Streaming corpus-clean funnel — the incremental face of
+    * `pipeline_corpus_clean`'s stage sequence over a document stream with
+    * (doc_id, ts, text, lang, source) columns: watermarked exact dedup on
+    * the md5 fingerprint (`dropDuplicates` keeps the FIRST arrival per
+    * fingerprint — the streaming analog of the batch min-doc_id canonical;
+    * state bounded by the watermark), then the IDENTICAL quality and
+    * language-consistency column expressions the batch funnel uses
+    * (stateless, whole-stage codegen), then the per-(source, lang) running
+    * census in update mode. One stateful operator + one aggregation —
+    * the same two-exchange budget as the batch plan, incrementalized.
+    */
+  def corpusCleanStream(docs: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.queries.TextOps
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicates("fp")
+      .select(Seq(col("source"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct")) ++
+        TextOps.langScoreCols: _*)
+      .withColumn("quality", TextOps.qualityCol)
+      .withColumn("lang_pred", TextOps.langPredCol)
+      .filter(col("quality") >= 0.35 && col("lang_pred") === col("lang"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+  }
+
   /** A streaming candidate pair that survived exact shingle-Jaccard
     * verification — the incremental form of a `dedup_lsh_verified` row.
     */

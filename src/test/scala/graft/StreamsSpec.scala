@@ -341,6 +341,58 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus-clean census equals the batch funnel stages") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // (doc_id, minute, text, lang, source): two exact-dup groups (dup in
+    // the SAME source, canonical arrives in batch 1 — streaming
+    // dropDuplicates keeps the first arrival where batch keeps min
+    // doc_id, so ordering the replay makes them agree), one
+    // quality-failing doc (3 tokens), one lang-mismatched doc.
+    val en = "the cat of a house and the dog is here now then also"
+    val en2 = "a bird of the sky and a fish is there when light falls"
+    val rows = Seq(
+      (0L, 0, en, "en", "s1"),
+      (1L, 1, en2, "en", "s2"),
+      (2L, 2, "too short here", "en", "s1"),       // quality fail
+      (3L, 3, en + " extra tail words", "fr", "s2"), // lang mismatch
+      (10L, 5, en, "en", "s1"),                    // dup of 0, same source
+      (11L, 6, en2, "en", "s2"))                   // dup of 1, same source
+    def df(xs: Seq[(Long, Int, String, String, String)]) =
+      xs.toDF("doc_id", "minute", "text", "lang", "source")
+        .select(col("doc_id"), expr("timestamp_millis(1700000000000 + minute * 60000)").as("ts"),
+          col("text"), col("lang"), col("source"))
+    val input = MemoryStream[(Long, Int, String, String, String)]
+    val streamDocs = input.toDS()
+      .toDF("doc_id", "minute", "text", "lang", "source")
+      .select(col("doc_id"),
+        expr("timestamp_millis(1700000000000 + minute * 60000)").as("ts"),
+        col("text"), col("lang"), col("source"))
+    val q = Streams.corpusCleanStream(streamDocs)
+      .writeStream.format("memory").queryName("corpus_clean_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      // Update mode re-emits refreshed groups: keep the LAST row per key.
+      val got = spark.table("corpus_clean_stream")
+        .withColumn("rn", monotonically_increasing_id())
+        .groupBy(col("source"), col("lang"))
+        .agg(max_by(struct(col("n_docs"), col("total_tokens")), col("rn")).as("v"))
+        .select(col("source"), col("lang"), col("v.n_docs"), col("v.total_tokens"))
+        .as[(String, String, Long, Long)].collect().toSet
+      val want = Streams.corpusCleanStream(df(rows))
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(want.nonEmpty)
+      assert(got == want, s"stream=$got batch=$want")
+      // Pinned: dups collapsed, quality/lang failures dropped.
+      assert(got.map(t => (t._1, t._2, t._3)) == Set(("s1", "en", 1L), ("s2", "en", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates keeps first per key") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
