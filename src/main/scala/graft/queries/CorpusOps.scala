@@ -279,5 +279,64 @@ object CorpusOps {
           (sum(col("shared")) / count(lit(1))).as("shared_frac"))
     })
 
-  val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup)
+  val cmsTopk = Q(
+    "ta_cms_topk",
+    "Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005) — the " +
+      "bounded-memory frequency sketch a 100 TB pipeline uses where an " +
+      "exact vocabulary count would not fit: depth 4 × width 1024 " +
+      "counters, all four row-hashes extracted from ONE Md5Lanes digest " +
+      "per token (portable — the oracle reproduces every lane in SQL). " +
+      "The sketch build is a (row, cell) aggregation — fixed 4096-cell " +
+      "output regardless of corpus size, perfectly partial-aggregable — " +
+      "and the top-10 exact words (computed alongside for the " +
+      "demonstration) get their CMS estimate via an equi join against " +
+      "the broadcast sketch: est = min over rows of the hashed cell, " +
+      "always ≥ exact (CmsSpec asserts the one-sided error bound).",
+    Some("""
+      WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+                 FROM documents),
+           lanes AS (SELECT word, l,
+                            (('0x' || substr(md5('0:' || word), 1 + 8*l::INT, 8))::BIGINT % 1024) AS cell
+                     FROM w, range(0, 4) t(l)),
+           sketch AS (SELECT l, cell, count(*) AS c FROM lanes GROUP BY l, cell),
+           exact AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+           top AS (SELECT word, cnt, rank FROM (
+                     SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+                     FROM exact) WHERE rank <= 10),
+           est AS (SELECT t.word, t.cnt, t.rank, min(s.c)::BIGINT AS est_cnt
+                   FROM top t, range(0, 4) q(l)
+                   JOIN sketch s ON s.l = q.l AND s.cell =
+                     (('0x' || substr(md5('0:' || t.word), 1 + 8*q.l::INT, 8))::BIGINT % 1024)
+                   GROUP BY t.word, t.cnt, t.rank)
+      SELECT word, cnt::BIGINT AS exact_cnt, est_cnt, rank::BIGINT AS rank
+      FROM est""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = t(spark, dir, "documents")
+        .select(explode(toksCol).as("word"))
+      def lanes(df: org.apache.spark.sql.DataFrame) = df
+        .select(df.columns.map(col) :+
+          posexplode(graft.functions.Md5Lanes(col("word"), 0, 1)): _*)
+        .withColumn("cell", col("col") % 1024)
+        .withColumnRenamed("pos", "l")
+        .drop("col")
+      val sketch = lanes(words).groupBy(col("l"), col("cell"))
+        .agg(count(lit(1)).as("c"))
+      val exact = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // TakeOrderedAndProject (orderBy+limit), then a trivial 10-row
+      // window for the rank — same (cnt DESC, word) key as the oracle's
+      // row_number, without a vocabulary-wide single-partition window.
+      val top = exact.orderBy(col("cnt").desc, col("word")).limit(10)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+      lanes(top)
+        .join(broadcast(sketch), Seq("l", "cell"))
+        .groupBy(col("word"), col("cnt"), col("rank"))
+        .agg(min(col("c")).cast("long").as("est_cnt"))
+        .select(col("word"), col("cnt").cast("long").as("exact_cnt"),
+          col("est_cnt"), col("rank"))
+    })
+
+  val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup,
+    cmsTopk)
 }
