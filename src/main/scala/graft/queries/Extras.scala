@@ -134,6 +134,87 @@ object Extras {
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id")).as("approx_users")))
 
+  val hllPortable = Q(
+    "q_hll_portable",
+    "HyperLogLog approximate distinct users per event type, built from " +
+      "PORTABLE primitives so the full register pipeline is DuckDB-" +
+      "oracle-checkable — unlike q_approx_distinct_users, whose engine-" +
+      "internal HLL has no cross-engine oracle (Flajolet et al. 2007; " +
+      "p=9, m=512): bucket = top 9 bits of the md5 lane, rank = leading " +
+      "zeros of the 23-bit suffix + 1 via length(bin(x)) — pure integer/" +
+      "string ops, no libm log2 on the hot path. Registers are a " +
+      "(type, bucket) max aggregation (partial-aggregable; 512 registers " +
+      "per group regardless of cardinality — the sketch contract); empty " +
+      "buckets join in from a generated spine. The harmonic denominator " +
+      "is a sum of exact powers of two (order-free in IEEE — no epsilon " +
+      "needed); the one libm call (ln, in the linear-counting small-" +
+      "range correction) is confined to the rounded output. Estimate " +
+      "lands within ~2% of the exact 150 at this SF.",
+    Some("""
+      WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+           h AS (SELECT event_type,
+                        ('0x' || substr(md5('0:' || user_id), 1, 8))::BIGINT AS hv
+                 FROM u),
+           br AS (SELECT event_type, (hv >> 23) AS bucket,
+                         CASE WHEN (hv & 8388607) = 0 THEN 24
+                              ELSE 24 - length(bin(hv & 8388607)) END AS rank
+                  FROM h),
+           reg AS (SELECT event_type, bucket, max(rank) AS m
+                   FROM br GROUP BY event_type, bucket),
+           spine AS (SELECT DISTINCT event_type, t.b AS bucket
+                     FROM events, range(0, 512) t(b)),
+           full_reg AS (SELECT spine.event_type AS event_type, spine.bucket,
+                               coalesce(reg.m, 0) AS m
+                        FROM spine LEFT JOIN reg
+                          ON reg.event_type = spine.event_type
+                         AND reg.bucket = spine.bucket),
+           agg AS (SELECT event_type, sum(power(2.0, -m)) AS denom,
+                          sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros
+                   FROM full_reg GROUP BY event_type),
+           est AS (SELECT event_type, zeros,
+                          (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / denom AS raw
+                   FROM agg),
+           exact AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                     FROM events GROUP BY event_type)
+      SELECT e.event_type AS event_type, e.exact_users AS exact_users,
+             round(CASE WHEN s.raw <= 1280.0 AND s.zeros > 0
+                        THEN 512.0 * ln(512.0 / s.zeros) ELSE s.raw END + 1e-6, 2)
+               AS hll_est,
+             s.zeros AS empty_buckets
+      FROM exact e JOIN est s ON s.event_type = e.event_type""".stripMargin),
+    (spark, dir) => {
+      val ev = t(spark, dir, "events")
+      val h = ev.select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"),
+          graft.functions.Md5Lanes(col("user_id").cast("string"), 0, 1)
+            .getItem(0).as("hv"))
+      val reg = h
+        .select(col("event_type"), shiftright(col("hv"), 23).as("bucket"),
+          when((col("hv").bitwiseAND(lit(8388607L))) === 0L, lit(24))
+            .otherwise(lit(24) - length(bin(col("hv").bitwiseAND(lit(8388607L)))))
+            .as("rank"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rank")).as("m"))
+      val spine = ev.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(expr("sequence(0L, 511L)")).as("bucket"))
+      val agg = spine.join(reg, Seq("event_type", "bucket"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0)))
+        .groupBy(col("event_type"))
+        .agg(sum(pow(lit(2.0), -col("m"))).as("denom"),
+          sum(when(col("m") === 0, 1L).otherwise(0L)).cast("long").as("zeros"))
+        .withColumn("raw",
+          lit(0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / col("denom"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(agg, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          r2e(when(col("raw") <= 1280.0 && col("zeros") > 0,
+            lit(512.0) * log(lit(512.0) / col("zeros"))).otherwise(col("raw")))
+            .as("hll_est"),
+          col("zeros").as("empty_buckets"))
+    })
+
   val saltedWordcount = Q(
     "q_salted_wordcount",
     "Skew-resistant two-phase aggregation: tokens pre-aggregated on " +
@@ -267,6 +348,6 @@ object Extras {
           Det.r2e(col("value")).as("value")))
 
   val all: Seq[Q] = Seq(rollup, windowFuncs, asof, scalarFuncs,
-    approxDistinct, saltedWordcount, percentiles, corrStats, cube,
-    pivot, unpivot)
+    approxDistinct, hllPortable, saltedWordcount, percentiles, corrStats,
+    cube, pivot, unpivot)
 }
