@@ -26,8 +26,8 @@ object Bench {
     "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_pq_encode",
     "sim_topk_pq_adc", "dedup_semantic", "dedup_embedding_cosine",
     "kv_cas_replay", "ta_tfidf", "ta_repetition", "dedup_span",
-    "ta_decontaminate", "ta_cdc_chunks", "dedup_cdc",
-    "pipeline_corpus_clean", "pipeline_token_budget",
+    "ta_decontaminate", "ta_cdc_chunks", "dedup_cdc", "ta_cms_topk",
+    "q_hll_portable", "pipeline_corpus_clean", "pipeline_token_budget",
     "pipeline_modal_curation", "pipeline_training_corpus", "mm_decode_stub")
 
   def main(args: Array[String]): Unit = {
