@@ -279,6 +279,86 @@ object CorpusOps {
           (sum(col("shared")) / count(lit(1))).as("shared_frac"))
     })
 
+  val bloomIncremental = Q(
+    "dedup_bloom_incremental",
+    "Incremental sub-document dedup of an ARRIVING batch against a " +
+      "corpus-scale Bloom filter (Bloom 1970; the Broder/web-crawl 'have " +
+      "I seen this shingle' pattern): the existing corpus (doc_id % 5 != " +
+      "0) is reduced to a FIXED-SIZE bit set — k=4 bit positions per " +
+      "distinct CDC chunk fingerprint, extracted from the md5 hex itself " +
+      "(4 disjoint 8-hex-char lanes, so the oracle reproduces every " +
+      "position in SQL), OR-folded into 2048 word rows (32-bit words — shifts stay far" +
+      " from the BIGINT sign bit on both engines) by a perfectly " +
+      "partial-aggregable bit_or — and the new batch (doc_id % 5 == 0) " +
+      "probes it via a BROADCAST join, never shuffling the existing " +
+      "corpus at all. That asymmetry is the whole point at 100 TB: the " +
+      "accumulated store compresses to m bits (GB-scale for trillions of " +
+      "chunks at 1% FP), while per-batch work is O(new chunks). Each new " +
+      "doc reports its distinct chunks, Bloom maybe-hits (all 4 lanes " +
+      "set), and exact hits against the true fingerprint set computed " +
+      "alongside — bloom_hits >= exact_hits always (no false negatives; " +
+      "BloomSpec asserts the one-sided bound and measures the FP rate). " +
+      "m=65536/k=4 are demo-width knobs; the plan shape (fixed-size " +
+      "sketch, broadcast probe) is the production one.",
+    Some(s"""
+      WITH $CdcFpsSql,
+           fpd AS (SELECT DISTINCT doc_id, chunk_fp FROM fps),
+           ex AS (SELECT DISTINCT chunk_fp FROM fpd WHERE doc_id % 5 <> 0),
+           exl AS (SELECT ('0x' || substr(chunk_fp, 1 + 8*l::INT, 8))::BIGINT % 65536 AS pos
+                   FROM ex, range(0, 4) t(l)),
+           bloom AS (SELECT pos // 32 AS w,
+                            bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+                     FROM exl GROUP BY pos // 32),
+           nwl AS (SELECT doc_id, chunk_fp,
+                          ('0x' || substr(chunk_fp, 1 + 8*l::INT, 8))::BIGINT % 65536 AS pos
+                   FROM fpd, range(0, 4) t(l) WHERE doc_id % 5 = 0),
+           probe AS (SELECT doc_id, chunk_fp,
+                            CASE WHEN bits IS NOT NULL
+                                  AND (bits & (1::BIGINT << (pos % 32)::INT)) <> 0
+                                 THEN 1 ELSE 0 END AS hit
+                     FROM nwl LEFT JOIN bloom ON bloom.w = nwl.pos // 32),
+           chk AS (SELECT doc_id, chunk_fp,
+                          CASE WHEN sum(hit) = 4 THEN 1 ELSE 0 END AS bloom_hit
+                   FROM probe GROUP BY doc_id, chunk_fp),
+           wex AS (SELECT chk.doc_id, chk.bloom_hit,
+                          CASE WHEN ex.chunk_fp IS NULL THEN 0 ELSE 1 END AS exact_hit
+                   FROM chk LEFT JOIN ex ON ex.chunk_fp = chk.chunk_fp)
+      SELECT doc_id, count(*)::BIGINT AS n_chunks,
+             sum(bloom_hit)::BIGINT AS n_bloom_hits,
+             sum(exact_hit)::BIGINT AS n_exact_hits
+      FROM wex GROUP BY doc_id""".stripMargin),
+    (spark, dir) => {
+      // One CDC scan feeds both the sketch build and the probe side.
+      val fpd = Q.materialize(
+        cdcFps(t(spark, dir, "documents")).distinct())
+      val ex = fpd.filter(col("doc_id") % 5 =!= 0)
+        .select(col("chunk_fp")).distinct()
+      // k=4 positions per fingerprint, straight from the md5 hex: lane l
+      // is hex chars [8l, 8l+8) parsed as a 32-bit value, mod m=65536.
+      def lanes(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("l", explode(sequence(lit(0), lit(3))))
+        .withColumn("pos", expr(
+          "cast(conv(substring(chunk_fp, cast(1 + 8*l as int), 8), 16, 10) as bigint) % 65536"))
+      val bloom = lanes(ex)
+        .groupBy(expr("pos div 32").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, cast(pos % 32 as int)))").as("bits"))
+      val probe = lanes(fpd.filter(col("doc_id") % 5 === 0))
+        .withColumn("w", expr("pos div 32"))
+        .join(broadcast(bloom), Seq("w"), "left")
+        .withColumn("hit", when(col("bits").isNotNull &&
+          expr("(bits & shiftleft(1L, cast(pos % 32 as int))) <> 0"), 1)
+          .otherwise(0))
+      val chk = probe.groupBy(col("doc_id"), col("chunk_fp"))
+        .agg(when(sum(col("hit")) === 4, 1).otherwise(0).as("bloom_hit"))
+      chk.join(broadcast(ex.withColumn("mark", lit(1))), Seq("chunk_fp"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          when(col("mark").isNull, 0).otherwise(1).as("exact_hit"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+          sum(col("bloom_hit")).cast("long").as("n_bloom_hits"),
+          sum(col("exact_hit")).cast("long").as("n_exact_hits"))
+    })
+
   val cmsTopk = Q(
     "ta_cms_topk",
     "Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005) — the " +
@@ -338,5 +418,5 @@ object CorpusOps {
     })
 
   val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup,
-    cmsTopk)
+    bloomIncremental, cmsTopk)
 }
