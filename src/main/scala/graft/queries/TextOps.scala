@@ -700,8 +700,59 @@ object TextOps {
           sum(col("chunk_tokens")).cast("long").as("total_chunk_tokens"))
     })
 
+  val datasetCard = Q(
+    "pipeline_dataset_card",
+    "The dataset-card census a corpus release publishes (the 'data " +
+      "composition' table of every LLM report): per (source × lang) cell " +
+      "PLUS per-source, per-lang, and corpus-total margins — doc count, " +
+      "token total, mean quality score, distinct-text count, and " +
+      "exact-dup fraction — in ONE aggregation pass via GROUPING SETS. " +
+      "At 100 TB this is the plan that replaces four separate sweeps: " +
+      "Expand multiplies rows 4× AFTER the per-doc projection (tokens " +
+      "already counted, text already reduced to an md5), so the corpus " +
+      "is scanned and tokenized exactly once and only fixed-width rows " +
+      "shuffle. avg_quality is epsilon-rounded (Det.r4e); dup_frac is an " +
+      "exact integer ratio, unrounded by design.",
+    Some(s"""
+      WITH d AS (
+        SELECT source, lang,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+               len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_distinct,
+               md5(text) AS fp
+        FROM documents)
+      SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+             count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS total_tokens,
+             round(avg($QualitySql) + 1e-8, 4) AS avg_quality,
+             count(DISTINCT fp)::BIGINT AS n_unique_texts,
+             (count(*) - count(DISTINCT fp)) / count(*) AS dup_frac
+      FROM d
+      GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      t(spark, dir, "documents")
+        .select(col("source"), col("lang"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          md5(col("text")).as("fp"))
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")),
+            Seq(col("lang")), Seq()),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          Det.r4e(avg(qualityCol)).as("avg_quality"),
+          countDistinct(col("fp")).cast("long").as("n_unique_texts"),
+          ((count(lit(1)) - countDistinct(col("fp"))) / count(lit(1)))
+            .as("dup_frac"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("total_tokens"), col("avg_quality"),
+          col("n_unique_texts"), col("dup_frac"))
+    })
+
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
-    tokenBudget, trainingCorpus)
+    tokenBudget, trainingCorpus, datasetCard)
 }
