@@ -200,6 +200,32 @@ object CorpusOps {
           (sum(col("hit")) > 0).as("contaminated"))
     })
 
+  /** `keep` columns + the DISTINCT CDC chunk fingerprints of `text` as one
+    * array column `chunk_fps` — the same cuts/chunks/md5 math as [[cdcFps]]
+    * but fully stateless and explode-free, so the streaming face can apply
+    * it per arriving row before its keyed state with zero pre-shuffle work
+    * (`Streams.cdcDedupStream` shares it; parameters locked to
+    * ta_cdc_chunks' window=8/maskBits=5). Each step is its own projection:
+    * `cuts`/`starts`/`ends` become attributes, which CollapseProject keeps
+    * (multi-referenced non-cheap expressions are not inlined), so CdcCuts
+    * runs once per row.
+    */
+  private[graft] def cdcFpArray(docs: org.apache.spark.sql.DataFrame,
+      keep: String*): org.apache.spark.sql.DataFrame = {
+    val k = keep.map(col)
+    docs
+      .select(k :+ col("text") :+
+        graft.functions.CdcCuts(col("text"), 8, 5).as("cuts"): _*)
+      .select(k :+ col("text") :+
+        expr("concat(array(0L), cuts)").as("starts") :+
+        expr("concat(cuts, array(cast(length(text) as bigint)))").as("ends"): _*)
+      .select(k :+ expr(
+        "array_distinct(transform(" +
+          "filter(sequence(0, size(starts) - 1), i -> ends[i] > starts[i]), " +
+          "i -> md5(substring(text, cast(starts[i] + 1 as int), " +
+          "cast(ends[i] - starts[i] as int)))))").as("chunk_fps"): _*)
+  }
+
   /** Spark-side CDC chunk fingerprints (doc_id, chunk_fp) — the
     * ta_cdc_chunks pipeline reduced to its dedup-relevant columns.
     */

@@ -303,6 +303,70 @@ object Streams {
       }
   }
 
+  /** An arriving doc that contains a CDC chunk already owned by an earlier
+    * document — one row per (doc, chunk) duplication observed.
+    */
+  case class ChunkDup(doc_id: Long, chunk_fp: String, owner_doc_id: Long)
+
+  /** Streaming chunk-level dedup over content-defined boundaries — the
+    * incremental face of `dedup_cdc`: each arriving doc is reduced to its
+    * DISTINCT CDC chunk fingerprints by the SAME stateless projection the
+    * batch path uses (`CorpusOps.cdcFpArray`, window=8/maskBits=5 locked
+    * to ta_cdc_chunks), then one GroupState cell per fingerprint records
+    * the chunk's OWNER (the first doc that carried it), and every later
+    * doc carrying the same chunk emits a [[ChunkDup]] against that owner.
+    * CDC is what makes this work under edits: an insertion re-synchronizes
+    * chunk boundaries, so an edited near-dup still collides on most of its
+    * chunks (fixed-stride chunking would miss everything past the edit).
+    *
+    * Semantics vs batch, stated honestly: `dedup_cdc` marks EVERY doc of a
+    * ≥2-doc chunk cohort as shared (retroactive census); a stream cannot
+    * retract, so the owner itself is never flagged — arrivals after it
+    * are. Within a micro-batch, ownership is deterministic (doc_id order);
+    * across batches it is arrival order — StreamsSpec pins both. State is
+    * one long per live fingerprint, evicted by the same watermark-driven
+    * event-time TTL as the LSH buckets ([[lshDedupCandidates]]): chunks
+    * idle past `chunkTtlSeconds` are forgotten, bounding state by
+    * fingerprints ACTIVE in the TTL window at the documented cost that a
+    * dup arriving later re-seeds ownership instead of pairing.
+    */
+  def cdcDedupStream(spark: SparkSession, docs: Dataset[DocEvent],
+      chunkTtlSeconds: Long = 3600,
+      watermarkDelay: String = "1 hour"): Dataset[ChunkDup] = {
+    import spark.implicits._
+    graft.queries.CorpusOps
+      .cdcFpArray(docs.toDF().withWatermark("ts", watermarkDelay),
+        "doc_id", "ts")
+      .select(col("doc_id"), col("ts"), explode(col("chunk_fps")).as("chunk_fp"))
+      .as[(Long, Timestamp, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Long, ChunkDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (fp: String, it: Iterator[(Long, Timestamp, String)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val out = Seq.newBuilder[ChunkDup]
+            var owner = state.getOption
+            rows.map(_._1).sorted.foreach { d =>
+              owner match {
+                case Some(o) => if (d != o) out += ChunkDup(d, fp, o)
+                case None => owner = Some(d)
+              }
+            }
+            owner.foreach(state.update)
+            val maxTsMs = rows.map(r => micros(r._2) / 1000L).max
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1000,
+              maxTsMs + chunkTtlSeconds * 1000))
+            out.result().iterator
+          }
+      }
+  }
+
   /** The full streaming dedup pipeline: [[lshDedupCandidates]] composed
     * with the SAME exact shingle-Jaccard verification the batch
     * `dedup_lsh_verified` query applies — candidates are joined (stateless

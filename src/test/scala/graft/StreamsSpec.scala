@@ -393,6 +393,95 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC dedup pairs later docs against each chunk's owner") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams.{ChunkDup, DocEvent}
+    // Long repetitive-free texts so CDC (window=8, maskBits=5, ~32-char
+    // expected chunks) yields several chunks each. Doc 2 repeats doc 1
+    // exactly; doc 5 (batch 2) edits doc 1's PREFIX, so CDC re-syncs and
+    // the suffix chunks still collide; doc 3 is disjoint.
+    val textA = ("the quick brown fox jumps over the lazy dog while " +
+      "seventeen green bottles stand on the wall near the old mill by " +
+      "the river and nobody expected the spanish inquisition that day") * 2
+    val textB = "completely different content about spark catalyst " +
+      "optimizer rules and tungsten codegen stages running on executors " +
+      "with shuffle partitions and broadcast variables everywhere always"
+    val textA2 = "EDITED PREFIX INSERTED HERE " + textA
+    val batches = Seq(
+      Seq(DocEvent(1, ts(0), textA), DocEvent(2, ts(1), textA),
+        DocEvent(3, ts(2), textB)),
+      Seq(DocEvent(5, ts(5), textA2)))
+    // Batch-derived truth: fps per doc from the SAME shared projection,
+    // owners assigned in arrival order (batch index, then doc_id).
+    val fps = graft.queries.CorpusOps
+      .cdcFpArray(batches.flatten.toDS().toDF(), "doc_id")
+      .as[(Long, Seq[String])].collect().toMap
+    val owner = scala.collection.mutable.Map[String, Long]()
+    val want = scala.collection.mutable.Set[(Long, String, Long)]()
+    batches.foreach(_.sortBy(_.doc_id).foreach { d =>
+      fps(d.doc_id).foreach { fp =>
+        owner.get(fp) match {
+          case Some(o) => if (o != d.doc_id) want += ((d.doc_id, fp, o))
+          case None => owner(fp) = d.doc_id
+        }
+      }
+    })
+    val input = MemoryStream[DocEvent]
+    val q = Streams.cdcDedupStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("cdc_dedup")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("cdc_dedup").as[ChunkDup]
+        .collect().map(c => (c.doc_id, c.chunk_fp, c.owner_doc_id)).toSet
+      assert(got == want.toSet,
+        s"stream-only=${got -- want}, truth-only=${want.toSet -- got}")
+      // The scenario is non-degenerate: the exact copy collides on ALL of
+      // doc 1's chunks, the prefix-edited doc on SOME (CDC re-sync), the
+      // disjoint doc on none.
+      assert(got.count(_._1 == 2L) == fps(1L).size)
+      val editedHits = got.count(_._1 == 5L)
+      assert(editedHits > 0 && fps(5L).size > editedHits)
+      assert(!got.exists(_._1 == 3L))
+    } finally q.stop()
+  }
+
+  test("streaming CDC dedup evicts idle chunk owners past the event-time TTL") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{ChunkDup, DocEvent}
+    val textA = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen green bottles stand on the wall near the old mill"
+    val textC = "unrelated watermark driver content with many plain words " +
+      "that move event time forward without colliding with anything else"
+    val input = MemoryStream[DocEvent]
+    val q = Streams.cdcDedupStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("cdc_dedup_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(DocEvent(1, ts(0), textA))
+      q.processAllAvailable()
+      // Advance the watermark past t0 + TTL (3600 s) + delay (1 h):
+      // ts(200) - 1 h watermark = minute 140 > minute 60 TTL bound.
+      input.addData(DocEvent(3, ts(200), textC))
+      q.processAllAvailable()
+      input.addData(DocEvent(6, ts(210), textC))
+      q.processAllAvailable()
+      // Doc 1's chunk owners were evicted: the re-arrival re-seeds
+      // ownership silently instead of pairing.
+      input.addData(DocEvent(5, ts(215), textA))
+      q.processAllAvailable()
+      val got = spark.table("cdc_dedup_ttl").as[ChunkDup].collect()
+      assert(!got.exists(c => c.doc_id == 5L),
+        s"expected eviction, got pairs ${got.toSeq}")
+      // The TTL path is live, not vacuous: the textC re-arrival inside
+      // the window DOES pair against its owner.
+      assert(got.exists(c => c.doc_id == 6L && c.owner_doc_id == 3L))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates keeps first per key") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
