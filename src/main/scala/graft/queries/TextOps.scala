@@ -700,6 +700,87 @@ object TextOps {
           sum(col("chunk_tokens")).cast("long").as("total_chunk_tokens"))
     })
 
+  val sampleExactK = Q(
+    "pipeline_sample_exact_k",
+    "Exact-size stratified sampling — the companion to the Bernoulli " +
+      "sampler for when the budget is a hard count, not a rate: exactly " +
+      "k=5 docs per source, selected by ranking each stratum on the " +
+      "seed-9 md5 digest of the doc id (a deterministic uniform " +
+      "permutation — reproducible across runs, engines, partitionings; " +
+      "doc_id tie-break for digest collisions). One shuffle by source; " +
+      "the rank<=k predicate compiles to WindowGroupLimit, so each " +
+      "partition retains only its top-k rows during the sort instead of " +
+      "fully sorting every stratum — the 100 TB-safe form of per-group " +
+      "sampling (per-stratum state is k rows, not the stratum).",
+    Some("""
+      SELECT source, doc_id, rk
+      FROM (SELECT source, doc_id,
+                   row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY md5('9:' || doc_id), doc_id) AS rk
+            FROM documents)
+      WHERE rk <= 5""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          md5(concat(lit("9:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("h"), col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("doc_id"), col("rk")))
+
+  val unigramLogprob = Q(
+    "ta_unigram_logprob",
+    "Unigram cross-entropy per document — the perplexity-proxy quality " +
+      "filter (CCNet/Wenzek et al. 2020 filter on LM perplexity; the " +
+      "unigram LM is its shuffle-only analog): per doc, the mean " +
+      "negative log-probability of its tokens under the corpus unigram " +
+      "distribution, plus its exp (the perplexity). Boilerplate and " +
+      "degenerate repetition score LOW (common tokens), rare-gibberish " +
+      "scores HIGH — the two tails a pipeline trims. ONE token-explosion " +
+      "pass builds (doc, word) counts; the corpus distribution derives " +
+      "from that frame (no second scan), joins back by word — at 100 TB " +
+      "a genuine shuffle join, the vocabulary is not broadcastable — and " +
+      "the corpus total joins as a broadcast 1-row aggregate. ln is libm " +
+      "on both engines: identical inputs, sub-ulp noise absorbed by the " +
+      "epsilon-shifted rounding.",
+    Some("""
+      WITH w AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents),
+           tf AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+           freq AS (SELECT word, sum(c)::BIGINT AS cnt FROM tf GROUP BY word),
+           tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM freq),
+           x AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                        -sum(c * (ln(1.0 * cnt) - ln(1.0 * n_total))) AS nll
+                 FROM tf JOIN freq ON freq.word = tf.word, tot
+                 GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+             round(nll / n_tokens + 1e-8, 4) AS xent,
+             round(exp(nll / n_tokens) + 1e-6, 2) AS ppl
+      FROM x""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val tf = Q.materialize(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("c")))
+      val freq = tf.groupBy(col("word"))
+        .agg(sum(col("c")).cast("long").as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).cast("long").as("n_total"))
+      tf.join(freq, "word")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          (-sum(col("c") * (log(col("cnt").cast("double")) -
+            log(col("n_total").cast("double"))))).as("nll"))
+        .select(col("doc_id"), col("n_tokens"),
+          Det.r4e(col("nll") / col("n_tokens")).as("xent"),
+          Det.r2e(exp(col("nll") / col("n_tokens"))).as("ppl"))
+    })
+
   val datasetCard = Q(
     "pipeline_dataset_card",
     "The dataset-card census a corpus release publishes (the 'data " +
@@ -754,5 +835,5 @@ object TextOps {
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
-    tokenBudget, trainingCorpus, datasetCard)
+    sampleExactK, unigramLogprob, tokenBudget, trainingCorpus, datasetCard)
 }
