@@ -347,7 +347,93 @@ object Extras {
         .select(col("c_custkey"), col("measure"),
           Det.r2e(col("value")).as("value")))
 
+  val hllMerge = Q(
+    "q_hll_merge",
+    "HLL MERGEABILITY — the property that makes sketches the 100 TB " +
+      "cardinality answer: registers built independently per partition " +
+      "(here, per event_type) and merged by bucket-wise max are " +
+      "BIT-IDENTICAL to registers built over the union directly (max is " +
+      "associative/commutative/idempotent, and a user shared by two " +
+      "types hashes to the same (bucket, rank) in both partial " +
+      "sketches). The query computes both paths with the same portable " +
+      "p=9 primitives as q_hll_portable and emits both estimates plus " +
+      "their equality — est_match is TRUE by mathematics, not " +
+      "coincidence. Operationally this is the contract that lets a " +
+      "cluster sketch each of 10^5 partitions once and answer global " +
+      "AND per-partition distinct counts from 512-byte register sets, " +
+      "no re-scan — the single-row assemblies at the end are bounded " +
+      "1-row broadcast crosses.",
+    Some("""
+      WITH br AS (SELECT event_type, (hv >> 23) AS bucket,
+                         CASE WHEN (hv & 8388607) = 0 THEN 24
+                              ELSE 24 - length(bin(hv & 8388607)) END AS rank
+                  FROM (SELECT event_type,
+                               ('0x' || substr(md5('0:' || user_id), 1, 8))::BIGINT AS hv
+                        FROM (SELECT DISTINCT event_type, user_id FROM events))),
+           preg AS (SELECT event_type, bucket, max(rank) AS m
+                    FROM br GROUP BY event_type, bucket),
+           merged AS (SELECT bucket, max(m) AS m FROM preg GROUP BY bucket),
+           dbr AS (SELECT (hv >> 23) AS bucket,
+                          CASE WHEN (hv & 8388607) = 0 THEN 24
+                               ELSE 24 - length(bin(hv & 8388607)) END AS rank
+                   FROM (SELECT ('0x' || substr(md5('0:' || user_id), 1, 8))::BIGINT AS hv
+                         FROM (SELECT DISTINCT user_id FROM events))),
+           direct AS (SELECT bucket, max(rank) AS m FROM dbr GROUP BY bucket),
+           spine AS (SELECT t.b AS bucket FROM range(0, 512) t(b)),
+           est_m AS (SELECT round(CASE WHEN raw <= 1280.0 AND zeros > 0
+                                       THEN 512.0 * ln(512.0 / zeros) ELSE raw END + 1e-6, 2) AS merged_est
+                     FROM (SELECT (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / sum(power(2.0, -m)) AS raw,
+                                  sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros
+                           FROM (SELECT spine.bucket, coalesce(merged.m, 0) AS m
+                                 FROM spine LEFT JOIN merged ON merged.bucket = spine.bucket))),
+           est_d AS (SELECT round(CASE WHEN raw <= 1280.0 AND zeros > 0
+                                       THEN 512.0 * ln(512.0 / zeros) ELSE raw END + 1e-6, 2) AS direct_est
+                     FROM (SELECT (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / sum(power(2.0, -m)) AS raw,
+                                  sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros
+                           FROM (SELECT spine.bucket, coalesce(direct.m, 0) AS m
+                                 FROM spine LEFT JOIN direct ON direct.bucket = spine.bucket))),
+           ex AS (SELECT count(DISTINCT user_id) AS exact_users FROM events),
+           np AS (SELECT count(DISTINCT event_type)::BIGINT AS n_partials FROM events)
+      SELECT exact_users, n_partials, merged_est, direct_est,
+             merged_est = direct_est AS est_match
+      FROM ex, np, est_m, est_d""".stripMargin),
+    (spark, dir) => {
+      val ev = t(spark, dir, "events")
+      def hvCol = graft.functions.Md5Lanes(col("user_id").cast("string"), 0, 1)
+        .getItem(0).as("hv")
+      def brOf(df: org.apache.spark.sql.DataFrame, keep: Seq[String]) = df
+        .select(keep.map(col) :+ hvCol: _*)
+        .select(keep.map(col) :+ shiftright(col("hv"), 23).as("bucket") :+
+          when((col("hv").bitwiseAND(lit(8388607L))) === 0L, lit(24))
+            .otherwise(lit(24) -
+              length(bin(col("hv").bitwiseAND(lit(8388607L))))).as("rank"): _*)
+      val preg = brOf(ev.select(col("event_type"), col("user_id")).distinct(),
+        Seq("event_type"))
+        .groupBy(col("event_type"), col("bucket")).agg(max(col("rank")).as("m"))
+      val merged = preg.groupBy(col("bucket")).agg(max(col("m")).as("m"))
+      val direct = brOf(ev.select(col("user_id")).distinct(), Seq.empty)
+        .groupBy(col("bucket")).agg(max(col("rank")).as("m"))
+      val spine = spark.range(512).select(col("id").as("bucket"))
+      def estOf(reg: org.apache.spark.sql.DataFrame, name: String) = spine
+        .join(reg, Seq("bucket"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0)))
+        .agg(sum(pow(lit(2.0), -col("m"))).as("denom"),
+          sum(when(col("m") === 0, 1L).otherwise(0L)).cast("long").as("zeros"))
+        .withColumn("raw",
+          lit(0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / col("denom"))
+        .select(r2e(when(col("raw") <= 1280.0 && col("zeros") > 0,
+          lit(512.0) * log(lit(512.0) / col("zeros"))).otherwise(col("raw")))
+          .as(name))
+      val ex = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      val np = ev.agg(countDistinct(col("event_type")).cast("long")
+        .as("n_partials"))
+      ex.crossJoin(broadcast(np))
+        .crossJoin(broadcast(estOf(merged, "merged_est")))
+        .crossJoin(broadcast(estOf(direct, "direct_est")))
+        .withColumn("est_match", col("merged_est") === col("direct_est"))
+    })
+
   val all: Seq[Q] = Seq(rollup, windowFuncs, asof, scalarFuncs,
-    approxDistinct, hllPortable, saltedWordcount, percentiles, corrStats,
-    cube, pivot, unpivot)
+    approxDistinct, hllPortable, hllMerge, saltedWordcount, percentiles,
+    corrStats, cube, pivot, unpivot)
 }

@@ -782,7 +782,36 @@ object Similarity {
         .agg(round(avg(col("col")) + lit(1e-9), 6).as("c"),
           count(lit(1)).as("n")))
 
+  val dimStats = Q(
+    "sim_dim_stats",
+    "Per-dimension distribution statistics over the embedding corpus — " +
+      "the whitening / normalization / PCA-preprocessing primitive (and " +
+      "the drift monitor a production vector pipeline runs per batch): " +
+      "mean, sample variance, min, max for each of the 64 dimensions in " +
+      "ONE posexplode + (dim) aggregation — all four moments are " +
+      "algebraic, so the map side reduces every partition to 64 partial " +
+      "rows regardless of corpus size and vectors never collect. " +
+      "mean/variance are epsilon-rounded (summation-order noise); " +
+      "min/max are exact float widenings.",
+    Some("""
+      SELECT i::BIGINT AS pos,
+             round(avg(embedding[i + 1]::DOUBLE) + 1e-8, 4) AS mean,
+             round(var_samp(embedding[i + 1]::DOUBLE) + 1e-8, 4) AS variance,
+             min(embedding[i + 1])::DOUBLE AS vmin,
+             max(embedding[i + 1])::DOUBLE AS vmax
+      FROM (SELECT embedding, unnest(range(0, len(embedding))) AS i
+            FROM embeddings)
+      GROUP BY pos""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "embeddings")
+        .select(posexplode(transform(col("embedding"), x => x.cast("double"))))
+        .groupBy(col("pos").cast("long").as("pos"))
+        .agg(Det.r4e(avg(col("col"))).as("mean"),
+          Det.r4e(var_samp(col("col"))).as("variance"),
+          min(col("col")).as("vmin"),
+          max(col("col")).as("vmax")))
+
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
     kmeansIter2, pqEncodeQ, topkPqAdc, semanticDedup, modalCuration,
-    nearDup, histogram, labelCentroid)
+    nearDup, histogram, labelCentroid, dimStats)
 }
