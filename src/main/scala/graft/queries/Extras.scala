@@ -433,7 +433,77 @@ object Extras {
         .withColumn("est_match", col("merged_est") === col("direct_est"))
     })
 
+  val quantileSketch = Q(
+    "q_quantile_sketch",
+    "Mergeable quantile sketch — the fourth member of the sketch family " +
+      "(CMS = frequency, HLL = cardinality, Bloom = membership, " +
+      "histogram = quantiles): a fixed 1024-bucket equi-width histogram " +
+      "of order values (the t-digest/KLL contract at its simplest — the " +
+      "bucket-count build is a bounded partial-aggregable shape whose " +
+      "partials merge by addition), read out as p50/p90/p99 by " +
+      "cumulative walk (a window over AT MOST 1024 rows — never the " +
+      "data), next to the exact interpolated percentiles for the error " +
+      "demonstration. Two bounded scans: a 1-row min/max/count " +
+      "aggregate broadcast back to bucket the values (the classic " +
+      "two-pass batch histogram), then the sketch build. Estimate = " +
+      "bucket upper edge, so error ≤ one bucket width by construction " +
+      "(QuantileSketchSpec asserts it).",
+    Some("""
+      WITH rng AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+                          count(*) AS n
+                   FROM orders),
+           b AS (SELECT least(floor((o_totalprice - mn) / ((mx - mn) / 1024.0)),
+                               1023)::BIGINT AS bucket, n
+                 FROM orders, rng),
+           h AS (SELECT bucket, n, count(*) AS c FROM b GROUP BY bucket, n),
+           cum AS (SELECT bucket, n, sum(c) OVER (ORDER BY bucket) AS cum FROM h),
+           qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+           eb AS (SELECT q, min(bucket) AS eb
+                  FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n)
+                  GROUP BY q),
+           est AS (SELECT q,
+                          round(mn + (eb + 1) * ((mx - mn) / 1024.0) + 1e-6, 2)
+                            AS hist_est
+                   FROM eb, rng),
+           ex AS (SELECT round(quantile_cont(o_totalprice, 0.5) + 1e-6, 2) AS e50,
+                         round(quantile_cont(o_totalprice, 0.9) + 1e-6, 2) AS e90,
+                         round(quantile_cont(o_totalprice, 0.99) + 1e-6, 2) AS e99
+                  FROM orders),
+           exact AS (SELECT 0.5 AS q, e50 AS exact_cont FROM ex
+                     UNION ALL SELECT 0.9, e90 FROM ex
+                     UNION ALL SELECT 0.99, e99 FROM ex)
+      SELECT est.q AS q, hist_est, exact_cont
+      FROM est JOIN exact ON exact.q = est.q""".stripMargin),
+    (spark, dir) => {
+      val ord = t(spark, dir, "orders")
+      val rng = ord.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"), count(lit(1)).as("n"))
+      val width = (col("mx") - col("mn")) / lit(1024.0)
+      val h = ord.select(col("o_totalprice")).crossJoin(broadcast(rng))
+        .select(least(floor((col("o_totalprice") - col("mn")) / width),
+          lit(1023)).cast("long").as("bucket"), col("n"))
+        .groupBy(col("bucket"), col("n")).agg(count(lit(1)).as("c"))
+      val cum = h.withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val qs = spark.range(1)
+        .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+      val est = qs.join(cum, col("cum") >= ceil(col("q") * col("n")))
+        .groupBy(col("q")).agg(min(col("bucket")).as("eb"))
+        .crossJoin(broadcast(rng))
+        .select(col("q"),
+          r2e(col("mn") + (col("eb") + 1) * width).as("hist_est"))
+      val ex = ord.agg(
+        r2e(expr("percentile(o_totalprice, 0.5D)")).as("e50"),
+        r2e(expr("percentile(o_totalprice, 0.9D)")).as("e90"),
+        r2e(expr("percentile(o_totalprice, 0.99D)")).as("e99"))
+      val exact = ex.select(lit(0.5).as("q"), col("e50").as("exact_cont"))
+        .union(ex.select(lit(0.9), col("e90")))
+        .union(ex.select(lit(0.99), col("e99")))
+      est.join(exact, "q")
+    })
+
   val all: Seq[Q] = Seq(rollup, windowFuncs, asof, scalarFuncs,
     approxDistinct, hllPortable, hllMerge, saltedWordcount, percentiles,
-    corrStats, cube, pivot, unpivot)
+    corrStats, cube, pivot, unpivot, quantileSketch)
 }
