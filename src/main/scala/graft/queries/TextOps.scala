@@ -781,6 +781,55 @@ object TextOps {
           Det.r2e(exp(col("nll") / col("n_tokens"))).as("ppl"))
     })
 
+  val quarantine = Q(
+    "pipeline_quarantine",
+    "Reject quarantine census — the dead-letter-queue pattern of a " +
+      "production ingestion pipeline: every document is routed to " +
+      "exactly one bucket by a FIXED precedence of reject rules " +
+      "(too_short: under 50 tokens, the Gopher document-length floor, " +
+      "Rae et al. 2021 §A1.1; low_quality: the shared composite score " +
+      "under 0.35; lang_mismatch: stopword-argmax prediction disagrees " +
+      "with the label; else clean), and the per-(source, reason) census " +
+      "with token volumes is what the pipeline operator actually " +
+      "watches — WHY data is dropped and from where, not just how much. " +
+      "Reuses the exact langid/quality expression builders of " +
+      "ta_langid/ta_quality_score/pipeline_corpus_clean (single " +
+      "definition, no drift). One pass, one aggregation; the reason " +
+      "column is a pure codegen CASE chain.",
+    Some(s"""
+      WITH d AS (
+        SELECT source, lang,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+               len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_distinct,
+               $LangScoresSql
+        FROM documents),
+           r AS (SELECT source,
+                        CASE WHEN n_tokens < 50 THEN 'too_short'
+                             WHEN ($QualitySql) < 0.35 THEN 'low_quality'
+                             WHEN ($LangPredSql) <> lang THEN 'lang_mismatch'
+                             ELSE 'clean' END AS reason,
+                        n_tokens
+                 FROM d)
+      SELECT source, reason, count(*) AS n_docs,
+             sum(n_tokens)::BIGINT AS total_tokens
+      FROM r GROUP BY source, reason""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      t(spark, dir, "documents")
+        .select(Seq(col("source"), col("lang"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct")) ++
+          langScoreCols: _*)
+        .withColumn("reason",
+          when(col("n_tokens") < 50, "too_short")
+            .when(qualityCol < 0.35, "low_quality")
+            .when(langPredCol =!= col("lang"), "lang_mismatch")
+            .otherwise("clean"))
+        .groupBy(col("source"), col("reason"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+    })
+
   val datasetCard = Q(
     "pipeline_dataset_card",
     "The dataset-card census a corpus release publishes (the 'data " +
@@ -835,5 +884,6 @@ object TextOps {
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
-    sampleExactK, unigramLogprob, tokenBudget, trainingCorpus, datasetCard)
+    sampleExactK, unigramLogprob, tokenBudget, trainingCorpus, datasetCard,
+    quarantine)
 }
