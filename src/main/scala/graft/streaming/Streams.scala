@@ -303,6 +303,27 @@ object Streams {
       }
   }
 
+  /** Streaming fixed-range histogram sketch — the incremental face of
+    * `q_quantile_sketch`'s build stage: per-bucket counts over a FIXED
+    * [mn, mx) range (a stream cannot two-pass for min/max; production
+    * streaming histograms pin the range a priori and clamp outliers into
+    * the edge buckets — the clamp is the honest divergence from the
+    * batch sketch, which derives its range from the data). The state is
+    * the sketch itself: at most `buckets` rows regardless of stream
+    * volume, updated by a partial-aggregable count — the property that
+    * makes sketch maintenance FREE under retries and repartitioning.
+    * Quantile readout happens sink-side over the ≤`buckets`-row table,
+    * exactly as the batch query's cumulative walk.
+    */
+  def histogramStream(values: DataFrame, mn: Double, mx: Double,
+      buckets: Int = 1024, watermarkDelay: String = "1 hour"): DataFrame =
+    values
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(greatest(least(
+        floor((col("value") - lit(mn)) / lit((mx - mn) / buckets)),
+        lit(buckets - 1).cast("long")), lit(0L)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** An arriving doc that contains a CDC chunk already owned by an earlier
     * document — one row per (doc, chunk) duplication observed.
     */

@@ -393,6 +393,42 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming histogram sketch equals the batch bucket counts") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Values spanning the range plus out-of-range outliers (clamped into
+    // the edge buckets) — the streaming histogram contract.
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 5.0),
+      Event(2, ts(1), 1, "click", 37.5),
+      Event(3, ts(2), 2, "view", 99.9),
+      Event(4, ts(3), 2, "view", -3.0),   // below range -> bucket 0
+      Event(5, ts(4), 3, "click", 250.0), // above range -> top bucket
+      Event(6, ts(5), 3, "view", 37.5))
+    val input = MemoryStream[Event]
+    val q = Streams.histogramStream(input.toDF(), 0.0, 100.0, buckets = 16)
+      .writeStream.format("memory").queryName("hist")
+      .outputMode("update").start()
+    try {
+      input.addData(events.take(3): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      // Update mode re-emits refreshed buckets: keep the LAST row per key.
+      val got = spark.table("hist")
+        .withColumn("rn", monotonically_increasing_id())
+        .groupBy(col("bucket"))
+        .agg(max_by(col("c"), col("rn")).as("c"))
+        .as[(Long, Long)].collect().toSet
+      val want = Streams.histogramStream(events.toDF(), 0.0, 100.0, 16)
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, s"stream=$got batch=$want")
+      // Pinned: 5.0->b0, 37.5 x2 -> b6, 99.9 -> b15, clamps -> b0/b15.
+      assert(want == Set((0L, 2L), (6L, 2L), (15L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming CDC dedup pairs later docs against each chunk's owner") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
