@@ -811,7 +811,71 @@ object Similarity {
           min(col("col")).as("vmin"),
           max(col("col")).as("vmax")))
 
+  val powerIteration = Q(
+    "sim_power_iteration",
+    "Two rounds of distributed power iteration toward the top principal " +
+      "component — the spectral/PCA primitive (whitening's companion to " +
+      "sim_dim_stats): v ← AᵀAv / ‖AᵀAv‖ without EVER materializing the " +
+      "64×64 Gram matrix or collecting a vector. Per round: the 64-value " +
+      "v packs into a 1-row array (64-row sort_array collect — bounded, " +
+      "not data-scale), broadcasts across the corpus for per-row dots " +
+      "via the native ordered-fold ArrayDot (bit-identical to DuckDB's " +
+      "list_dot_product, no rounding needed), then Av's weighted " +
+      "column-sums reduce by dimension — the ONE data-scale aggregation, " +
+      "64 partial rows per partition. Every cross-row aggregate is " +
+      "rounded to 6 decimals on both engines before reuse, so FP " +
+      "summation-order noise cannot compound across rounds. (These " +
+      "embeddings are isotropic noise — the spectrum is flat, so the " +
+      "direction after 2 rounds is data- and seed-determined rather " +
+      "than a dominant eigenvector; the machinery, not the geometry, is " +
+      "what's exercised — honestly, as with PQ recall.)",
+    Some("""
+      WITH v0 AS (SELECT list_transform(range(0, 64), i -> 0.125::DOUBLE) AS varr),
+           d1 AS (SELECT vec_id, embedding,
+                         list_dot_product(list_transform(embedding, x -> x::DOUBLE), varr) AS dot
+                  FROM embeddings, v0),
+           u1 AS (SELECT i AS pos, round(sum(embedding[i + 1]::DOUBLE * dot) + 1e-9, 6) AS u
+                  FROM (SELECT embedding, dot, unnest(range(0, 64)) AS i FROM d1)
+                  GROUP BY pos),
+           n1 AS (SELECT round(sqrt(sum(u * u)) + 1e-9, 6) AS nrm FROM u1),
+           v1 AS (SELECT pos, round(u / nrm + 1e-9, 6) AS v FROM u1, n1),
+           va1 AS (SELECT list(v ORDER BY pos) AS varr FROM v1),
+           d2 AS (SELECT vec_id, embedding,
+                         list_dot_product(list_transform(embedding, x -> x::DOUBLE), varr) AS dot
+                  FROM embeddings, va1),
+           u2 AS (SELECT i AS pos, round(sum(embedding[i + 1]::DOUBLE * dot) + 1e-9, 6) AS u
+                  FROM (SELECT embedding, dot, unnest(range(0, 64)) AS i FROM d2)
+                  GROUP BY pos),
+           n2 AS (SELECT round(sqrt(sum(u * u)) + 1e-9, 6) AS nrm FROM u2),
+           v2 AS (SELECT pos, round(u / nrm + 1e-9, 6) AS v FROM u2, n2)
+      SELECT pos::BIGINT AS pos, v AS pc FROM v2""".stripMargin),
+    (spark, dir) => {
+      val vecs = Q.materialize(t(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e")))
+      def round6(c: org.apache.spark.sql.Column) =
+        round(c + lit(1e-9), 6)
+      def iterate(v: org.apache.spark.sql.DataFrame) = {
+        val varr = v.agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("varr"))
+        val u = vecs.crossJoin(broadcast(varr))
+          .select(col("e"),
+            graft.functions.Vectors.arrDot(col("e"), col("varr")).as("dot"))
+          .select(posexplode(col("e")), col("dot"))
+          .groupBy(col("pos"))
+          .agg(round6(sum(col("col") * col("dot"))).as("u"))
+        val nrm = u.agg(round6(sqrt(sum(col("u") * col("u")))).as("nrm"))
+        u.crossJoin(broadcast(nrm))
+          .select(col("pos"), round6(col("u") / col("nrm")).as("v"))
+      }
+      val v0 = spark.range(64)
+        .select(col("id").cast("int").as("pos"), lit(0.125).as("v"))
+      iterate(iterate(v0))
+        .select(col("pos").cast("long").as("pos"), col("v").as("pc"))
+    })
+
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
     kmeansIter2, pqEncodeQ, topkPqAdc, semanticDedup, modalCuration,
-    nearDup, histogram, labelCentroid, dimStats)
+    nearDup, histogram, labelCentroid, dimStats, powerIteration)
 }
