@@ -385,6 +385,43 @@ object CorpusOps {
           sum(col("exact_hit")).cast("long").as("n_exact_hits"))
     })
 
+  val upsert = Q(
+    "pipeline_upsert",
+    "Latest-version-wins corpus MERGE — the maintenance operation of an " +
+      "incrementally-updated corpus (the batch analog of a Delta/Iceberg " +
+      "MERGE INTO, and how a CDC feed compacts into a training store): " +
+      "the standing corpus at version 1 unioned with an update batch " +
+      "(the doc_id % 10 slice, deterministically re-written, version 2), " +
+      "resolved per doc by max_by(text, version) in ONE aggregation. " +
+      "max_by is partial-aggregable — every map partition reduces to one " +
+      "candidate row per key BEFORE the shuffle — which is why this " +
+      "shape beats the window row_number formulation at 100 TB (a " +
+      "window sorts whole partitions and carries every version across " +
+      "the wire; the agg carries one). The update scan's filter pushes " +
+      "to parquet: the base corpus is read once, the delta reads 1/10.",
+    Some("""
+      WITH base AS (SELECT doc_id, 1 AS version, text FROM documents),
+           upd AS (SELECT doc_id, 2 AS version, upper(text) AS text
+                   FROM documents WHERE doc_id % 10 = 0),
+           u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+           m AS (SELECT doc_id, max_by(text, version) AS text,
+                        max(version) AS version
+                 FROM u GROUP BY doc_id)
+      SELECT doc_id, version::BIGINT AS version, md5(text) AS fp
+      FROM m""".stripMargin),
+    (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val base = docs.select(col("doc_id"), lit(1).as("version"), col("text"))
+      val upd = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(2).as("version"),
+          upper(col("text")).as("text"))
+      base.unionAll(upd)
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("text"), col("version")).as("text"),
+          max(col("version")).cast("long").as("version"))
+        .select(col("doc_id"), col("version"), md5(col("text")).as("fp"))
+    })
+
   val cmsTopk = Q(
     "ta_cms_topk",
     "Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005) — the " +
@@ -444,5 +481,5 @@ object CorpusOps {
     })
 
   val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup,
-    bloomIncremental, cmsTopk)
+    bloomIncremental, upsert, cmsTopk)
 }
