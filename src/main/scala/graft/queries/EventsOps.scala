@@ -153,5 +153,48 @@ object EventsOps {
           .as("n_funnel"))
     })
 
-  val all: Seq[Q] = Seq(hourly, sessions, json, setops, funnel)
+  val intervalJoin = Q(
+    "q_events_interval_join",
+    "Batch interval join — conversion attribution: every click joined to " +
+      "the same user's purchases arriving within 30 minutes AFTER it, " +
+      "the DECLARED batch face of Streams.attributedConversions (whose " +
+      "stream==batch parity StreamsSpec already pins; this row makes the " +
+      "batch semantics oracle-checked too). Equi key (user_id) + time-" +
+      "range predicate: each side shuffles ONCE by user and the range " +
+      "condition evaluates inside the sort-merge join — never a product. " +
+      "Sub-second timestamps compare as fractional-second doubles " +
+      "(epoch_ms-style), the same convention as sessionization.",
+    Some("""
+      WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+                 FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                        value
+                 FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id AS user_id, click_id, purchase_id,
+             epoch(date_trunc('second', click_ts))::BIGINT AS click_epoch,
+             epoch(date_trunc('second', purchase_ts))::BIGINT AS purchase_epoch,
+             value
+      FROM c JOIN p ON p.user_id = c.user_id
+                   AND epoch(purchase_ts) >= epoch(click_ts)
+                   AND epoch(purchase_ts) <= epoch(click_ts) + 1800.0""".stripMargin),
+    (spark, dir) => {
+      val ev = t(spark, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+          col("value"))
+      clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts").cast("double") >= col("click_ts").cast("double") &&
+          col("purchase_ts").cast("double") <= col("click_ts").cast("double") + 1800.0)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_timestamp(col("click_ts")).as("click_epoch"),
+          unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
+          col("value"))
+    })
+
+  val all: Seq[Q] = Seq(hourly, sessions, json, setops, funnel, intervalJoin)
 }

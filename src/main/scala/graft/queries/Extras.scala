@@ -503,7 +503,56 @@ object Extras {
       est.join(exact, "q")
     })
 
+  val fullOuterRecon = Q(
+    "q_full_outer_recon",
+    "Two-system reconciliation by FULL OUTER join — the audit pattern " +
+      "(billing vs ledger, catalog vs store). Each system covers a " +
+      "different deterministic shard of the key space (the roster holds " +
+      "custkey % 3 != 0, the order feed holds custkey % 2 != 0 — " +
+      "partial coverage is exactly the real-world condition that makes " +
+      "reconciliation necessary), so all three categories are " +
+      "populated: matched, customer-without-orders, orphan-orders — " +
+      "with key counts and volumes per category. Both slice predicates " +
+      "push to the parquet scans; one shuffle per side on the join key, " +
+      "then a 3-row census.",
+    Some("""
+      WITH o AS (SELECT o_custkey, count(*) AS n_orders,
+                        round(sum(o_totalprice) + 1e-6, 2) AS spent
+                 FROM orders WHERE o_custkey % 2 <> 0 GROUP BY o_custkey),
+           c AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0),
+           j AS (SELECT CASE
+                          WHEN o.o_custkey IS NULL THEN 'customer_no_orders'
+                          WHEN c.c_custkey IS NULL THEN 'orphan_orders'
+                          ELSE 'matched' END AS category,
+                        coalesce(n_orders, 0) AS n_orders,
+                        coalesce(spent, 0.0) AS spent
+                 FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey)
+      SELECT category, count(*) AS n_keys,
+             sum(n_orders)::BIGINT AS total_orders,
+             round(sum(spent) + 1e-6, 2) AS total_spent
+      FROM j GROUP BY category""".stripMargin),
+    (spark, dir) => {
+      val o = t(spark, dir, "orders")
+        .filter(col("o_custkey") % 2 =!= 0)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          r2e(sum(col("o_totalprice"))).as("spent"))
+      val c = t(spark, dir, "customer").select(col("c_custkey"))
+        .filter(col("c_custkey") % 3 =!= 0)
+      c.join(o, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(
+          when(col("o_custkey").isNull, "customer_no_orders")
+            .when(col("c_custkey").isNull, "orphan_orders")
+            .otherwise("matched").as("category"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spent"), lit(0.0)).as("spent"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("n_orders")).cast("long").as("total_orders"),
+          r2e(sum(col("spent"))).as("total_spent"))
+    })
+
   val all: Seq[Q] = Seq(rollup, windowFuncs, asof, scalarFuncs,
     approxDistinct, hllPortable, hllMerge, saltedWordcount, percentiles,
-    corrStats, cube, pivot, unpivot, quantileSketch)
+    corrStats, cube, pivot, unpivot, quantileSketch, fullOuterRecon)
 }
