@@ -781,6 +781,73 @@ object TextOps {
           Det.r2e(exp(col("nll") / col("n_tokens"))).as("ppl"))
     })
 
+  val bpeFit = Q(
+    "pipeline_bpe_fit",
+    "BPE tokenizer TRAINING on-cluster — the first two merge rounds of " +
+      "Sennrich et al. 2016 (ta_bpe_tokens APPLIES a tokenizer; this " +
+      "learns one): per round, count adjacent symbol pairs over the " +
+      "word-frequency table (weighted by word count — the corpus scans " +
+      "ONCE into that table, each round is vocabulary-sized work, not " +
+      "corpus-sized: the property that makes distributed BPE training " +
+      "feasible), take the most frequent pair (count desc, pair asc — " +
+      "total order, engine-independent), apply the merge by left-to-" +
+      "right non-overlapping replace (identical semantics in both " +
+      "engines, and exactly BPE's greedy application), recount. Output: " +
+      "the learned merge table — rank, pair, merged symbol, pair count. " +
+      "The 1-row winning merge broadcasts into the re-write — the " +
+      "bounded cross this family always uses.",
+    Some("""
+      WITH w AS (SELECT word, count(*) AS c
+                 FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+                       FROM documents)
+                 GROUP BY word),
+           s0 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i::INT, 1)), ' ') AS s, c
+                  FROM w),
+           p1 AS (SELECT a[i+1] || ' ' || a[i+2] AS pair, sum(c)::BIGINT AS cnt
+                  FROM (SELECT string_split(s, ' ') AS a, c,
+                               unnest(range(0, len(string_split(s, ' ')) - 1)) AS i
+                        FROM s0)
+                  GROUP BY pair),
+           m1 AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
+                  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+           s1 AS (SELECT replace(s, m1.pair, m1.merged) AS s, c FROM s0, m1),
+           p2 AS (SELECT a[i+1] || ' ' || a[i+2] AS pair, sum(c)::BIGINT AS cnt
+                  FROM (SELECT string_split(s, ' ') AS a, c,
+                               unnest(range(0, len(string_split(s, ' ')) - 1)) AS i
+                        FROM s1)
+                  GROUP BY pair),
+           m2 AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
+                  FROM p2 ORDER BY cnt DESC, pair LIMIT 1)
+      SELECT 1::BIGINT AS rank, pair, merged, cnt FROM m1
+      UNION ALL
+      SELECT 2::BIGINT AS rank, pair, merged, cnt FROM m2""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val s0 = Q.materialize(
+        t(spark, dir, "documents")
+          .select(explode(toks).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+          .select(array_join(split(col("word"), ""), " ").as("s"), col("c")))
+      def topMerge(sdf: org.apache.spark.sql.DataFrame) = sdf
+        .select(col("c"), split(col("s"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i+1]))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair"), expr("replace(pair, ' ', '')").as("merged"),
+          col("cnt"))
+      val m1 = topMerge(s0)
+      val s1 = s0.crossJoin(broadcast(m1))
+        .select(expr("replace(s, pair, merged)").as("s"), col("c"))
+      val m2 = topMerge(s1)
+      m1.select(lit(1L).as("rank"), col("pair"), col("merged"), col("cnt"))
+        .union(m2.select(lit(2L).as("rank"), col("pair"), col("merged"),
+          col("cnt")))
+    })
+
   val quarantine = Q(
     "pipeline_quarantine",
     "Reject quarantine census — the dead-letter-queue pattern of a " +
@@ -885,5 +952,5 @@ object TextOps {
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
     sampleExactK, unigramLogprob, tokenBudget, trainingCorpus, datasetCard,
-    quarantine)
+    quarantine, bpeFit)
 }

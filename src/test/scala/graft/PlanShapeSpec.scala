@@ -44,7 +44,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_kmeans_iter2", "sim_topk_ivf", "sim_topk_ivf_probe2",
       "dedup_semantic", "pipeline_modal_curation", "ta_tfidf",
       "ta_unigram_logprob", "pipeline_token_budget", "q_events_setops",
-      "q_hll_merge", "q_quantile_sketch", "sim_power_iteration")
+      "q_hll_merge", "q_quantile_sketch", "sim_power_iteration",
+      "pipeline_bpe_fit")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")

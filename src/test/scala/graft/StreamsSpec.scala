@@ -484,6 +484,42 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC dedup ownership survives a query restart (checkpoint recovery)") {
+    // Owner state must restore from the checkpoint: doc 1 seeds ownership
+    // in batch 1, the query restarts, and doc 2's exact copy in batch 2
+    // must pair against the PRE-restart owner — not silently re-seed.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{ChunkDup, DocEvent}
+    val textA = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen green bottles stand on the wall near the old mill"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    val input = MemoryStream[DocEvent]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[ChunkDup]()
+    def start() = Streams.cdcDedupStream(spark, input.toDS())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ChunkDup],
+          _: Long) =>
+        batch.collect().foreach(out.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(DocEvent(1, ts(0), textA))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(DocEvent(2, ts(5), textA))
+      q2.processAllAvailable()
+      val pairs = out.toArray(Array.empty[ChunkDup])
+      assert(pairs.nonEmpty && pairs.forall(c =>
+        c.doc_id == 2L && c.owner_doc_id == 1L),
+        s"restored owner state wrong: ${pairs.mkString(", ")}")
+    } finally q2.stop()
+  }
+
   test("streaming CDC dedup evicts idle chunk owners past the event-time TTL") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
