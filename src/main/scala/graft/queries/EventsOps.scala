@@ -196,5 +196,38 @@ object EventsOps {
           col("value"))
     })
 
-  val all: Seq[Q] = Seq(hourly, sessions, json, setops, funnel, intervalJoin)
+  val retentionCohorts = Q(
+    "q_retention_cohorts",
+    "Cohort retention analysis — the product-analytics staple: users " +
+      "grouped by first-seen day (their cohort), counted on each " +
+      "subsequent active day as an offset from it. Two aggregations and " +
+      "an equi join, all keyed by user: distinct (user, day) activity, " +
+      "per-user min day, then the (cohort, offset) census. Days are " +
+      "epoch-day integers on both engines (date_trunc to UTC midnight " +
+      "divides 86400 exactly), so the offset math is pure integer — no " +
+      "date-function or timezone representation can diverge.",
+    Some("""
+      WITH d AS (SELECT DISTINCT user_id,
+                        epoch(date_trunc('day', ts))::BIGINT // 86400 AS day
+                 FROM events),
+           f AS (SELECT user_id, min(day) AS day0 FROM d GROUP BY user_id)
+      SELECT (day0 * 86400)::BIGINT AS cohort_epoch,
+             (day - day0)::BIGINT AS offset_days,
+             count(*) AS n_users
+      FROM d JOIN f ON f.user_id = d.user_id
+      GROUP BY cohort_epoch, offset_days""".stripMargin),
+    (spark, dir) => {
+      val d = t(spark, dir, "events")
+        .select(col("user_id"),
+          expr("unix_timestamp(date_trunc('day', ts)) div 86400").as("day"))
+        .distinct()
+      val f = d.groupBy(col("user_id")).agg(min(col("day")).as("day0"))
+      d.join(f, "user_id")
+        .groupBy((col("day0") * 86400).cast("long").as("cohort_epoch"),
+          (col("day") - col("day0")).cast("long").as("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
+    })
+
+  val all: Seq[Q] = Seq(hourly, sessions, json, setops, funnel, intervalJoin,
+    retentionCohorts)
 }

@@ -848,6 +848,50 @@ object TextOps {
           col("cnt")))
     })
 
+  val zipfFit = Q(
+    "ta_zipf_fit",
+    "Zipf-law fit over the vocabulary head — the corpus-statistics " +
+      "diagnostic (a natural corpus fits ln(freq) ≈ a + s·ln(rank) with " +
+      "s ≈ −1; synthetic or degenerate corpora deviate — this corpus's " +
+      "near-uniform vocabulary yields a shallow slope, which is " +
+      "precisely the signal): least-squares slope/intercept/R² via the " +
+      "SQL regr_* aggregate family over (ln rank, ln count). The fit is " +
+      "restricted to the top-1000 words by TakeOrderedAndProject — " +
+      "bounded head-of-distribution work (where Zipf holds anyway), " +
+      "never a vocabulary-wide window — so the only data-scale stage is " +
+      "the word count itself. regr_* are algebraic (sum/product " +
+      "decompositions): they partial-aggregate like any sum; outputs " +
+      "are epsilon-rounded against summation-order noise.",
+    Some("""
+      WITH f AS (SELECT word, count(*)::BIGINT AS cnt
+                 FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+                       FROM documents)
+                 GROUP BY word),
+           top AS (SELECT word, cnt FROM f ORDER BY cnt DESC, word LIMIT 1000),
+           r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rk
+                 FROM top)
+      SELECT count(*)::BIGINT AS n_words,
+             round(regr_slope(ln(1.0 * cnt), ln(1.0 * rk)) + 1e-8, 4) AS zipf_slope,
+             round(regr_intercept(ln(1.0 * cnt), ln(1.0 * rk)) + 1e-8, 4) AS zipf_intercept,
+             round(regr_r2(ln(1.0 * cnt), ln(1.0 * rk)) + 1e-8, 4) AS r2
+      FROM r""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val top = t(spark, dir, "documents")
+        .select(explode(toks).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(1000)
+      top
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("word"))))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          Det.r4e(expr("regr_slope(ln(1.0 * cnt), ln(1.0 * rk))"))
+            .as("zipf_slope"),
+          Det.r4e(expr("regr_intercept(ln(1.0 * cnt), ln(1.0 * rk))"))
+            .as("zipf_intercept"),
+          Det.r4e(expr("regr_r2(ln(1.0 * cnt), ln(1.0 * rk))")).as("r2"))
+    })
+
   val quarantine = Q(
     "pipeline_quarantine",
     "Reject quarantine census — the dead-letter-queue pattern of a " +
@@ -952,5 +996,5 @@ object TextOps {
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
     sampleExactK, unigramLogprob, tokenBudget, trainingCorpus, datasetCard,
-    quarantine, bpeFit)
+    quarantine, bpeFit, zipfFit)
 }
