@@ -324,6 +324,58 @@ object Streams {
         lit(buckets - 1).cast("long")), lit(0L)).as("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** A versioned document revision flowing through [[upsertStream]]. */
+  case class DocVersion(doc_id: Long, version: Long, ts: Timestamp,
+      text: String)
+
+  /** Streaming latest-version-wins MERGE — the incremental face of
+    * `pipeline_upsert` (how a CDC feed maintains a live corpus store):
+    * one GroupState cell per doc holds the highest version seen, and a
+    * state change emits the new current row (doc_id, version, fp) for
+    * the sink to upsert. Out-of-order and duplicate revisions are
+    * absorbed by the max-version guard — replayed micro-batches emit the
+    * same current row again, which the idempotent sink upsert absorbs
+    * (the standard exactly-once contract). State is one (version, fp)
+    * pair per live doc, evicted by the event-time TTL once a doc has
+    * been idle past `docTtlSeconds` — at which point its current version
+    * lives only in the store, the correct division of labor.
+    */
+  def upsertStream(spark: SparkSession, docs: Dataset[DocVersion],
+      docTtlSeconds: Long = 3600,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    docs.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("version"), col("ts"),
+        md5(col("text")).as("fp"))
+      .as[(Long, Long, Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String), (Long, Long, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (doc: Long, it: Iterator[(Long, Long, Timestamp, String)],
+            state: GroupState[(Long, String)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val best = rows.maxBy(_._2)
+            val out = state.getOption match {
+              case Some((v, _)) if v >= best._2 => Iterator.empty
+              case _ =>
+                state.update((best._2, best._4))
+                Iterator.single((doc, best._2, best._4))
+            }
+            val maxTsMs = rows.map(r => micros(r._3) / 1000L).max
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1000,
+              maxTsMs + docTtlSeconds * 1000))
+            out
+          }
+      }
+      .toDF("doc_id", "version", "fp")
+  }
+
   /** An arriving doc that contains a CDC chunk already owned by an earlier
     * document — one row per (doc, chunk) duplication observed.
     */

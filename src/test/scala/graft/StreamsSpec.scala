@@ -429,6 +429,48 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming upsert keeps the max version under out-of-order arrivals") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams.DocVersion
+    val input = MemoryStream[DocVersion]
+    val q = Streams.upsertStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("upsert_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(DocVersion(1, 1, ts(0), "alpha"),
+        DocVersion(2, 1, ts(1), "beta"))
+      q.processAllAvailable()
+      // v3 lands before v2; the late v2 and the duplicate v3 replay must
+      // both be absorbed silently.
+      input.addData(DocVersion(1, 3, ts(5), "alpha prime"))
+      q.processAllAvailable()
+      input.addData(DocVersion(1, 2, ts(6), "alpha stale"),
+        DocVersion(1, 3, ts(7), "alpha prime"))
+      q.processAllAvailable()
+      val got = spark.table("upsert_stream")
+        .as[(Long, Long, String)].collect().toSet
+      val want = Set(
+        (1L, 1L, md5str("alpha")), (2L, 1L, md5str("beta")),
+        (1L, 3L, md5str("alpha prime")))
+      assert(got == want, s"got $got")
+      // Current state per doc = the max-version row, exactly
+      // pipeline_upsert's max_by semantics on the same revisions.
+      val current = spark.table("upsert_stream")
+        .groupBy(col("doc_id"))
+        .agg(max_by(struct(col("version"), col("fp")), col("version")).as("v"))
+        .select(col("doc_id"), col("v.version"), col("v.fp"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(current == Set((1L, 3L, md5str("alpha prime")),
+        (2L, 1L, md5str("beta"))))
+    } finally q.stop()
+  }
+
+  private def md5str(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("streaming CDC dedup pairs later docs against each chunk's owner") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
