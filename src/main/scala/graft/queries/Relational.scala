@@ -250,6 +250,44 @@ object Relational {
         .agg(r2e(sum(col("o_totalprice"))).as("revenue"),
           count(lit(1)).as("n_orders")))
 
+  val qLargeOrders = Q(
+    "q_large_orders_having",
+    "TPC-H Q18-style large-volume orders: aggregate lineitem per order, " +
+      "keep orders whose total quantity exceeds 300 (HAVING — the " +
+      "post-aggregation filter operator), then join customer and order " +
+      "details. The HAVING predicate evaluates on the aggregated frame " +
+      "(thousands of rows), so the join that follows moves only the " +
+      "surviving keys — the aggregate-then-filter-then-join ordering is " +
+      "the plan a 100 TB run needs (filter-late would join every " +
+      "lineitem row). Quantities are integral doubles, so the sum and " +
+      "the > 300 comparison are exact on both engines.",
+    Some("""
+      WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                   FROM lineitem GROUP BY l_orderkey
+                   HAVING sum(l_quantity) > 300)
+      SELECT c_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             round(o_totalprice + 1e-6, 2) AS totalprice,
+             round(total_qty + 1e-6, 2) AS total_qty
+      FROM big
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey""".stripMargin),
+    (spark, dir) => {
+      val big = t(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val ord = t(spark, dir, "orders")
+      val cust = t(spark, dir, "customer").select(col("c_custkey"))
+      big.join(ord, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          r2e(col("o_totalprice")).as("totalprice"),
+          r2e(col("total_qty")).as("total_qty"))
+    })
+
   val all: Seq[Q] =
-    Seq(q1, q3, q5, qSemi, qAnti, qWindowTop, qPartStats, qAboveAvg, qMonthly)
+    Seq(q1, q3, q5, qSemi, qAnti, qWindowTop, qPartStats, qAboveAvg,
+      qMonthly, qLargeOrders)
 }
