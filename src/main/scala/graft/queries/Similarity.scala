@@ -853,27 +853,32 @@ object Similarity {
       val vecs = Q.materialize(t(spark, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("e")))
-      def round6(c: org.apache.spark.sql.Column) =
-        round(c + lit(1e-9), 6)
-      def iterate(v: org.apache.spark.sql.DataFrame) = {
-        val varr = v.agg(transform(
-          sort_array(collect_list(struct(col("pos"), col("v")))),
-          x => x.getField("v")).as("varr"))
-        val u = vecs.crossJoin(broadcast(varr))
-          .select(col("e"),
-            graft.functions.Vectors.arrDot(col("e"), col("varr")).as("dot"))
-          .select(posexplode(col("e")), col("dot"))
-          .groupBy(col("pos"))
-          .agg(round6(sum(col("col") * col("dot"))).as("u"))
-        val nrm = u.agg(round6(sqrt(sum(col("u") * col("u")))).as("nrm"))
-        u.crossJoin(broadcast(nrm))
-          .select(col("pos"), round6(col("u") / col("nrm")).as("v"))
-      }
       val v0 = spark.range(64)
         .select(col("id").cast("int").as("pos"), lit(0.125).as("v"))
-      iterate(iterate(v0))
+      powerIterate(vecs, powerIterate(vecs, v0))
         .select(col("pos").cast("long").as("pos"), col("v").as("pc"))
     })
+
+  /** One power-iteration round v ← AᵀAv/‖AᵀAv‖ over a frame with array
+    * column `e`, from/to a 64-row (pos, v) frame — the body of
+    * sim_power_iteration, reusable so PowerIterationSpec can run extra
+    * rounds on planted anisotropic data.
+    */
+  private[queries] def powerIterate(vecs: DataFrame, v: DataFrame): DataFrame = {
+    def round6(c: Column) = round(c + lit(1e-9), 6)
+    val varr = v.agg(transform(
+      sort_array(collect_list(struct(col("pos"), col("v")))),
+      x => x.getField("v")).as("varr"))
+    val u = vecs.crossJoin(broadcast(varr))
+      .select(col("e"),
+        graft.functions.Vectors.arrDot(col("e"), col("varr")).as("dot"))
+      .select(posexplode(col("e")), col("dot"))
+      .groupBy(col("pos"))
+      .agg(round6(sum(col("col") * col("dot"))).as("u"))
+    val nrm = u.agg(round6(sqrt(sum(col("u") * col("u")))).as("nrm"))
+    u.crossJoin(broadcast(nrm))
+      .select(col("pos"), round6(col("u") / col("nrm")).as("v"))
+  }
 
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
     kmeansIter2, pqEncodeQ, topkPqAdc, semanticDedup, modalCuration,

@@ -792,7 +792,10 @@ object TextOps {
       "feasible), take the most frequent pair (count desc, pair asc — " +
       "total order, engine-independent), apply the merge by left-to-" +
       "right non-overlapping replace (identical semantics in both " +
-      "engines, and exactly BPE's greedy application), recount. Output: " +
+      "engines; exact at these depths because round-1 symbols are all " +
+      "single characters, so the pair string cannot span a symbol " +
+      "boundary — deeper rounds would switch to array-typed symbol " +
+      "sequences, same plan shape), recount. Output: " +
       "the learned merge table — rank, pair, merged symbol, pair count. " +
       "The 1-row winning merge broadcasts into the re-write — the " +
       "bounded cross this family always uses.",
