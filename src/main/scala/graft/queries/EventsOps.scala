@@ -228,6 +228,46 @@ object EventsOps {
         .agg(count(lit(1)).as("n_users"))
     })
 
+  val gapfill = Q(
+    "q_events_gapfill",
+    "Time-series gap-fill / resample — the date-spine operator every " +
+      "warehouse monitoring query needs (a naive hourly groupBy SILENTLY " +
+      "omits empty hours, which downstream charts and anomaly detectors " +
+      "misread as missing data rather than zero): generate the complete " +
+      "hour × event_type spine between the observed min and max hour, " +
+      "left-join the actual hourly counts, coalesce absent cells to " +
+      "zero. The spine is GENERATED metadata-scale work (sequence × 5 " +
+      "types — never a scan), the fact side joins by key; min/max ride " +
+      "a 1-row broadcast cross (whitelisted, bounded).",
+    Some("""
+      WITH h AS (SELECT epoch(date_trunc('hour', ts))::BIGINT AS hr, event_type
+                 FROM events),
+           agg AS (SELECT hr, event_type, count(*) AS n
+                   FROM h GROUP BY hr, event_type),
+           rng AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+           et AS (SELECT DISTINCT event_type FROM events),
+           spine AS (SELECT t.h AS hr, et.event_type
+                     FROM rng, unnest(range(mn, mx + 3600, 3600)) t(h), et)
+      SELECT spine.hr AS hour_epoch, spine.event_type AS event_type,
+             coalesce(n, 0)::BIGINT AS n_events
+      FROM spine LEFT JOIN agg ON agg.hr = spine.hr
+                              AND agg.event_type = spine.event_type""".stripMargin),
+    (spark, dir) => {
+      val h = t(spark, dir, "events")
+        .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hr"),
+          col("event_type"))
+      val agg = h.groupBy(col("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val rng = h.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      val et = h.select(col("event_type")).distinct()
+      val spine = rng
+        .select(explode(expr("sequence(mn, mx, 3600)")).as("hr"))
+        .crossJoin(broadcast(et))
+      spine.join(agg, Seq("hr", "event_type"), "left")
+        .select(col("hr").as("hour_epoch"), col("event_type"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_events"))
+    })
+
   val all: Seq[Q] = Seq(hourly, sessions, json, setops, funnel, intervalJoin,
-    retentionCohorts)
+    retentionCohorts, gapfill)
 }

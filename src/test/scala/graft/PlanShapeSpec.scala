@@ -45,7 +45,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "dedup_semantic", "pipeline_modal_curation", "ta_tfidf",
       "ta_unigram_logprob", "pipeline_token_budget", "q_events_setops",
       "q_hll_merge", "q_quantile_sketch", "sim_power_iteration",
-      "pipeline_bpe_fit")
+      "pipeline_bpe_fit", "q_events_gapfill")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
