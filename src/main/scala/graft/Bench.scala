@@ -28,12 +28,13 @@ object Bench {
     "kv_cas_replay", "ta_tfidf", "ta_repetition", "dedup_span",
     "ta_decontaminate", "ta_cdc_chunks", "dedup_cdc", "ta_cms_topk",
     "q_hll_portable", "q_hll_merge", "q_quantile_sketch",
-    "q_full_outer_recon", "q_events_interval_join",
+    "q_full_outer_recon", "q_events_interval_join", "q_retention_cohorts",
+    "q_events_gapfill", "q_large_orders_having",
     "dedup_bloom_incremental", "ta_unigram_logprob", "sim_dim_stats",
     "sim_power_iteration", "pipeline_corpus_clean", "pipeline_token_budget",
     "pipeline_modal_curation", "pipeline_dataset_card",
     "pipeline_sample_exact_k", "pipeline_quarantine", "pipeline_upsert",
-    "pipeline_bpe_fit",
+    "pipeline_bpe_fit", "ta_zipf_fit",
     "pipeline_training_corpus", "mm_decode_stub")
 
   def main(args: Array[String]): Unit = {
