@@ -598,6 +598,83 @@ object Similarity {
           col("adc_d2_micro"))
     })
 
+  val topkIvfPq = Q(
+    "sim_topk_ivfpq",
+    "IVF-PQ top-5 — THE billion-scale ANN composition (FAISS IVFPQ, " +
+      "Jégou et al. 2011 §V): the coarse quantizer prunes the search to " +
+      "each query's nprobe=2 nearest cells, and within them candidates " +
+      "are ranked by asymmetric distance computed from their 4 PQ CODES " +
+      "alone — the scan touches neither the database floats (PQ's " +
+      "contract) nor the unprobed cells (IVF's contract). Every step is " +
+      "an equi join: probe set × cell assignment (cell key), candidates " +
+      "× codes (vector key), codes × broadcast per-query LUT " +
+      "(subspace, code); ADC sums BIGINT micro-units — order-free, " +
+      "hash-exact. At 100 TB: codes+cells are the only persisted index " +
+      "(bytes per vector), the codebook and LUT broadcast, and cost per " +
+      "query is O(candidates in probed cells), not O(N).",
+    Some(s"""
+      WITH n AS ($VecsSql),$CentroidsSql,$AssignSql,$PqSql,
+           probes AS (
+             SELECT vec_id, cell
+             FROM (SELECT vec_id, cell, row_number() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY round(d2_raw + 1e-9, 6), cell) AS rk
+                   FROM cscored WHERE vec_id < 20)
+             WHERE rk <= 2),
+           lut AS (
+             SELECT vec_id AS query_id, s, cell AS code,
+                    floor(d2_raw * 1e6 + 1e-3)::BIGINT AS d2i
+             FROM escored WHERE vec_id < 20),
+           cand AS (
+             SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN assign a ON a.cell = p.cell
+             WHERE a.vec_id <> p.vec_id),
+           adc AS (
+             SELECT c.query_id, c.neighbor_id, sum(d2i)::BIGINT AS adc_d2_micro
+             FROM cand c
+             JOIN enc ON enc.vec_id = c.neighbor_id
+             JOIN lut ON lut.query_id = c.query_id AND lut.s = enc.s
+                     AND lut.code = enc.code
+             GROUP BY c.query_id, c.neighbor_id)
+      SELECT query_id, neighbor_id, rank, adc_d2_micro
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY adc_d2_micro, neighbor_id) AS rank
+            FROM adc)
+      WHERE rank <= 5""".stripMargin),
+    (spark, dir) => {
+      val v = Q.materialize(vecs(spark, dir))
+      // Centroids and codebook each feed two broadcast subtrees
+      // (assignment+probes, codes+LUT) — materialized for the same
+      // no-exchange-reuse reason as probe2 / pq_adc.
+      val cent = Q.materialize(centroidsFrom(v))
+      val assign = assignAgainst(v, cent).select(col("vec_id"), col("cell"))
+      val sub = pqSub(v)
+      val cb = Q.materialize(pqCodebook(sub))
+      val codes = pqEncode(pqScored(sub, cb))
+        .select(col("vec_id").as("neighbor_id"), col("s"), col("code"))
+      val probes = cellRanks(v.filter(col("vec_id") < 20), cent, 2)
+        .select(col("vec_id").as("query_id"), col("cell"))
+      val lut = pqScored(pqSub(v.filter(col("vec_id") < 20)), cb)
+        .select(col("vec_id").as("lq"), col("s").as("ls"),
+          col("cell").as("lcode"),
+          floor(col("d2_raw") * 1e6 + 1e-3).cast("long").as("d2i"))
+      val cand = assign.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val adc = cand.join(codes, "neighbor_id")
+        .join(broadcast(lut), col("query_id") === col("lq") &&
+          col("s") === col("ls") && col("code") === col("lcode"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("d2i")).cast("long").as("adc_d2_micro"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_d2_micro"), col("neighbor_id"))
+      adc.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("adc_d2_micro"))
+    })
+
   val nearDup = Q(
     "dedup_embedding_cosine",
     "Embedding near-dup pairs at cosine ≥ 0.45 via random-hyperplane LSH: " +
@@ -881,6 +958,6 @@ object Similarity {
   }
 
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
-    kmeansIter2, pqEncodeQ, topkPqAdc, semanticDedup, modalCuration,
+    kmeansIter2, pqEncodeQ, topkPqAdc, topkIvfPq, semanticDedup, modalCuration,
     nearDup, histogram, labelCentroid, dimStats, powerIteration)
 }

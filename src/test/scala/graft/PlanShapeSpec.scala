@@ -41,7 +41,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // broadcast (20-row query batch / 10-row centroid table / single-row
     // aggregate cross in the set-ops summary), never N x N.
     val whitelist = Set("sim_topk_bruteforce", "sim_kmeans_assign",
-      "sim_kmeans_iter2", "sim_topk_ivf", "sim_topk_ivf_probe2",
+      "sim_kmeans_iter2", "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_topk_ivfpq",
       "dedup_semantic", "pipeline_modal_curation", "ta_tfidf",
       "ta_unigram_logprob", "pipeline_token_budget", "q_events_setops",
       "q_hll_merge", "q_quantile_sketch", "sim_power_iteration",
