@@ -244,8 +244,8 @@ object EventsOps {
                  FROM events),
            agg AS (SELECT hr, event_type, count(*) AS n
                    FROM h GROUP BY hr, event_type),
-           rng AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
-           et AS (SELECT DISTINCT event_type FROM events),
+           rng AS (SELECT min(hr) AS mn, max(hr) AS mx FROM agg),
+           et AS (SELECT DISTINCT event_type FROM agg),
            spine AS (SELECT t.h AS hr, et.event_type
                      FROM rng, unnest(range(mn, mx + 3600, 3600)) t(h), et)
       SELECT spine.hr AS hour_epoch, spine.event_type AS event_type,
@@ -253,13 +253,18 @@ object EventsOps {
       FROM spine LEFT JOIN agg ON agg.hr = spine.hr
                               AND agg.event_type = spine.event_type""".stripMargin),
     (spark, dir) => {
-      val h = t(spark, dir, "events")
-        .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hr"),
-          col("event_type"))
-      val agg = h.groupBy(col("hr"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val rng = h.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
-      val et = h.select(col("event_type")).distinct()
+      // ONE scan of the fact table: range and type set both derive from
+      // the hourly aggregate, which is spine-bounded (|hours|·|types|
+      // rows) — materialized so its three consumers reread the small
+      // frame, not the corpus.
+      val agg = Q.materialize(
+        t(spark, dir, "events")
+          .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hr"),
+            col("event_type"))
+          .groupBy(col("hr"), col("event_type"))
+          .agg(count(lit(1)).as("n")))
+      val rng = agg.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      val et = agg.select(col("event_type")).distinct()
       val spine = rng
         .select(explode(expr("sequence(mn, mx, 3600)")).as("hr"))
         .crossJoin(broadcast(et))
