@@ -493,10 +493,14 @@ object Extras {
         .crossJoin(broadcast(rng))
         .select(col("q"),
           r2e(col("mn") + (col("eb") + 1) * width).as("hist_est"))
-      val ex = ord.agg(
-        r2e(expr("percentile(o_totalprice, 0.5D)")).as("e50"),
-        r2e(expr("percentile(o_totalprice, 0.9D)")).as("e90"),
-        r2e(expr("percentile(o_totalprice, 0.99D)")).as("e99"))
+      // ONE percentile buffer for all three quantiles (the 3-call form
+      // builds three copies of the same value-count map per partition).
+      val ex = ord
+        .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))")
+          .as("ps"))
+        .select(r2e(col("ps").getItem(0)).as("e50"),
+          r2e(col("ps").getItem(1)).as("e90"),
+          r2e(col("ps").getItem(2)).as("e99"))
       val exact = ex.select(lit(0.5).as("q"), col("e50").as("exact_cont"))
         .union(ex.select(lit(0.9), col("e90")))
         .union(ex.select(lit(0.99), col("e99")))
