@@ -48,7 +48,10 @@ object RollingHash31 {
       if (b0 < 0x80) { cp = b0 }
       else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
       else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
-      else { cp = b0 & 0x07; len = 4 }
+      else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
+      // Invalid lead byte: consume one byte (see CdcCuts — defensive only,
+      // unreachable from valid Spark UTF8String data).
+      else { cp = b0; len = 1 }
       var j = 1
       while (j < len && i + j < bytes.length) {
         cp = (cp << 6) | (bytes(i + j) & 0x3F)

@@ -173,9 +173,12 @@ object Streams {
   /** Streaming corpus-clean funnel — the incremental face of
     * `pipeline_corpus_clean`'s stage sequence over a document stream with
     * (doc_id, ts, text, lang, source) columns: watermarked exact dedup on
-    * the md5 fingerprint (`dropDuplicates` keeps the FIRST arrival per
-    * fingerprint — the streaming analog of the batch min-doc_id canonical;
-    * state bounded by the watermark), then the IDENTICAL quality and
+    * the md5 fingerprint (`dropDuplicatesWithinWatermark` keeps the FIRST
+    * arrival per fingerprint — the streaming analog of the batch min-doc_id
+    * canonical — and, unlike plain `dropDuplicates` on a non-event-time
+    * key, actually EVICTS each fingerprint's state once the watermark
+    * passes its expiry, so state is bounded by fingerprints active in the
+    * watermark window), then the IDENTICAL quality and
     * language-consistency column expressions the batch funnel uses
     * (stateless, whole-stage codegen), then the per-(source, lang) running
     * census in update mode. One stateful operator + one aggregation —
@@ -185,10 +188,15 @@ object Streams {
       watermarkDelay: String = "1 hour"): DataFrame = {
     import graft.queries.TextOps
     val toks = filter(split(col("text"), " "), x => x =!= "")
-    docs
+    val fped = docs
       .withWatermark("ts", watermarkDelay)
       .withColumn("fp", md5(col("text")))
-      .dropDuplicates("fp")
+    // Streaming-only operator; on a batch frame (StreamsSpec's parity
+    // truth) plain dropDuplicates IS the within-watermark semantics.
+    val deduped =
+      if (fped.isStreaming) fped.dropDuplicatesWithinWatermark("fp")
+      else fped.dropDuplicates("fp")
+    deduped
       .select(Seq(col("source"), col("lang"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct")) ++
@@ -359,7 +367,10 @@ object Streams {
             Iterator.empty
           } else {
             val rows = it.toSeq
-            val best = rows.maxBy(_._2)
+            // Tie-break equal versions by fp so a replayed/reordered batch
+            // always emits the same (version, fp) row — the idempotent-sink
+            // contract needs the emission itself to be deterministic.
+            val best = rows.maxBy(r => (r._2, r._4))
             val out = state.getOption match {
               case Some((v, _)) if v >= best._2 => Iterator.empty
               case _ =>
