@@ -590,52 +590,64 @@ object Dedup {
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
+      // Constraint propagation is disabled for the iteration (restored in
+      // the finally): a checkpointed self-join output carries
+      // originConstraints referencing its PRE-checkpoint attribute ids,
+      // and feeding that into the next round's union trips Catalyst's
+      // constraint rewrite (NoSuchElementException on the duplicated
+      // attribute ids). With propagation off, every plan's constraint set
+      // is empty — including the originConstraints CAPTURED by each
+      // in-loop localCheckpoint — so the loop needs no per-round frame
+      // rebaseline (rounds stay whole-stage-codegen DataFrame ops, no RDD
+      // round-trip) and the post-loop labels frame is permanently clean:
+      // its checkpoint captured empty constraints, so nothing stale can
+      // resurface when the final plan is optimized after the conf is
+      // restored. The optimizations lost (IsNotNull inference on join
+      // keys) are no-ops here — every column is a non-null doc_id/label.
+      val cpKey = "spark.sql.constraintPropagation.enabled"
+      val cpPrev = spark.conf.get(cpKey)
       // Iterate ONLY over docs that appear in a pair — singletons are
       // trivially their own canonical and join back at the end, so the
       // per-round shuffle is |docs in the dup subgraph| (a few % of the
       // corpus at scale), not |corpus|.
-      var labels = Q.materialize(edges.select(col("src").as("doc_id"))
-        .distinct().withColumn("label", col("doc_id")))
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 50) {
-        val nbr = edges
-          .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
-          .select(col("src").as("doc_id"), col("label"))
-        // Materialized before the self-join: a self-join of the same
-        // union+aggregate plan trips Catalyst's Union constraint rewrite
-        // (NoSuchElementException on the duplicated attribute ids), and
-        // the frame is subgraph-sized anyway.
-        val half = Q.materialize(labels.union(nbr)
-          .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
-        // Pointer jumping: follow the label's own label (labels only ever
-        // decrease, so label(label(d)) ≤ label(d) and the fixpoint is
-        // unchanged) — distance-to-minimum halves per round on top of the
-        // one-hop neighbor step, so convergence is O(log diameter) and a
-        // 50-round cap is unreachable for any physical graph (a crash at
-        // the cap was the alternative for chain-shaped clusters longer
-        // than the cap under plain propagation).
-        // The previous round's label rides along (one more equi join inside
-        // the SAME materialization job), so the convergence check below is
-        // a filter-count over already-checkpointed partitions — not the
-        // separate join+shuffle job it used to be (3 jobs/round → 2).
-        val nextM = Q.materialize(half.alias("a")
-          .join(half.select(col("doc_id").as("k"), col("label").as("l2")),
-            col("a.label") === col("k"))
-          .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-          .select(col("doc_id"), col("l2").as("label"), col("old")))
-        changed = nextM.filter(col("label") =!= col("old")).count()
-        // Rebaseline: a checkpointed self-join output carries
-        // originConstraints referencing its PRE-checkpoint attribute ids,
-        // and feeding that into next round's union trips Catalyst's
-        // constraint rewrite (NoSuchElementException). A fresh frame over
-        // the same rows drops the stale constraints; the labels frame is
-        // subgraph-sized, so the row round-trip is noise.
-        val clean = nextM.select(col("doc_id"), col("label"))
-        labels = spark.createDataFrame(clean.rdd, clean.schema)
-        iters += 1
-      }
-      require(changed == 0, s"components did not converge in $iters rounds")
+      var labels: DataFrame = null
+      spark.conf.set(cpKey, "false")
+      try {
+        labels = Q.materializeLoop(edges.select(col("src").as("doc_id"))
+          .distinct().withColumn("label", col("doc_id")))
+        var changed = 1L
+        var iters = 0
+        while (changed > 0 && iters < 50) {
+          val nbr = edges
+            .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+            .select(col("src").as("doc_id"), col("label"))
+          // Materialized (lineage-cutting — see materializeLoop) before the
+          // self-join: the self-join would otherwise double the logical
+          // subtree every round, and the frame is subgraph-sized anyway.
+          val half = Q.materializeLoop(labels.union(nbr)
+            .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
+          // Pointer jumping: follow the label's own label (labels only ever
+          // decrease, so label(label(d)) ≤ label(d) and the fixpoint is
+          // unchanged) — distance-to-minimum halves per round on top of the
+          // one-hop neighbor step, so convergence is O(log diameter) and a
+          // 50-round cap is unreachable for any physical graph (a crash at
+          // the cap was the alternative for chain-shaped clusters longer
+          // than the cap under plain propagation).
+          // The previous round's label rides along (one more equi join inside
+          // the SAME materialization job), so the convergence check below is
+          // a filter-count over already-checkpointed partitions — not the
+          // separate join+shuffle job it used to be (3 jobs/round → 2).
+          val nextM = Q.materializeLoop(half.alias("a")
+            .join(half.select(col("doc_id").as("k"), col("label").as("l2")),
+              col("a.label") === col("k"))
+            .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+            .select(col("doc_id"), col("l2").as("label"), col("old")))
+          changed = nextM.filter(col("label") =!= col("old")).count()
+          labels = nextM.select(col("doc_id"), col("label"))
+          iters += 1
+        }
+        require(changed == 0, s"components did not converge in $iters rounds")
+      } finally spark.conf.set(cpKey, cpPrev)
       t(spark, dir, "documents").select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),

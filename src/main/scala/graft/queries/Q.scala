@@ -58,6 +58,22 @@ object Q {
         s"spark.graft.materialize: unknown strategy '$other'")
     }
   }
+
+  /** Materialization for ITERATIVE-loop bodies: same strategy switch as
+    * [[materialize]], except the result must always CUT lineage — a
+    * convergence loop whose rounds self-join re-doubles the logical
+    * subtree every iteration, so a lineage-keeping strategy (`persist`,
+    * `none`) would hand the optimizer an exponentially growing plan (and
+    * make executor-loss recovery recompute the whole iteration history).
+    * `persist` and `none` therefore fall back to `localCheckpoint` here;
+    * on a real cluster the `checkpoint` strategy is the fault-tolerant
+    * loop setting (reliable files, lineage cut).
+    */
+  def materializeLoop(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.materialize", "localCheckpoint") match {
+      case "checkpoint" => materialize(df)
+      case _ => df.localCheckpoint()
+    }
 }
 
 object Det {

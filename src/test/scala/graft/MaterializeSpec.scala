@@ -15,9 +15,9 @@ class MaterializeSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private val ConfKey = "spark.graft.materialize"
 
-  private def runUnder(strategy: String): Set[String] = {
+  private def runUnder(strategy: String, q: Q = Dedup.lshVerified): Set[String] = {
     spark.conf.set(ConfKey, strategy)
-    try Dedup.lshVerified.run(spark, dir)
+    try q.run(spark, dir)
       .collect().map(_.mkString("|")).toSet
     finally spark.conf.unset(ConfKey)
   }
@@ -31,6 +31,23 @@ class MaterializeSpec extends AnyFunSuite {
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set("spark.graft.checkpointDir", ckptDir)
     try assert(runUnder("checkpoint") == baseline)
+    finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
+  test("all strategies agree on the iterative dedup_components loop") {
+    // The convergence loop routes through materializeLoop (always
+    // lineage-cutting): under `persist`/`none` the self-join would
+    // otherwise re-double the logical plan every round. This pins both
+    // the fallback's correctness and strategy-equivalence for the one
+    // iterative query in the inventory.
+    val baseline = runUnder("none", Dedup.components)
+    assert(baseline.nonEmpty)
+    assert(runUnder("localCheckpoint", Dedup.components) == baseline)
+    assert(runUnder("persist", Dedup.components) == baseline)
+    spark.catalog.clearCache()
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", ckptDir)
+    try assert(runUnder("checkpoint", Dedup.components) == baseline)
     finally spark.conf.unset("spark.graft.checkpointDir")
   }
 
