@@ -642,38 +642,45 @@ object Similarity {
               ORDER BY adc_d2_micro, neighbor_id) AS rank
             FROM adc)
       WHERE rank <= 5""".stripMargin),
-    (spark, dir) => {
-      val v = Q.materialize(vecs(spark, dir))
-      // Centroids and codebook each feed two broadcast subtrees
-      // (assignment+probes, codes+LUT) — materialized for the same
-      // no-exchange-reuse reason as probe2 / pq_adc.
-      val cent = Q.materialize(centroidsFrom(v))
-      val assign = assignAgainst(v, cent).select(col("vec_id"), col("cell"))
-      val sub = pqSub(v)
-      val cb = Q.materialize(pqCodebook(sub))
-      val codes = pqEncode(pqScored(sub, cb))
-        .select(col("vec_id").as("neighbor_id"), col("s"), col("code"))
-      val probes = cellRanks(v.filter(col("vec_id") < 20), cent, 2)
-        .select(col("vec_id").as("query_id"), col("cell"))
-      val lut = pqScored(pqSub(v.filter(col("vec_id") < 20)), cb)
-        .select(col("vec_id").as("lq"), col("s").as("ls"),
-          col("cell").as("lcode"),
-          floor(col("d2_raw") * 1e6 + 1e-3).cast("long").as("d2i"))
-      val cand = assign.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      val adc = cand.join(codes, "neighbor_id")
-        .join(broadcast(lut), col("query_id") === col("lq") &&
-          col("s") === col("ls") && col("code") === col("lcode"))
-        .groupBy(col("query_id"), col("neighbor_id"))
-        .agg(sum(col("d2i")).cast("long").as("adc_d2_micro"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc_d2_micro"), col("neighbor_id"))
-      adc.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          col("adc_d2_micro"))
-    })
+    (spark, dir) => ivfPqTopk(spark, dir, nprobe = 2))
+
+  /** The IVF-PQ composition behind [[topkIvfPq]] with the nprobe knob
+    * exposed (the declared query pins nprobe=2; IvfPqRecallSpec compares
+    * compositions at nprobe 1 and 2 against brute-force truth).
+    */
+  private[queries] def ivfPqTopk(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val v = Q.materialize(vecs(spark, dir))
+    // Centroids and codebook each feed two broadcast subtrees
+    // (assignment+probes, codes+LUT) — materialized for the same
+    // no-exchange-reuse reason as probe2 / pq_adc.
+    val cent = Q.materialize(centroidsFrom(v))
+    val assign = assignAgainst(v, cent).select(col("vec_id"), col("cell"))
+    val sub = pqSub(v)
+    val cb = Q.materialize(pqCodebook(sub))
+    val codes = pqEncode(pqScored(sub, cb))
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("code"))
+    val probes = cellRanks(v.filter(col("vec_id") < 20), cent, nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val lut = pqScored(pqSub(v.filter(col("vec_id") < 20)), cb)
+      .select(col("vec_id").as("lq"), col("s").as("ls"),
+        col("cell").as("lcode"),
+        floor(col("d2_raw") * 1e6 + 1e-3).cast("long").as("d2i"))
+    val cand = assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val adc = cand.join(codes, "neighbor_id")
+      .join(broadcast(lut), col("query_id") === col("lq") &&
+        col("s") === col("ls") && col("code") === col("lcode"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2i")).cast("long").as("adc_d2_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2_micro"), col("neighbor_id"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc_d2_micro"))
+  }
 
   val nearDup = Q(
     "dedup_embedding_cosine",
