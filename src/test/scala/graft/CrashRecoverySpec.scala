@@ -40,6 +40,34 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(CrashRecoverySpec.crashed.size > 0, "no crash was injected")
     assert(got == want)
   }
+
+  test("reduce-side task crash on first attempt still matches the golden run") {
+    // The reference's crash suite kills reducers too
+    // (src/main/test-mr.sh:284-330): a reduce attempt dies AFTER the map
+    // phase committed, and the rerun must re-fetch the same shuffle
+    // output and converge. Injected here as a first-attempt exception
+    // inside the reduce UDF — the E5 re-read + E11 re-execution path.
+    val inner = AppRegistry("wc")
+    val crashing = new MRApp {
+      val name = "crashing-reduce-wc"
+      def map(file: String, contents: String): Seq[KV] =
+        inner.map(file, contents)
+      def reduce(key: String, values: Seq[String]): String = {
+        if (TaskContext.get() != null && TaskContext.get.attemptNumber() == 0
+            && CrashRecoverySpec.shouldCrashReduce(key)) {
+          throw new RuntimeException(s"injected reduce crash for $key (attempt 0)")
+        }
+        inner.reduce(key, values)
+      }
+    }
+    val got = MapReduce.run(spark, crashing, glob, 10)
+      .map { case (k, v) => s"$k $v" }.collect().toSeq.sorted
+    val want = MapReduce
+      .runSequential(inner, MapReduce.globPaths(glob)).sorted
+    assert(CrashRecoverySpec.reduceCrashed.size > 0,
+      "no reduce crash was injected")
+    assert(got == want)
+  }
 }
 
 object CrashRecoverySpec {
@@ -49,4 +77,9 @@ object CrashRecoverySpec {
   val crashed = new ConcurrentHashMap[String, Boolean]()
   def shouldCrash(file: String): Boolean =
     file.contains("sherlock") && crashed.putIfAbsent(file, true) == null
+
+  /** Same once-only marker for the reduce stage, keyed by reduce key. */
+  val reduceCrashed = new ConcurrentHashMap[String, Boolean]()
+  def shouldCrashReduce(key: String): Boolean =
+    key == "Sherlock" && reduceCrashed.putIfAbsent(key, true) == null
 }
