@@ -49,6 +49,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietBoundedWindowWarn()
 
     // Untimed warmup: loads classes, JITs codegen paths, touches all tables.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

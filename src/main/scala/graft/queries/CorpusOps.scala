@@ -469,6 +469,10 @@ object CorpusOps {
       // TakeOrderedAndProject (orderBy+limit), then a trivial 10-row
       // window for the rank — same (cnt DESC, word) key as the oracle's
       // row_number, without a vocabulary-wide single-partition window.
+      // WindowExec's no-partition WARN is suppressed at session build
+      // (Sessions.quietBoundedWindowWarn): a literal partition key can't
+      // silence it — EliminateWindowPartitions strips foldable keys —
+      // and PlanShapeSpec locks the GlobalLimit bound instead.
       val top = exact.orderBy(col("cnt").desc, col("word")).limit(10)
         .withColumn("rank", row_number()
           .over(Window.orderBy(col("cnt").desc, col("word"))).cast("long"))

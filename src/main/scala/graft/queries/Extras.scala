@@ -483,6 +483,9 @@ object Extras {
         .select(least(floor((col("o_totalprice") - col("mn")) / width),
           lit(1023)).cast("long").as("bucket"), col("n"))
         .groupBy(col("bucket"), col("n")).agg(count(lit(1)).as("c"))
+      // Global cumulative window over the ≤1024-bucket sketch, never the
+      // data — the no-partition WARN is suppressed at session build (see
+      // Sessions.quietBoundedWindowWarn); PlanShapeSpec locks the bound.
       val cum = h.withColumn("cum", sum(col("c")).over(
         Window.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -884,6 +884,9 @@ object TextOps {
         .select(explode(toks).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word")).limit(1000)
+      // Global window over the 1000-row GlobalLimit head only — the
+      // no-partition WARN is suppressed at session build (see
+      // Sessions.quietBoundedWindowWarn); PlanShapeSpec locks the bound.
       top
         .withColumn("rk", row_number()
           .over(Window.orderBy(col("cnt").desc, col("word"))))

@@ -36,6 +36,33 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("global windows only ever run over bounded inputs") {
+    // Three queries use a single-partition window deliberately — the
+    // input is already bounded, so the window moves k rows, never the
+    // data. Their WindowExec WARN is suppressed at session build
+    // (Sessions.quietBoundedWindowWarn); THIS lock is what keeps that
+    // suppression honest — the plan must still contain the bounding
+    // operator feeding the window, so an UNbounded global window can't
+    // hide behind the silenced logger.
+    Seq("ta_cms_topk", "ta_zipf_fit").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q lost its window — update this lock")
+      // The rank window's input is the GlobalLimit head (top-10 /
+      // top-1000), materialized as TakeOrderedAndProject.
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: the window's GlobalLimit bound is gone:\n$p")
+    }
+    // q_quantile_sketch's cumulative window reads the bucket aggregate:
+    // the domain is clamped to 1024 buckets by the least(...) projection
+    // under a groupBy(bucket) — both must survive optimization.
+    val qp = plan("q_quantile_sketch")
+    assert(qp.contains("Window"), "q_quantile_sketch lost its window")
+    assert(qp.toLowerCase.contains("least"),
+      s"q_quantile_sketch: bucket clamp no longer visible:\n$qp")
+    assert(qp.contains("HashAggregate(keys=[bucket"),
+      s"q_quantile_sketch: window input is no longer the bucket aggregate:\n$qp")
+  }
+
   test("no all-pairs product in any declared query (bounded-broadcast whitelist)") {
     // These contain a deliberate BNLJ whose build side is a bounded
     // broadcast (20-row query batch / 10-row centroid table / single-row
