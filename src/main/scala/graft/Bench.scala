@@ -27,7 +27,7 @@ object Bench {
     "sim_topk_pq_adc", "sim_topk_ivfpq", "dedup_semantic", "dedup_embedding_cosine",
     "kv_cas_replay", "ta_tfidf", "ta_repetition", "dedup_span",
     "ta_decontaminate", "ta_cdc_chunks", "dedup_cdc", "ta_cms_topk",
-    "q_hll_portable", "q_hll_merge", "q_quantile_sketch",
+    "q_hll_portable", "q_hll_merge", "q_quantile_sketch", "q_quantile_merge",
     "q_full_outer_recon", "q_events_interval_join", "q_retention_cohorts",
     "q_events_gapfill", "q_large_orders_having",
     "dedup_bloom_incremental", "ta_unigram_logprob", "sim_dim_stats",

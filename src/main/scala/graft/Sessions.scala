@@ -7,11 +7,12 @@ object Sessions {
 
   /** Silence WindowExec's "No Partition Defined" WARN.
     *
-    * Exactly three declared queries run a global window ON PURPOSE, each
+    * Exactly four declared queries run a global window ON PURPOSE, each
     * over a pre-bounded input: ta_cms_topk (rank over a 10-row
     * TakeOrderedAndProject head), ta_zipf_fit (rank over a 1000-row
-    * head), q_quantile_sketch (cumulative walk over a ≤1024-bucket
-    * histogram aggregate). The single partition the warning fears holds
+    * head), q_quantile_sketch and q_quantile_merge (cumulative walks
+    * over ≤1024-bucket histogram aggregates). The single partition the
+    * warning fears holds
     * k rows, never the data — but in a log review the line is
     * indistinguishable from a real scale-killer, so it goes. A literal
     * partition key cannot do this job: Catalyst's

@@ -510,6 +510,97 @@ object Extras {
       est.join(exact, "q")
     })
 
+  val quantileMerge = Q(
+    "q_quantile_merge",
+    "Histogram-sketch MERGEABILITY — the q_hll_merge proof for the " +
+      "quantile member of the sketch family: per-partition histograms " +
+      "(here, per o_orderstatus) built against the SHARED global range " +
+      "and merged by bucket-wise ADDITION are count-identical to the " +
+      "histogram built over the union directly (addition is " +
+      "associative/commutative; the shared range makes bucket ids " +
+      "align), so the p90 read off the merged sketch equals the direct " +
+      "read bit-for-bit. buckets_match compares every bucket count " +
+      "through a FULL OUTER join (a one-sided bucket would fail it); " +
+      "est_match compares the readouts. Operationally this is why a " +
+      "cluster can sketch each partition once, ship 1024 longs per " +
+      "partition, and answer global quantiles with no re-scan — the " +
+      "same contract q_hll_merge proves for cardinality.",
+    Some("""
+      WITH rng AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+                          count(*) AS n
+                   FROM orders),
+           b AS (SELECT o_orderstatus,
+                        least(floor((o_totalprice - mn) / ((mx - mn) / 1024.0)),
+                              1023)::BIGINT AS bucket, n
+                 FROM orders, rng),
+           partials AS (SELECT o_orderstatus, bucket, n, count(*) AS c
+                        FROM b GROUP BY o_orderstatus, bucket, n),
+           merged AS (SELECT bucket, n, sum(c)::BIGINT AS c
+                      FROM partials GROUP BY bucket, n),
+           direct AS (SELECT bucket, n, count(*)::BIGINT AS c
+                      FROM b GROUP BY bucket, n),
+           bm AS (SELECT bool_and(coalesce(d.c, -1) = coalesce(m.c, -2))
+                           AS buckets_match
+                  FROM direct d FULL JOIN merged m ON m.bucket = d.bucket),
+           cm AS (SELECT bucket, n, sum(c) OVER (ORDER BY bucket) AS cum
+                  FROM merged),
+           cd AS (SELECT bucket, n, sum(c) OVER (ORDER BY bucket) AS cum
+                  FROM direct),
+           em AS (SELECT round(mn + (min(bucket) + 1) * ((mx - mn) / 1024.0)
+                                + 1e-6, 2) AS p90_merged
+                  FROM cm, rng WHERE cum >= ceil(0.9 * cm.n) GROUP BY mn, mx),
+           ed AS (SELECT round(mn + (min(bucket) + 1) * ((mx - mn) / 1024.0)
+                                + 1e-6, 2) AS p90_direct
+                  FROM cd, rng WHERE cum >= ceil(0.9 * cd.n) GROUP BY mn, mx),
+           np AS (SELECT count(DISTINCT o_orderstatus)::BIGINT AS n_partials
+                  FROM orders),
+           nb AS (SELECT count(*)::BIGINT AS n_buckets FROM merged)
+      SELECT n_partials, n_buckets, buckets_match, p90_merged, p90_direct,
+             p90_merged = p90_direct AS est_match
+      FROM np, nb, bm, em, ed""".stripMargin),
+    (spark, dir) => {
+      val ord = t(spark, dir, "orders")
+      val rng = ord.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"), count(lit(1)).as("n"))
+      val width = (col("mx") - col("mn")) / lit(1024.0)
+      val bucketed = ord.select(col("o_orderstatus"), col("o_totalprice"))
+        .crossJoin(broadcast(rng))
+        .select(col("o_orderstatus"),
+          least(floor((col("o_totalprice") - col("mn")) / width),
+            lit(1023)).cast("long").as("bucket"), col("n"))
+      val partials = bucketed
+        .groupBy(col("o_orderstatus"), col("bucket"), col("n"))
+        .agg(count(lit(1)).as("c"))
+      val merged = partials.groupBy(col("bucket"), col("n"))
+        .agg(sum(col("c")).cast("long").as("c"))
+      val direct = bucketed.groupBy(col("bucket"), col("n"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val bm = direct.select(col("bucket"), col("c").as("cd"))
+        .join(merged.select(col("bucket"), col("c").as("cm")),
+          Seq("bucket"), "full")
+        .agg(expr("bool_and(coalesce(cd, -1) = coalesce(cm, -2))")
+          .as("buckets_match"))
+      // Same bounded cumulative readout as q_quantile_sketch (≤1024-row
+      // global window; WARN suppressed at session build, bound locked by
+      // PlanShapeSpec).
+      def p90Of(h: org.apache.spark.sql.DataFrame, name: String) = h
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") >= ceil(lit(0.9) * col("n")))
+        .agg(min(col("bucket")).as("eb"))
+        .crossJoin(broadcast(rng))
+        .select(r2e(col("mn") + (col("eb") + 1) * width).as(name))
+      val np = ord.agg(countDistinct(col("o_orderstatus")).cast("long")
+        .as("n_partials"))
+      val nb = merged.agg(count(lit(1)).cast("long").as("n_buckets"))
+      np.crossJoin(broadcast(nb))
+        .crossJoin(broadcast(bm))
+        .crossJoin(broadcast(p90Of(merged, "p90_merged")))
+        .crossJoin(broadcast(p90Of(direct, "p90_direct")))
+        .withColumn("est_match", col("p90_merged") === col("p90_direct"))
+    })
+
   val fullOuterRecon = Q(
     "q_full_outer_recon",
     "Two-system reconciliation by FULL OUTER join — the audit pattern " +
@@ -561,5 +652,6 @@ object Extras {
 
   val all: Seq[Q] = Seq(rollup, windowFuncs, asof, scalarFuncs,
     approxDistinct, hllPortable, hllMerge, saltedWordcount, percentiles,
-    corrStats, cube, pivot, unpivot, quantileSketch, fullOuterRecon)
+    corrStats, cube, pivot, unpivot, quantileSketch, quantileMerge,
+    fullOuterRecon)
 }

@@ -52,15 +52,18 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("TakeOrderedAndProject"),
         s"$q: the window's GlobalLimit bound is gone:\n$p")
     }
-    // q_quantile_sketch's cumulative window reads the bucket aggregate:
-    // the domain is clamped to 1024 buckets by the least(...) projection
-    // under a groupBy(bucket) — both must survive optimization.
-    val qp = plan("q_quantile_sketch")
-    assert(qp.contains("Window"), "q_quantile_sketch lost its window")
-    assert(qp.toLowerCase.contains("least"),
-      s"q_quantile_sketch: bucket clamp no longer visible:\n$qp")
-    assert(qp.contains("HashAggregate(keys=[bucket"),
-      s"q_quantile_sketch: window input is no longer the bucket aggregate:\n$qp")
+    // The quantile sketches' cumulative windows read the bucket
+    // aggregate: the domain is clamped to 1024 buckets by the least(...)
+    // projection under a groupBy(bucket) — both must survive
+    // optimization.
+    Seq("q_quantile_sketch", "q_quantile_merge").foreach { q =>
+      val qp = plan(q)
+      assert(qp.contains("Window"), s"$q lost its window")
+      assert(qp.toLowerCase.contains("least"),
+        s"$q: bucket clamp no longer visible:\n$qp")
+      assert(qp.contains("HashAggregate(keys=[bucket"),
+        s"$q: window input is no longer the bucket aggregate:\n$qp")
+    }
   }
 
   test("no all-pairs product in any declared query (bounded-broadcast whitelist)") {
@@ -71,8 +74,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_kmeans_iter2", "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_topk_ivfpq",
       "dedup_semantic", "pipeline_modal_curation", "ta_tfidf",
       "ta_unigram_logprob", "pipeline_token_budget", "q_events_setops",
-      "q_hll_merge", "q_quantile_sketch", "sim_power_iteration",
-      "pipeline_bpe_fit", "q_events_gapfill")
+      "q_hll_merge", "q_quantile_sketch", "q_quantile_merge",
+      "sim_power_iteration", "pipeline_bpe_fit", "q_events_gapfill")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
