@@ -16,6 +16,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Sessions.quietBoundedWindowWarn()
+    // Cluster-posture sweep knob: SPARK_GRAFT_MATERIALIZE=persist (or
+    // checkpoint/none) runs the whole oracle sweep under that
+    // Q.materialize strategy — certifying the non-default postures end to
+    // end, not just on MaterializeSpec's samples. Under persist the cache
+    // is cleared per query: the sweep is 90+ independent queries, and
+    // letting their persisted subtrees accumulate measures eviction
+    // pressure, not the strategy.
+    val strategy = sys.env.get("SPARK_GRAFT_MATERIALIZE")
+    strategy.foreach(spark.conf.set("spark.graft.materialize", _))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -23,6 +32,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally if (strategy.contains("persist")) spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -48,7 +48,8 @@ class CdcSpec extends AnyFunSuite {
     // surrogate-pair code points.
     val alphabet = ("abcdefghij XYZ0123".map(_.toString) ++
       Seq("é", "ü", "中", "文", "🎉", "Ω", "ß")).toIndexedSeq
-    val rnd = new scala.util.Random(7)
+    // stress.sh varies the fuzz seed per trial (fresh 200-string corpus).
+    val rnd = new scala.util.Random(7 + SparkTestBase.stressSeed)
     (1 to 200).foreach { _ =>
       val s = Seq.fill(rnd.nextInt(120))(
         alphabet(rnd.nextInt(alphabet.size))).mkString

@@ -163,7 +163,10 @@ class KvLinearizabilitySpec extends AnyFunSuite {
 
   test("100 seeded concurrent histories linearize against the model") {
     var maybes = 0
-    (1 to 100).foreach { seed =>
+    // stress.sh offsets the seed window per trial — 100 fresh schedules
+    // every run of the repeat-suite loop.
+    val base = SparkTestBase.stressSeed * 100
+    (base + 1 to base + 100).foreach { seed =>
       val (recs, _) = runHistory(seed)
       maybes += recs.count(_.err == ErrMaybe)
       recs.groupBy(_.key).foreach { case (key, ops) =>
