@@ -560,21 +560,30 @@ object Extras {
       FROM np, nb, bm, em, ed""".stripMargin),
     (spark, dir) => {
       val ord = t(spark, dir, "orders")
-      val rng = ord.agg(min(col("o_totalprice")).as("mn"),
-        max(col("o_totalprice")).as("mx"), count(lit(1)).as("n"))
+      // The 1-row range and the two ≤1024-row sketches are materialized:
+      // every downstream subtree (bucket compare, both readouts, the
+      // censuses) reuses them, so the data is scanned exactly 3× — once
+      // for the range, once per INDEPENDENT histogram build (two real
+      // builds are the point of the proof) — where the naive composition
+      // re-derived the range in every 1-row cross and scanned orders 10×.
+      val rng = Q.materialize(ord.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"), count(lit(1)).as("n")))
       val width = (col("mx") - col("mn")) / lit(1024.0)
-      val bucketed = ord.select(col("o_orderstatus"), col("o_totalprice"))
-        .crossJoin(broadcast(rng))
-        .select(col("o_orderstatus"),
-          least(floor((col("o_totalprice") - col("mn")) / width),
-            lit(1023)).cast("long").as("bucket"), col("n"))
-      val partials = bucketed
-        .groupBy(col("o_orderstatus"), col("bucket"), col("n"))
-        .agg(count(lit(1)).as("c"))
+      val bucket = least(floor((col("o_totalprice") - col("mn")) / width),
+        lit(1023)).cast("long").as("bucket")
+      val partials = Q.materialize(
+        ord.select(col("o_orderstatus"), col("o_totalprice"))
+          .crossJoin(broadcast(rng))
+          .select(col("o_orderstatus"), bucket, col("n"))
+          .groupBy(col("o_orderstatus"), col("bucket"), col("n"))
+          .agg(count(lit(1)).as("c")))
       val merged = partials.groupBy(col("bucket"), col("n"))
         .agg(sum(col("c")).cast("long").as("c"))
-      val direct = bucketed.groupBy(col("bucket"), col("n"))
-        .agg(count(lit(1)).cast("long").as("c"))
+      val direct = Q.materialize(
+        ord.select(col("o_totalprice")).crossJoin(broadcast(rng))
+          .select(bucket, col("n"))
+          .groupBy(col("bucket"), col("n"))
+          .agg(count(lit(1)).cast("long").as("c")))
       val bm = direct.select(col("bucket"), col("c").as("cd"))
         .join(merged.select(col("bucket"), col("c").as("cm")),
           Seq("bucket"), "full")
@@ -591,7 +600,8 @@ object Extras {
         .agg(min(col("bucket")).as("eb"))
         .crossJoin(broadcast(rng))
         .select(r2e(col("mn") + (col("eb") + 1) * width).as(name))
-      val np = ord.agg(countDistinct(col("o_orderstatus")).cast("long")
+      // Census columns come off the checkpointed sketches, not the data.
+      val np = partials.agg(countDistinct(col("o_orderstatus")).cast("long")
         .as("n_partials"))
       val nb = merged.agg(count(lit(1)).cast("long").as("n_buckets"))
       np.crossJoin(broadcast(nb))
