@@ -110,10 +110,13 @@ object EventsOps {
           AS n_click_only""".stripMargin),
     (spark, dir) => {
       val ev = t(spark, dir, "events")
-      val clickers = ev.filter(col("event_type") === "click")
-        .select("user_id").distinct()
-      val buyers = ev.filter(col("event_type") === "purchase")
-        .select("user_id").distinct()
+      // Each cohort is materialized once: INTERSECT and EXCEPT both read
+      // both cohorts, which un-checkpointed meant four scans of events
+      // for two distinct sets.
+      val clickers = Q.materialize(ev.filter(col("event_type") === "click")
+        .select("user_id").distinct())
+      val buyers = Q.materialize(ev.filter(col("event_type") === "purchase")
+        .select("user_id").distinct())
       val both = clickers.intersect(buyers).agg(count(lit(1)).as("n_both"))
       val clickOnly = clickers.except(buyers)
         .agg(count(lit(1)).as("n_click_only"))

@@ -184,7 +184,12 @@ object Extras {
       FROM exact e JOIN est s ON s.event_type = e.event_type""".stripMargin),
     (spark, dir) => {
       val ev = t(spark, dir, "events")
-      val h = ev.select(col("event_type"), col("user_id")).distinct()
+      // ONE scan (same shape as q_hll_merge): registers, the spine's type
+      // set, and the exact comparator all derive from the distinct
+      // (event_type, user_id) checkpoint instead of three event scans.
+      val pairs = Q.materialize(
+        ev.select(col("event_type"), col("user_id")).distinct())
+      val h = pairs
         .select(col("event_type"),
           graft.functions.Md5Lanes(col("user_id").cast("string"), 0, 1)
             .getItem(0).as("hv"))
@@ -195,7 +200,7 @@ object Extras {
             .as("rank"))
         .groupBy(col("event_type"), col("bucket"))
         .agg(max(col("rank")).as("m"))
-      val spine = ev.select(col("event_type")).distinct()
+      val spine = pairs.select(col("event_type")).distinct()
         .select(col("event_type"),
           explode(expr("sequence(0L, 511L)")).as("bucket"))
       val agg = spine.join(reg, Seq("event_type", "bucket"), "left")
@@ -205,8 +210,8 @@ object Extras {
           sum(when(col("m") === 0, 1L).otherwise(0L)).cast("long").as("zeros"))
         .withColumn("raw",
           lit(0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 / col("denom"))
-      val exact = ev.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val exact = pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_users"))
       exact.join(agg, "event_type")
         .select(col("event_type"), col("exact_users"),
           r2e(when(col("raw") <= 1280.0 && col("zeros") > 0,
@@ -399,6 +404,14 @@ object Extras {
       FROM ex, np, est_m, est_d""".stripMargin),
     (spark, dir) => {
       val ev = t(spark, dir, "events")
+      // ONE scan of the data: the distinct (event_type, user_id)
+      // projection is the common ancestor of everything downstream —
+      // partial registers, direct registers, the exact count, and the
+      // partial census all derive from this checkpoint (un-materialized,
+      // each derivation re-scanned events: 4 scans for a sketch whose
+      // whole sales pitch is touching the data once).
+      val pairs = Q.materialize(
+        ev.select(col("event_type"), col("user_id")).distinct())
       def hvCol = graft.functions.Md5Lanes(col("user_id").cast("string"), 0, 1)
         .getItem(0).as("hv")
       def brOf(df: org.apache.spark.sql.DataFrame, keep: Seq[String]) = df
@@ -407,11 +420,11 @@ object Extras {
           when((col("hv").bitwiseAND(lit(8388607L))) === 0L, lit(24))
             .otherwise(lit(24) -
               length(bin(col("hv").bitwiseAND(lit(8388607L))))).as("rank"): _*)
-      val preg = brOf(ev.select(col("event_type"), col("user_id")).distinct(),
-        Seq("event_type"))
+      val preg = brOf(pairs, Seq("event_type"))
         .groupBy(col("event_type"), col("bucket")).agg(max(col("rank")).as("m"))
       val merged = preg.groupBy(col("bucket")).agg(max(col("m")).as("m"))
-      val direct = brOf(ev.select(col("user_id")).distinct(), Seq.empty)
+      val du = pairs.select(col("user_id")).distinct()
+      val direct = brOf(du, Seq.empty)
         .groupBy(col("bucket")).agg(max(col("rank")).as("m"))
       val spine = spark.range(512).select(col("id").as("bucket"))
       def estOf(reg: org.apache.spark.sql.DataFrame, name: String) = spine
@@ -424,8 +437,8 @@ object Extras {
         .select(r2e(when(col("raw") <= 1280.0 && col("zeros") > 0,
           lit(512.0) * log(lit(512.0) / col("zeros"))).otherwise(col("raw")))
           .as(name))
-      val ex = ev.agg(countDistinct(col("user_id")).as("exact_users"))
-      val np = ev.agg(countDistinct(col("event_type")).cast("long")
+      val ex = du.agg(count(lit(1)).as("exact_users"))
+      val np = pairs.agg(countDistinct(col("event_type")).cast("long")
         .as("n_partials"))
       ex.crossJoin(broadcast(np))
         .crossJoin(broadcast(estOf(merged, "merged_est")))
@@ -476,8 +489,12 @@ object Extras {
       FROM est JOIN exact ON exact.q = est.q""".stripMargin),
     (spark, dir) => {
       val ord = t(spark, dir, "orders")
-      val rng = ord.agg(min(col("o_totalprice")).as("mn"),
-        max(col("o_totalprice")).as("mx"), count(lit(1)).as("n"))
+      // Materialized 1-row range: it feeds the bucketing AND the readout
+      // edge math — un-checkpointed, each 1-row cross re-derived it with
+      // its own scan (with the 3-way exact union this query read orders
+      // 6×; now: range + sketch build + exact comparator = 3).
+      val rng = Q.materialize(ord.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"), count(lit(1)).as("n")))
       val width = (col("mx") - col("mn")) / lit(1024.0)
       val h = ord.select(col("o_totalprice")).crossJoin(broadcast(rng))
         .select(least(floor((col("o_totalprice") - col("mn")) / width),
@@ -497,16 +514,18 @@ object Extras {
         .select(col("q"),
           r2e(col("mn") + (col("eb") + 1) * width).as("hist_est"))
       // ONE percentile buffer for all three quantiles (the 3-call form
-      // builds three copies of the same value-count map per partition).
-      val ex = ord
+      // builds three copies of the same value-count map per partition),
+      // and ONE explode for the long form (the 3-way self-union
+      // re-evaluated the percentile scan per branch).
+      val exact = ord
         .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))")
           .as("ps"))
-        .select(r2e(col("ps").getItem(0)).as("e50"),
-          r2e(col("ps").getItem(1)).as("e90"),
-          r2e(col("ps").getItem(2)).as("e99"))
-      val exact = ex.select(lit(0.5).as("q"), col("e50").as("exact_cont"))
-        .union(ex.select(lit(0.9), col("e90")))
-        .union(ex.select(lit(0.99), col("e99")))
+        .select(explode(array(
+          struct(lit(0.5).as("q"), r2e(col("ps").getItem(0)).as("exact_cont")),
+          struct(lit(0.9).as("q"), r2e(col("ps").getItem(1)).as("exact_cont")),
+          struct(lit(0.99).as("q"), r2e(col("ps").getItem(2)).as("exact_cont"))))
+          .as("x"))
+        .select(col("x.q").as("q"), col("x.exact_cont").as("exact_cont"))
       est.join(exact, "q")
     })
 
