@@ -675,9 +675,13 @@ object Dedup {
       val cand = candidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
       val docs = t(spark, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
+      // The PREFIX TABLE is data-sized — broadcasting it (as this once
+      // did) dies first at 100 TB; the bounded side of these joins is the
+      // candidate set, so hint nothing and let stats/AQE pick the build
+      // side per scale.
       cand
-        .join(broadcast(docs.alias("da")), col("doc_a") === col("da.doc_id"))
-        .join(broadcast(docs.alias("db")), col("doc_b") === col("db.doc_id"))
+        .join(docs.alias("da"), col("doc_a") === col("da.doc_id"))
+        .join(docs.alias("db"), col("doc_b") === col("db.doc_id"))
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("da.prefix"), col("db.prefix")).cast("long")
             .as("prefix_dist"))

@@ -26,7 +26,8 @@ object Extras {
     (spark, dir) => {
       val cust = t(spark, dir, "customer")
       val ord = t(spark, dir, "orders")
-      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      // customer scales with SF — no broadcast hint (see q3 note).
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
         .rollup(col("c_mktsegment"), col("o_orderpriority"))
         .agg(r2e(sum(col("o_totalprice"))).as("total_sales"),
           count(lit(1)).as("n_orders"))
@@ -258,7 +259,7 @@ object Extras {
     (spark, dir) => {
       val cust = t(spark, dir, "customer")
       val ord = t(spark, dir, "orders")
-      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
           r2e(expr("percentile(o_totalprice, 0.5)")).as("median_price"),

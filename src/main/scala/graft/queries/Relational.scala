@@ -75,8 +75,12 @@ object Relational {
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = t(spark, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      // customer scales with SF (unlike nation/region): no broadcast
+      // HINT — a hint forces the build side at ANY scale, where the
+      // unhinted join lets stats/AQE broadcast at this SF and shuffle at
+      // 100 TB. Same policy at every customer/supplier join site.
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
         .agg(r2e(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
@@ -111,9 +115,10 @@ object Relational {
       val ord = t(spark, dir, "orders")
       val li = t(spark, dir, "lineitem")
       val supp = t(spark, dir, "supplier")
+      // custDim/supp scale with SF — no broadcast hint (see q3 note).
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(custDim), ord("o_custkey") === custDim("c_custkey"))
-        .join(broadcast(supp),
+        .join(custDim, ord("o_custkey") === custDim("c_custkey"))
+        .join(supp,
           supp("s_suppkey") === li("l_suppkey") &&
             supp("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
@@ -182,7 +187,7 @@ object Relational {
       val cust = t(spark, dir, "customer")
       val ord = t(spark, dir, "orders")
       val spend = ord
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
         .groupBy(col("n_name"), col("c_custkey"))
         .agg(r2e(sum(col("o_totalprice"))).as("total_spend"))
@@ -280,7 +285,7 @@ object Relational {
       val ord = t(spark, dir, "orders")
       val cust = t(spark, dir, "customer").select(col("c_custkey"))
       big.join(ord, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
         .select(col("c_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
           r2e(col("o_totalprice")).as("totalprice"),
