@@ -579,7 +579,13 @@ object TextOps {
         .cast("long")
       val d = t(spark, dir, "documents")
         .select(col("doc_id"), col("source"), toksN.as("n"))
-      val s = d.groupBy(col("source")).agg(sum(col("n")).cast("long").as("toks"))
+      // Materialized per-source stats (rows = #sources): the budget total
+      // and the rate table both read them — un-checkpointed, the rate
+      // derivation re-tokenized the corpus for a second stats pass. The
+      // query is now the documented two-pass shape exactly: one stats
+      // scan, one membership/census scan.
+      val s = Q.materialize(
+        d.groupBy(col("source")).agg(sum(col("n")).cast("long").as("toks")))
       val tot = s.agg(sum(col("toks")).cast("long").as("all_toks"),
         round(sum(sqrt(col("toks"))) + lit(1e-9), 6).as("sum_sqrt"))
       // Same left-to-right association as the SQL: 0.3·T·√S / Σ√S / S.
