@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-layout invariance: a declared query must return the SAME rows
+  * no matter how the cluster happens to lay out its shuffles — the driver's
+  * oracle runs at one fixed partition count, so on its own it can't catch a
+  * result that silently depends on the layout (a top-k tie resolved by
+  * arrival order, a sample keyed on partition id, an LSH bucket cap that
+  * truncates differently per layout, an iterative loop converging through a
+  * different intermediate state).
+  *
+  * This spec re-runs the queries where such dependence is most plausible at
+  * two deliberately awkward shuffle-partition counts (3 and 17 — co-prime
+  * with each other, the data layout, and the test session's default 8) and
+  * asserts bit-identical collected results. Complements tools/stress.sh,
+  * which varies the layout for the engine/streaming SUITES but not for the
+  * declared query surface.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // Queries chosen for the layout-sensitive mechanism each one contains.
+  private val tricky = Seq(
+    "q3_top_orders",              // global top-k with near-equal measures
+    "q_top_customers_per_nation", // window rank over grouped ties
+    "pipeline_sample_exact_k",    // exact-k per-stratum sampling
+    "pipeline_sample_stratified", // hash-gated stratified sampling
+    "dedup_minhash_pairs",        // LSH bucket caps + cross-band distinct
+    "dedup_lsh_verified",         // capped candidate verify join
+    "dedup_components",           // iterative min-label convergence loop
+    "ta_cms_topk",                // sketch build + top-k readout
+    "q_quantile_sketch",          // fixed-bucket histogram + percentile walk
+    "pipeline_bpe_fit",           // iterative merge learning with tie-breaks
+    "sim_topk_ivfpq",             // ANN candidate ranking ties
+    "pipeline_upsert")            // max-version keep-one tie-break
+
+  private def runAt(name: String, partitions: Int): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  for (name <- tricky)
+    test(s"$name: identical rows at 3 vs 17 shuffle partitions") {
+      val a = runAt(name, 3)
+      val b = runAt(name, 17)
+      assert(a.size == b.size, s"$name row count differs: ${a.size} vs ${b.size}")
+      val diff = a.zip(b).collectFirst { case (x, y) if x != y => s"$x != $y" }
+      assert(diff.isEmpty, s"$name differs across layouts: ${diff.getOrElse("")}")
+    }
+}
