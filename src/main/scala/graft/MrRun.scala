@@ -51,6 +51,7 @@ object MrRun {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      Sessions.quietBoundedWindowWarn()
       MapReduce.runToText(spark, app, inputGlob, outDir, nReduce)
       println(s"[mr] distributed ${app.name}: nReduce=$nReduce -> $outDir")
       spark.stop()

@@ -17,10 +17,13 @@ object Sessions {
     * indistinguishable from a real scale-killer, so it goes. A literal
     * partition key cannot do this job: Catalyst's
     * EliminateWindowPartitions strips foldable keys before execution.
-    * The boundedness itself is locked mechanically by PlanShapeSpec
-    * ("global windows only ever run over bounded inputs") — this
-    * suppression never hides an UNbounded global window regression,
-    * because that spec pins the bounding operator in each plan.
+    * The boundedness itself is locked mechanically by PlanShapeSpec:
+    * "global windows only ever run over bounded inputs" pins the
+    * bounding operator in each of the four plans, and the every-query
+    * sweep in "no all-pairs product..." fails ANY other declared query
+    * that grows an unpartitioned window — so this suppression cannot
+    * hide an unbounded global window regression anywhere on the
+    * declared surface.
     */
   def quietBoundedWindowWarn(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -29,6 +29,7 @@ object Sql {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietBoundedWindowWarn()
     TableNames.foreach { n =>
       try queries.Tables.t(spark, sfDir, n).createOrReplaceTempView(n)
       catch {

@@ -25,15 +25,27 @@ object Verify {
     // pressure, not the strategy.
     val strategy = sys.env.get("SPARK_GRAFT_MATERIALIZE")
     strategy.foreach(spark.conf.set("spark.graft.materialize", _))
+    // The checkpoint strategy needs a directory; default it under outDir
+    // so the sweep runs instead of every materializing query failing on
+    // the unset conf (on a cluster the real HDFS/object-store dir is set
+    // explicitly and wins).
+    if (strategy.contains("checkpoint") &&
+        !spark.conf.getOption("spark.graft.checkpointDir").isDefined)
+      spark.conf.set("spark.graft.checkpointDir", s"$outDir/_checkpoints")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally if (strategy.contains("persist")) spark.catalog.clearCache()
     }
+    // Loud summary so a partial sweep can't pass for a complete one (the
+    // exit code stays 0 — the driver's gate reads the per-query outputs).
+    println(s"[verify] ${SparkEntry.queries.size - failed} ok, $failed failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

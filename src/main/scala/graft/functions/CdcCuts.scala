@@ -74,24 +74,9 @@ object CdcCuts {
     var cpIdx = 0 // code points consumed so far
     var i = 0
     while (i < bytes.length) {
-      val b0 = bytes(i) & 0xFF
-      var cp = 0
-      var len = 1
-      if (b0 < 0x80) { cp = b0 }
-      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
-      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
-      else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
-      // Not a valid lead byte (stray continuation 0x80-0xBF or 0xF8-0xFF):
-      // consume exactly one byte, mirroring String.codePointAt's
-      // per-char replacement behavior, instead of silently swallowing up
-      // to 3 following bytes as a bogus 4-byte sequence. Unreachable from
-      // valid Spark UTF8String data; defensive only.
-      else { cp = b0; len = 1 }
-      var j = 1
-      while (j < len && i + j < bytes.length) {
-        cp = (cp << 6) | (bytes(i + j) & 0x3F)
-        j += 1
-      }
+      val packed = Utf8Decode.step(bytes, i)
+      val cp = Utf8Decode.cp(packed)
+      val len = Utf8Decode.len(packed)
       if (cpIdx >= w) {
         // Evict the code point leaving the window (two's-complement
         // subtraction then mask = subtraction mod 2^31).

@@ -42,23 +42,9 @@ object RollingHash31 {
     var h = 0L
     var i = 0
     while (i < bytes.length) {
-      val b0 = bytes(i) & 0xFF
-      var cp = 0
-      var len = 1
-      if (b0 < 0x80) { cp = b0 }
-      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
-      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
-      else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
-      // Invalid lead byte: consume one byte (see CdcCuts — defensive only,
-      // unreachable from valid Spark UTF8String data).
-      else { cp = b0; len = 1 }
-      var j = 1
-      while (j < len && i + j < bytes.length) {
-        cp = (cp << 6) | (bytes(i + j) & 0x3F)
-        j += 1
-      }
-      h = (h * 31L + cp) & 0x7FFFFFFFL
-      i += len
+      val packed = Utf8Decode.step(bytes, i)
+      h = (h * 31L + Utf8Decode.cp(packed)) & 0x7FFFFFFFL
+      i += Utf8Decode.len(packed)
     }
     h
   }

@@ -13,16 +13,19 @@ import graft.SparkTestBase
   * Method: plant, for each of the 20 query vectors, a near-identical
   * neighbor (the query's embedding with one component nudged, same label)
   * in a doctored copy of the embeddings table. Each planted neighbor is
-  * (a) the query's cosine top-1 by construction, (b) assigned to the same
-  * quantizer cell — the query's OWN rank-1 cell, so it is a candidate at
-  * every nprobe ≥ 1 — and (c) the minimum-possible ADC distance, because
+  * (a) the query's cosine top-1 by construction, (b) USUALLY assigned to
+  * the query's own rank-1 quantizer cell — the nudge (and the plants'
+  * own pull on the trained centroids) can flip a Voronoi-boundary plant
+  * into an adjacent cell, so cell eligibility is computed per plant with
+  * the production builders rather than assumed — and (c) the
+  * minimum-possible ADC distance among its cell's candidates, because
   * its PQ codes equal the query's own argmin codes (the LUT entries a
-  * code-sum cannot beat). A composed search that misses a planted
-  * neighbor is broken in the plumbing, not the math, so the floor is
-  * analytic (20/20, asserted with a 2-query tie-flood allowance), not a
-  * tuned constant. nprobe=2's planted hits cannot drop below nprobe=1's
-  * (the probe set only grows and planted ADC is minimal); full-truth
-  * recall@5 is asserted monotone in aggregate and reported per run.
+  * code-sum cannot beat). A composed search that misses an ELIGIBLE
+  * planted neighbor is broken in the plumbing, not the math, so the
+  * floor is analytic (all eligible, with a 2-query tie-flood allowance),
+  * not a tuned constant. nprobe=2's planted hits cannot drop below
+  * nprobe=1's (the probe set only grows and planted ADC is minimal);
+  * full-truth recall@5 is asserted monotone in aggregate and reported.
   */
 class IvfPqRecallSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -84,18 +87,40 @@ class IvfPqRecallSpec extends AnyFunSuite {
       assert(t(q).contains(PlantBase + q),
         s"planted neighbor of query $q missing from brute-force truth")
     }
+    // Cell ELIGIBILITY, computed with the production quantizer builders
+    // (same package): the +0.01 nudge AND the plants' own effect on the
+    // trained centroids can flip a Voronoi-boundary plant into a cell
+    // adjacent to its query's rank-1 cell — such a plant is legitimately
+    // not a candidate at nprobe=1, so it is excluded from the floor
+    // instead of silently consuming the tie allowance. The floor is then
+    // truly analytic: an ELIGIBLE plant (same cell, minimal ADC) can only
+    // be displaced by an exact-ADC tie flood (ties break by neighbor_id
+    // and planted ids are the largest) — allowed for 2 queries.
+    val ranks = Similarity.cellRanks(
+      Similarity.vecs(spark, dir), Similarity.centroidsFrom(Similarity.vecs(spark, dir)), 2)
+      .select("vec_id", "cell", "rk").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(2)).map(_.get(1))).toMap
+    def eligible(nprobe: Int): Seq[Long] = (0L until 20L).filter { q =>
+      ranks(q).take(nprobe).contains(ranks(PlantBase + q).head)
+    }
+    val e1 = eligible(1)
+    val e2 = eligible(2)
+    assert(e1.size >= 15,
+      s"only ${e1.size}/20 plants landed in their query's rank-1 cell — the planting itself is off")
     val p1 = top5(1)
     val p2 = top5(2)
-    val planted1 = (0L until 20L).count(q => p1.getOrElse(q, Set()).contains(PlantBase + q))
-    val planted2 = (0L until 20L).count(q => p2.getOrElse(q, Set()).contains(PlantBase + q))
+    val planted1 = e1.count(q => p1.getOrElse(q, Set()).contains(PlantBase + q))
+    val planted2 = e2.count(q => p2.getOrElse(q, Set()).contains(PlantBase + q))
     val rec1 = t.map { case (q, s) => (s & p1.getOrElse(q, Set())).size }.sum
     val rec2 = t.map { case (q, s) => (s & p2.getOrElse(q, Set())).size }.sum
-    info(f"planted-hit: nprobe=1 $planted1/20, nprobe=2 $planted2/20; " +
+    info(f"planted-hit: nprobe=1 $planted1/${e1.size} eligible, " +
+      f"nprobe=2 $planted2/${e2.size} eligible; " +
       f"recall@5 vs truth: nprobe=1 ${rec1 / 100.0}%.2f, nprobe=2 ${rec2 / 100.0}%.2f")
-    // Analytic floor with a 2-query allowance for exact-ADC tie floods
-    // (a tie on the minimum code-sum breaks by neighbor_id, and planted
-    // ids are the largest).
-    assert(planted1 >= 18, s"nprobe=1 found only $planted1/20 planted neighbors")
+    assert(planted1 >= e1.size - 2,
+      s"nprobe=1 found only $planted1/${e1.size} eligible planted neighbors")
+    assert(planted2 >= e2.size - 2,
+      s"nprobe=2 found only $planted2/${e2.size} eligible planted neighbors")
     assert(planted2 >= planted1,
       s"nprobe=2 planted hits $planted2 < nprobe=1 $planted1 — probing lost a same-cell hit")
     assert(rec2 >= rec1,

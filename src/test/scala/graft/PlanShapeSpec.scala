@@ -37,7 +37,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("global windows only ever run over bounded inputs") {
-    // Three queries use a single-partition window deliberately — the
+    // Four queries use a single-partition window deliberately — the
     // input is already bounded, so the window moves k rows, never the
     // data. Their WindowExec WARN is suppressed at session build
     // (Sessions.quietBoundedWindowWarn); THIS lock is what keeps that
@@ -79,12 +79,34 @@ class PlanShapeSpec extends AnyFunSuite {
       "ta_unigram_logprob", "pipeline_token_budget", "q_events_setops",
       "q_hll_merge", "q_quantile_sketch", "q_quantile_merge",
       "sim_power_iteration", "pipeline_bpe_fit", "q_events_gapfill")
+    // The only queries allowed an UNPARTITIONED window (single-partition
+    // shuffle) — each one's input bound is asserted above. This sweep is
+    // what makes the session-wide WindowExec WARN suppression
+    // (Sessions.quietBoundedWindowWarn) safe: a new global window in ANY
+    // other declared query fails here instead of warning into a silenced
+    // logger. Checked on the optimized logical plan, so it sees the final
+    // composition of every query (subtrees behind a checkpoint are
+    // covered when their own builder's final plan is swept).
+    val boundedGlobalWindow = Set("ta_cms_topk", "ta_zipf_fit",
+      "q_quantile_sketch", "q_quantile_merge")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
-      val p = plan(q)
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
       if (!whitelist.contains(q))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$q grew an all-pairs product:\n$p")
+      if (!boundedGlobalWindow.contains(q)) {
+        val globals = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(globals.isEmpty,
+          s"$q grew an unpartitioned global window (single-partition " +
+            s"shuffle of the whole input) — partition it or bound its " +
+            s"input and add it to the whitelist above:\n" +
+            globals.headOption.getOrElse(""))
+      }
     }
   }
 }

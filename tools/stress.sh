@@ -15,7 +15,7 @@ SUITES="graft.MapReduceGoldenSpec graft.CrashRecoverySpec \
 graft.SchedulerIntrospectionSpec graft.StreamsSpec graft.KvStreamSpec \
 graft.CdcSpec graft.KvLinearizabilitySpec"
 for i in $(seq 1 "$N"); do
-  parts=$((2 + (i * 5) % 15))
+  parts=$((2 + (i * 7) % 15))
   echo "=== stress trial $i/$N (seed window $i, shuffle.partitions $parts) ==="
   SPARK_GRAFT_STRESS_SEED=$i SPARK_GRAFT_STRESS_PARTITIONS=$parts \
     sbt -batch "testOnly $SUITES" >"/tmp/graft_stress_$i.log" 2>&1 \
