@@ -617,4 +617,44 @@ class StreamsSpec extends AnyFunSuite {
       assert(rows == Set((1L, "a"), (3L, "b"), (5L, "c")))
     } finally q.stop()
   }
+
+  test("streaming corpus-clean dedup state is evicted by the watermark") {
+    // The claim behind dropDuplicatesWithinWatermark (plain dropDuplicates
+    // on a non-event-time key NEVER evicts — state grows with every
+    // distinct fingerprint forever): once the watermark passes a
+    // fingerprint's expiry, its state row is dropped. 50 distinct docs,
+    // then a doc 10 hours later to advance the watermark, then one more
+    // batch so eviction (applied against the PREVIOUS batch's watermark)
+    // runs: the dedup operator's live state must shrink to the handful of
+    // in-window fingerprints, not the full history.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Int, String, String, String)]
+    val streamDocs = input.toDS()
+      .toDF("doc_id", "minute", "text", "lang", "source")
+      .select(col("doc_id"),
+        expr("timestamp_millis(1700000000000 + minute * 60000)").as("ts"),
+        col("text"), col("lang"), col("source"))
+    val q = Streams.corpusCleanStream(streamDocs)
+      .writeStream.format("memory").queryName("corpus_clean_evict")
+      .outputMode("update").start()
+    try {
+      input.addData((0 until 50).map(i =>
+        (i.toLong, i % 3, s"distinct document number $i body", "en", "s1")): _*)
+      q.processAllAvailable()
+      val dedupOp = () => q.lastProgress.stateOperators
+        .find(_.operatorName.toLowerCase.contains("dedupe"))
+        .getOrElse(fail("no dedupe state operator in progress"))
+      assert(dedupOp().numRowsTotal == 50L,
+        s"expected 50 fingerprints in state, got ${dedupOp().numRowsTotal}")
+      input.addData((100L, 600, "late doc advancing the watermark", "en", "s1"))
+      q.processAllAvailable()
+      input.addData((101L, 601, "one more to trigger eviction", "en", "s1"))
+      q.processAllAvailable()
+      val live = dedupOp().numRowsTotal
+      assert(live <= 2L,
+        s"watermark passed the first 50 fingerprints but $live state rows remain")
+    } finally q.stop()
+  }
 }
