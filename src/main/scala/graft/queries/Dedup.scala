@@ -621,11 +621,17 @@ object Dedup {
           val nbr = edges
             .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
             .select(col("src").as("doc_id"), col("label"))
-          // Materialized (lineage-cutting — see materializeLoop) before the
-          // self-join: the self-join would otherwise double the logical
-          // subtree every round, and the frame is subgraph-sized anyway.
-          val half = Q.materializeLoop(labels.union(nbr)
-            .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
+          // NOT materialized: the pointer-jump self-join below references
+          // this subtree twice, but both references produce IDENTICAL
+          // exchange plans, so ReuseExchange computes the shuffle once —
+          // and with constraint propagation off the duplicated attribute
+          // ids can't trip the Union constraint rewrite (the crash that
+          // once forced a checkpoint here). One materialization per round
+          // (nextM) instead of two: the round's wall time is dominated by
+          // fixed per-job overhead at the subgraph's size, not by the
+          // recomputed ≤1-aggregate fan-out.
+          val half = labels.union(nbr)
+            .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
           // Pointer jumping: follow the label's own label (labels only ever
           // decrease, so label(label(d)) ≤ label(d) and the fixpoint is
           // unchanged) — distance-to-minimum halves per round on top of the
