@@ -38,8 +38,10 @@ object MrRun {
       val lines = MapReduce.runSequential(app, MapReduce.globPaths(inputGlob))
       val out = java.nio.file.Paths.get(outDir)
       java.nio.file.Files.createDirectories(out)
+      // Zero groups -> an EMPTY file (the reference's mrsequential writes
+      // nothing), not a lone newline that would fail a byte-level diff.
       java.nio.file.Files.write(out.resolve("mr-out-0"),
-        lines.mkString("", "\n", "\n")
+        (if (lines.isEmpty) "" else lines.mkString("", "\n", "\n"))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[mr] sequential ${app.name}: ${lines.size} groups -> $outDir/mr-out-0")
     } else {

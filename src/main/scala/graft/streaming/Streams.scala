@@ -35,6 +35,19 @@ object Streams {
   def micros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  /** Timestamp from epoch micros — the inverse of [[micros]]. A plain
+    * `new Timestamp(us / 1000)` would truncate to millis, losing the
+    * sub-millisecond precision the session state deliberately keeps.
+    */
+  def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** One gap-merged session interval in the [[sessionize]] fold. */
+  private case class Sess(start: Long, last: Long, n: Long, total: Double)
+
   /** Watermarked tumbling-hour aggregation — the incremental form of
     * `q_events_hourly` (same grouping keys, aggregates AND rounding: the
     * epsilon-shifted round keeps incremental state-store accumulation
@@ -57,6 +70,14 @@ object Streams {
     * eviction is deterministic in event time (no wall-clock dependence).
     * Emits one row per closed session plus the open-session snapshot per
     * batch.
+    *
+    * Late arrivals within the watermark fold into the open session by
+    * TIME ORDER (interval merge), exactly as the batch mirror's global
+    * sort would place them — including moving the session start earlier.
+    * The one append-mode divergence from batch: a straggler older than
+    * the open session by more than the gap emits as its own closed
+    * session immediately; it cannot retro-merge into a session that
+    * already closed before it arrived (closed emissions are final).
     */
   def sessionize(spark: SparkSession, events: Dataset[Event],
       gapSeconds: Long = 1800,
@@ -71,40 +92,53 @@ object Streams {
           if (state.hasTimedOut) {
             // Idle past the timeout: close the open session, evict state.
             val out = state.getOption.toSeq.map(s =>
-              SessionUpdate(user, new Timestamp(s.start / 1000), s.n, s.total,
+              SessionUpdate(user, Streams.tsOfMicros(s.start), s.n, s.total,
                 closed = true))
             state.remove()
             out.iterator
           } else {
-            val sorted = it.toSeq.sortBy(e => (Streams.micros(e.ts), e.event_id))
-            var cur = state.getOption
-            val out = Seq.newBuilder[SessionUpdate]
-            sorted.foreach { e =>
-              val t = Streams.micros(e.ts)
-              cur match {
-                case Some(s) if t - s.lastTs > gapSeconds * 1000000L =>
-                  out += SessionUpdate(user, new Timestamp(s.start / 1000), s.n,
-                    s.total, closed = true)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case Some(s) =>
-                  cur = Some(s.copy(lastTs = t, n = s.n + 1,
-                    total = s.total + e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
+            // ONE time-ordered interval fold over the open-session state
+            // and this batch's events. A late arrival within the watermark
+            // may precede the state's lastTs (a naive lastTs := t would
+            // REGRESS the session clock and falsely split on the next
+            // event) or even precede its start by more than the gap (this
+            // user's events can run ahead of the GLOBAL watermark, so a
+            // straggler may belong to an earlier, separate session). The
+            // batch mirror sorts all events by ts before gap-splitting;
+            // merging intervals in start order with gap tolerance computes
+            // exactly that fixpoint: every maximal run whose neighbor gaps
+            // are <= gap is one session — all but the newest close now,
+            // the newest becomes the state.
+            val gapUs = gapSeconds * 1000000L
+            val evs = it.toSeq
+              .sortBy(e => (Streams.micros(e.ts), e.event_id))
+              .map(e => { val t = Streams.micros(e.ts); Sess(t, t, 1, e.value) })
+            val prior = state.getOption
+              .map(s => Sess(s.start, s.lastTs, s.n, s.total)).toSeq
+            val sessions = (prior ++ evs).sortBy(s => (s.start, s.last))
+              .foldLeft(List.empty[Sess]) {
+                case (h :: tl, s) if s.start - h.last <= gapUs =>
+                  Sess(h.start, math.max(h.last, s.last),
+                    h.n + s.n, h.total + s.total) :: tl
+                case (acc, s) => s :: acc
+              }.reverse
+            if (sessions.isEmpty) Iterator.empty
+            else {
+              val out = Seq.newBuilder[SessionUpdate]
+              sessions.init.foreach(s => out += SessionUpdate(user,
+                Streams.tsOfMicros(s.start), s.n, s.total, closed = true))
+              val open = sessions.last
+              state.update(SessionState(open.start, open.last, open.n, open.total))
               // Evict when the watermark passes 2×gap beyond the last event
               // (millis API; must stay above the current watermark or Spark
               // rejects it).
               state.setTimeoutTimestamp(math.max(
                 state.getCurrentWatermarkMs() + 1000,
-                s.lastTs / 1000 + gapSeconds * 2 * 1000))
-              out += SessionUpdate(user, new Timestamp(s.start / 1000), s.n,
-                s.total, closed = false)
+                open.last / 1000 + gapSeconds * 2 * 1000))
+              out += SessionUpdate(user, Streams.tsOfMicros(open.start),
+                open.n, open.total, closed = false)
+              out.result().iterator
             }
-            out.result().iterator
           }
       }
   }
@@ -367,12 +401,19 @@ object Streams {
             Iterator.empty
           } else {
             val rows = it.toSeq
-            // Tie-break equal versions by fp so a replayed/reordered batch
-            // always emits the same (version, fp) row — the idempotent-sink
-            // contract needs the emission itself to be deterministic.
+            // Tie-break equal versions by fp — lexicographic (version, fp)
+            // BOTH within the batch and against the state, so the final
+            // emitted row for a doc is the same no matter how its
+            // revisions split or reorder across micro-batches (an
+            // equal-version revision in a later batch must win or lose by
+            // the same rule it would have in the same batch; comparing
+            // version alone would make the winner arrival-order-dependent,
+            // breaking the idempotent-sink contract across replays).
             val best = rows.maxBy(r => (r._2, r._4))
             val out = state.getOption match {
-              case Some((v, _)) if v >= best._2 => Iterator.empty
+              case Some((v, f))
+                  if Ordering[(Long, String)].gteq((v, f), (best._2, best._4)) =>
+                Iterator.empty
               case _ =>
                 state.update((best._2, best._4))
                 Iterator.single((doc, best._2, best._4))

@@ -471,6 +471,106 @@ class StreamsSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("sessionizer absorbs a late in-window event without splitting the session") {
+    // Regression: a late arrival (within the watermark, before the open
+    // session's lastTs) must not REGRESS the session clock — the old fold
+    // set lastTs := t unconditionally, so the next on-time event measured
+    // its gap from the stale late ts and falsely split the session. The
+    // batch mirror sorts all events by ts before gap-splitting; minutes
+    // 95, 100, 126 with a 30-min gap are ONE session of 3 starting at 95.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(spark, input.toDS(),
+        gapSeconds = 1800, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(100), 7, "click", 1.0))
+      q.processAllAvailable() // watermark: minute 90
+      input.addData(Event(2, ts(95), 7, "view", 2.0)) // late but in-window
+      q.processAllAvailable()
+      input.addData(Event(3, ts(126), 7, "click", 4.0)) // 26 min after 100
+      q.processAllAvailable()
+      val rows = spark.table("sessions_late").as[SessionUpdate].collect()
+      assert(!rows.exists(_.closed),
+        s"late event split the session: ${rows.filter(_.closed).toSeq}")
+      val open = rows.filter(!_.closed).maxBy(_.n_events)
+      assert(open.n_events == 3 && open.total_value == 7.0 &&
+        open.session_start == ts(95),
+        s"open session should be (start=${ts(95)}, n=3, total=7.0), got $open")
+    } finally q.stop()
+  }
+
+  test("sessionizer emits a pre-session straggler as its own closed session") {
+    // A straggler more than a gap OLDER than the open session's start
+    // (reachable when this user's events run ahead of the global
+    // watermark) belongs to a separate, earlier session. The old fold
+    // merged it into the open session (regressing lastTs and inflating
+    // n); now it closes immediately as its own session. (Append-mode
+    // limitation, documented: it cannot retro-merge into a session that
+    // already CLOSED before it arrived.)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(spark, input.toDS(),
+        gapSeconds = 1800, watermarkDelay = "300 minutes")
+      .writeStream.format("memory").queryName("sessions_straggler")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(200), 7, "click", 1.0))
+      q.processAllAvailable() // watermark: minute -100 -> nothing dropped
+      input.addData(Event(2, ts(100), 7, "view", 2.0)) // 100 min before
+      q.processAllAvailable()
+      val rows = spark.table("sessions_straggler").as[SessionUpdate].collect()
+      val closed = rows.filter(_.closed)
+      assert(closed.map(s => (s.session_start, s.n_events, s.total_value)).toSeq
+        == Seq((ts(100), 1L, 2.0)), s"straggler session wrong: ${closed.toSeq}")
+      val open = rows.filter(!_.closed).last
+      assert(open.session_start == ts(200) && open.n_events == 1,
+        s"open session corrupted by the straggler: $open")
+    } finally q.stop()
+  }
+
+  test("streaming upsert emits the same final row regardless of equal-version arrival order") {
+    // Regression: with two same-version revisions split ACROSS batches,
+    // the old state guard (version-only compare) kept whichever arrived
+    // first — the final sink row depended on arrival order. The
+    // lexicographic (version, fp) rule must pick the same winner both
+    // ways.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams.DocVersion
+    val (loTxt, hiTxt) =
+      if (md5str("rev ex") < md5str("rev why")) ("rev ex", "rev why")
+      else ("rev why", "rev ex")
+    def finalRow(first: String, second: String): (Long, String) = {
+      val input = MemoryStream[DocVersion]
+      val q = Streams.upsertStream(spark, input.toDS())
+        .writeStream.format("memory").queryName("upsert_order")
+        .outputMode("append").start()
+      try {
+        input.addData(DocVersion(7, 2, ts(0), first))
+        q.processAllAvailable()
+        input.addData(DocVersion(7, 2, ts(1), second))
+        q.processAllAvailable()
+        val rows = spark.table("upsert_order")
+          .withColumn("rn", monotonically_increasing_id())
+          .orderBy(col("rn")).select(col("version"), col("fp"))
+          .as[(Long, String)].collect()
+        rows.last
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("upsert_order")
+      }
+    }
+    val a = finalRow(loTxt, hiTxt)
+    val b = finalRow(hiTxt, loTxt)
+    assert(a == b, s"arrival order changed the final row: $a vs $b")
+    assert(a == ((2L, md5str(hiTxt))), s"winner should be the max fp, got $a")
+  }
+
   test("streaming CDC dedup pairs later docs against each chunk's owner") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
