@@ -532,6 +532,85 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsert, histogram, and corpus-clean dedup are state-store-provider-agnostic") {
+    // RocksDB parity for the stateful operators the sessionizer/LSH tests
+    // don't cover: same batches, same emitted rows under the production
+    // (off-heap) store as under the default HDFS-backed one.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams.DocVersion
+    def withProvider[T](rocks: Boolean)(body: => T): T = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      if (rocks) spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    def upsertRun(tag: String): Set[(Long, Long, String)] = {
+      val input = MemoryStream[DocVersion]
+      val q = Streams.upsertStream(spark, input.toDS())
+        .writeStream.format("memory").queryName(s"ups_$tag")
+        .outputMode("append").start()
+      try {
+        input.addData(DocVersion(1, 1, ts(0), "a"), DocVersion(2, 5, ts(1), "b"))
+        q.processAllAvailable()
+        input.addData(DocVersion(1, 2, ts(2), "c"), DocVersion(2, 4, ts(3), "stale"))
+        q.processAllAvailable()
+        spark.table(s"ups_$tag").as[(Long, Long, String)].collect().toSet
+      } finally q.stop()
+    }
+    def histRun(tag: String): Set[(Long, Long)] = {
+      val input = MemoryStream[Event]
+      val q = Streams.histogramStream(input.toDF(), 0.0, 100.0, buckets = 16)
+        .writeStream.format("memory").queryName(s"hist_$tag")
+        .outputMode("update").start()
+      try {
+        input.addData(Event(1, ts(0), 1, "click", 5.0), Event(2, ts(1), 1, "click", 37.5))
+        q.processAllAvailable()
+        input.addData(Event(3, ts(2), 2, "view", 99.9), Event(4, ts(3), 2, "view", -3.0))
+        q.processAllAvailable()
+        spark.table(s"hist_$tag")
+          .withColumn("rn", monotonically_increasing_id())
+          .groupBy(col("bucket"))
+          .agg(max_by(col("c"), col("rn")).as("c"))
+          .as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    def cleanRun(tag: String): Set[(String, String, Long, Long)] = {
+      val input = MemoryStream[(Long, Int, String, String, String)]
+      val docs = input.toDS().toDF("doc_id", "minute", "text", "lang", "source")
+        .select(col("doc_id"),
+          expr("timestamp_millis(1700000000000 + minute * 60000)").as("ts"),
+          col("text"), col("lang"), col("source"))
+      val q = Streams.corpusCleanStream(docs)
+        .writeStream.format("memory").queryName(s"cc_$tag")
+        .outputMode("update").start()
+      try {
+        val en = "the cat of a house and the dog is here now then also"
+        input.addData((0L, 0, en, "en", "s1"), (1L, 1, en + " more", "en", "s1"))
+        q.processAllAvailable()
+        input.addData((2L, 2, en, "en", "s1")) // exact dup, dropped by state
+        q.processAllAvailable()
+        spark.table(s"cc_$tag")
+          .withColumn("rn", monotonically_increasing_id())
+          .groupBy(col("source"), col("lang"))
+          .agg(max_by(struct(col("n_docs"), col("total_tokens")), col("rn")).as("v"))
+          .select(col("source"), col("lang"), col("v.n_docs"), col("v.total_tokens"))
+          .as[(String, String, Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    assert(withProvider(false)(upsertRun("d")) == withProvider(true)(upsertRun("r")),
+      "upsertStream diverges under RocksDB")
+    assert(withProvider(false)(histRun("d")) == withProvider(true)(histRun("r")),
+      "histogramStream diverges under RocksDB")
+    assert(withProvider(false)(cleanRun("d")) == withProvider(true)(cleanRun("r")),
+      "corpusCleanStream diverges under RocksDB")
+  }
+
   test("streaming upsert emits the same final row regardless of equal-version arrival order") {
     // Regression: with two same-version revisions split ACROSS batches,
     // the old state guard (version-only compare) kept whichever arrived
