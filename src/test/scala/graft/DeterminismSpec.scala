@@ -19,24 +19,28 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DeterminismSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
-  private val dir = "/root/testdata/sf0.001"
+  private val sfSmoke = "/root/testdata/sf0.001"
+  // The cap/iteration-sensitive queries run at sf0.01: at the smoke SF
+  // an LSH bucket cap may never bind and a convergence loop may finish
+  // in one round, leaving exactly the layout-sensitive branch untested.
+  private val sfCaps = "/root/testdata/sf0.01"
 
   // Queries chosen for the layout-sensitive mechanism each one contains.
   private val tricky = Seq(
-    "q3_top_orders",              // global top-k with near-equal measures
-    "q_top_customers_per_nation", // window rank over grouped ties
-    "pipeline_sample_exact_k",    // exact-k per-stratum sampling
-    "pipeline_sample_stratified", // hash-gated stratified sampling
-    "dedup_minhash_pairs",        // LSH bucket caps + cross-band distinct
-    "dedup_lsh_verified",         // capped candidate verify join
-    "dedup_components",           // iterative min-label convergence loop
-    "ta_cms_topk",                // sketch build + top-k readout
-    "q_quantile_sketch",          // fixed-bucket histogram + percentile walk
-    "pipeline_bpe_fit",           // iterative merge learning with tie-breaks
-    "sim_topk_ivfpq",             // ANN candidate ranking ties
-    "pipeline_upsert")            // max-version keep-one tie-break
+    "q3_top_orders" -> sfSmoke,       // global top-k with near-equal measures
+    "q_top_customers_per_nation" -> sfSmoke, // window rank over grouped ties
+    "pipeline_sample_exact_k" -> sfCaps, // exact-k per-stratum sampling
+    "pipeline_sample_stratified" -> sfSmoke, // hash-gated stratified sampling
+    "dedup_minhash_pairs" -> sfCaps,  // LSH bucket caps + cross-band distinct
+    "dedup_lsh_verified" -> sfCaps,   // capped candidate verify join
+    "dedup_components" -> sfCaps,     // iterative min-label convergence loop
+    "ta_cms_topk" -> sfCaps,          // sketch collisions + top-k readout
+    "q_quantile_sketch" -> sfSmoke,   // fixed-bucket histogram + percentile walk
+    "pipeline_bpe_fit" -> sfSmoke,    // iterative merge learning with tie-breaks
+    "sim_topk_ivfpq" -> sfSmoke,      // ANN candidate ranking ties
+    "pipeline_upsert" -> sfSmoke)     // max-version keep-one tie-break
 
-  private def runAt(name: String, partitions: Int): Seq[String] = {
+  private def runAt(name: String, dir: String, partitions: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     try SparkEntry.queries(name)(spark, dir)
@@ -44,10 +48,10 @@ class DeterminismSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  for (name <- tricky)
+  for ((name, dir) <- tricky)
     test(s"$name: identical rows at 3 vs 17 shuffle partitions") {
-      val a = runAt(name, 3)
-      val b = runAt(name, 17)
+      val a = runAt(name, dir, 3)
+      val b = runAt(name, dir, 17)
       assert(a.size == b.size, s"$name row count differs: ${a.size} vs ${b.size}")
       val diff = a.zip(b).collectFirst { case (x, y) if x != y => s"$x != $y" }
       assert(diff.isEmpty, s"$name differs across layouts: ${diff.getOrElse("")}")
