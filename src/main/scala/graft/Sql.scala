@@ -9,9 +9,6 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.Sql <sfDir> <sql...>
   */
 object Sql {
-  private val TableNames = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events", "documents", "embeddings")
-
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println("usage: Sql <sfDir> <sql...>")
@@ -30,7 +27,7 @@ object Sql {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Sessions.quietBoundedWindowWarn()
-    TableNames.foreach { n =>
+    queries.Tables.names.foreach { n =>
       try queries.Tables.t(spark, sfDir, n).createOrReplaceTempView(n)
       catch {
         case e: Exception =>

@@ -94,6 +94,13 @@ object Det {
 }
 
 object Tables {
+  /** Every testdata table (TESTDATA.md). Single source of truth for the
+    * Sql CLI's view registration and Bench's warmup scan — a table added
+    * here is automatically warmed/registered everywhere.
+    */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   /** All tables ship as single parquet files per TESTDATA.md. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
