@@ -1,0 +1,107 @@
+package graft.multimodal
+
+/** Real (non-stub) image codec for the one raster format parseable with
+  * zero dependencies: uncompressed 24-bit BMP (BITMAPFILEHEADER +
+  * BITMAPINFOHEADER, BI_RGB). Unlike [[Multimodal.FakeCodec]], the decode
+  * here does the actual byte work a media pipeline's ingest stage does —
+  * little-endian header field parsing, 4-byte row-stride padding, bottom-up
+  * row order, BGR channel order — and every one of those details is
+  * load-bearing: mishandling any of them changes the per-channel means or
+  * the top-row checksum the `mm_pixel_stats` oracle verifies.
+  *
+  * The encoder exists so the corpus's text bytes can stand in for real
+  * camera payloads deterministically (the container ships no media files);
+  * the decoder never sees the construction parameters — only the bytes.
+  */
+object Bmp {
+
+  /** Pixel-level features from a decoded image. Channel sums stay exact
+    * longs; callers derive means so rounding happens once, in the query
+    * layer, with the same epsilon-shifted round as every other query.
+    */
+  final case class PixelStats(width: Int, height: Int, nPx: Long,
+      sumB: Long, sumG: Long, sumR: Long, topRowSum: Long)
+
+  private def putLE(b: Array[Byte], off: Int, v: Int, n: Int): Unit = {
+    var i = 0
+    while (i < n) { b(off + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+  }
+
+  private def getLE(b: Array[Byte], off: Int, n: Int): Int = {
+    var v = 0
+    var i = 0
+    while (i < n) { v |= (b(off + i) & 0xff) << (8 * i); i += 1 }
+    v
+  }
+
+  /** Row stride: 3 bytes/px rounded up to a 4-byte boundary (the BMP spec's
+    * scanline alignment — the padding bytes are NOT pixel data).
+    */
+  def rowSize(width: Int): Int = (3 * width + 3) / 4 * 4
+
+  /** Encode a top-down row-major BGR pixel array (3 bytes per pixel,
+    * `pixels.length == 3*width*height`) as a standard bottom-up 24-bit BMP.
+    */
+  def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == 3 * width * height,
+      s"pixel buffer ${pixels.length} != 3*$width*$height")
+    val stride = rowSize(width)
+    val dataSize = stride * height
+    val out = new Array[Byte](54 + dataSize) // zero-filled => padding bytes 0
+    out(0) = 'B'; out(1) = 'M'
+    putLE(out, 2, 54 + dataSize, 4)  // file size
+    putLE(out, 10, 54, 4)            // pixel data offset
+    putLE(out, 14, 40, 4)            // BITMAPINFOHEADER size
+    putLE(out, 18, width, 4)
+    putLE(out, 22, height, 4)        // positive => bottom-up
+    putLE(out, 26, 1, 2)             // planes
+    putLE(out, 28, 24, 2)            // bits per pixel
+    putLE(out, 30, 0, 4)             // BI_RGB (uncompressed)
+    putLE(out, 34, dataSize, 4)
+    var y = 0
+    while (y < height) {
+      // image row y (0 = top) lands at file row (height-1-y): bottom-up.
+      val dst = 54 + (height - 1 - y) * stride
+      System.arraycopy(pixels, 3 * width * y, out, dst, 3 * width)
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a 24-bit uncompressed BMP to pixel statistics. Throws on
+    * anything that isn't the declared format — an ingest pipeline wants
+    * loud rejects (quarantine lane), not silently wrong features.
+    */
+  def decode(bytes: Array[Byte]): PixelStats = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP: bad magic/size")
+    val off = getLE(bytes, 10, 4)
+    val width = getLE(bytes, 18, 4)
+    val height = getLE(bytes, 22, 4)
+    val bpp = getLE(bytes, 28, 2)
+    val compression = getLE(bytes, 30, 4)
+    require(bpp == 24, s"unsupported bpp $bpp (only 24-bit)")
+    require(compression == 0, s"unsupported compression $compression")
+    require(width > 0 && height > 0, s"unsupported geometry ${width}x$height")
+    val stride = rowSize(width)
+    require(off + stride.toLong * height <= bytes.length,
+      "truncated pixel data")
+    var sumB = 0L; var sumG = 0L; var sumR = 0L; var topRowSum = 0L
+    var y = 0
+    while (y < height) {
+      val src = off + (height - 1 - y) * stride // undo bottom-up
+      var x = 0
+      while (x < width) {
+        val b = bytes(src + 3 * x) & 0xff
+        val g = bytes(src + 3 * x + 1) & 0xff
+        val r = bytes(src + 3 * x + 2) & 0xff
+        sumB += b; sumG += g; sumR += r
+        if (y == 0) topRowSum += b + g + r
+        x += 1
+      }
+      y += 1
+    }
+    PixelStats(width, height, width.toLong * height, sumB, sumG, sumR,
+      topRowSum)
+  }
+}

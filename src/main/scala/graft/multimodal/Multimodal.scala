@@ -66,4 +66,52 @@ object Multimodal {
         }
       }
   }
+
+  /** Per-image pixel features from a REAL decode ([[Bmp]], not the fake):
+    * doc_id + geometry + exact channel sums + the top-row checksum.
+    */
+  case class PixelFeatures(doc_id: Long, width: Long, height: Long,
+      n_px: Long, sum_b: Long, sum_g: Long, sum_r: Long, top_row_sum: Long)
+
+  /** Deterministic image payload for a document: a `w×h` 24-bit BMP whose
+    * BGR pixel stream is the document's UTF-8 bytes repeated cyclically
+    * (geometry from the byte length, so every doc gets a different shape,
+    * padding and both stride cases included across the corpus). The
+    * container ships no media files — this synthesizes real BMP bytes so
+    * the decoder has something real to chew on; the decoder sees ONLY the
+    * encoded bytes, never these parameters.
+    */
+  def syntheticBmp(textBytes: Array[Byte]): Array[Byte] = {
+    val len = textBytes.length
+    require(len > 0, "empty payload")
+    val w = 1 + (len % 31)
+    val h = 1 + ((len / 31) % 17)
+    val px = new Array[Byte](3 * w * h)
+    var i = 0
+    while (i < px.length) { px(i) = textBytes(i % len); i += 1 }
+    Bmp.encode(w, h, px)
+  }
+
+  /** The real-decode pipeline: synthesize the BMP payload, then round-trip
+    * it through the actual byte-level decoder — header parse, stride
+    * padding, bottom-up rows, BGR order — in partition-local batches.
+    * Payload bytes never shuffle; only the fixed-width features flow on.
+    */
+  def pixelStats(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[PixelFeatures] = {
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            val s = Bmp.decode(syntheticBmp(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            PixelFeatures(id, s.width, s.height, s.nPx, s.sumB, s.sumG,
+              s.sumR, s.topRowSum)
+          }
+        }
+      }
+  }
 }

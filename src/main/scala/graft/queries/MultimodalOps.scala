@@ -100,5 +100,47 @@ object MultimodalOps {
         .select(col("doc_id"), col("n_distinct"), col("entropy"))
     })
 
-  val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy)
+  val pixelStats = Q(
+    "mm_pixel_stats",
+    "REAL image decode (not the stub): each document's bytes become an " +
+      "actual 24-bit BMP payload (geometry from the byte length, BGR " +
+      "pixel stream = the bytes repeated), and graft.multimodal.Bmp " +
+      "decodes it back — little-endian header parse, 4-byte row-stride " +
+      "padding, bottom-up row order, BGR channel order — in batched " +
+      "mapPartitions. Output: geometry + per-channel means + the top-row " +
+      "checksum. Every decoder detail is oracle-verified: swapped " +
+      "channels flip mean_b/mean_r, counted padding pollutes the means, " +
+      "unreversed rows flip top_row_sum. The oracle computes the same " +
+      "stats from the same bytes via the synthesis closed form (DuckDB " +
+      "cannot parse BMP; the SPARK side genuinely round-trips the " +
+      "encoded bytes). Payload never shuffles — the plan is one scan, " +
+      "zero exchanges.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents WHERE length(text) > 0),
+           g AS (SELECT doc_id, text, len,
+                        1 + (len % 31) AS w, 1 + ((len // 31) % 17) AS h
+                 FROM d),
+           v AS (SELECT doc_id, w, h, i % 3 AS c, i < 3*w AS top,
+                        ascii(substr(text, (i % len)::INT + 1, 1)) AS val
+                 FROM (SELECT doc_id, text, len, w, h,
+                              unnest(range(0, 3*w*h)) AS i
+                       FROM g))
+      SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+             (w*h)::BIGINT AS n_px,
+             round(sum(CASE WHEN c=0 THEN val END)::DOUBLE / (w*h) + 1e-8, 4) AS mean_b,
+             round(sum(CASE WHEN c=1 THEN val END)::DOUBLE / (w*h) + 1e-8, 4) AS mean_g,
+             round(sum(CASE WHEN c=2 THEN val END)::DOUBLE / (w*h) + 1e-8, 4) AS mean_r,
+             sum(CASE WHEN top THEN val ELSE 0 END)::BIGINT AS top_row_sum
+      FROM v GROUP BY doc_id, w, h""".stripMargin),
+    (spark, dir) =>
+      Multimodal.pixelStats(spark, t(spark, dir, "documents"))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          Det.r4e(col("sum_b").cast("double") / col("n_px")).as("mean_b"),
+          Det.r4e(col("sum_g").cast("double") / col("n_px")).as("mean_g"),
+          Det.r4e(col("sum_r").cast("double") / col("n_px")).as("mean_r"),
+          col("top_row_sum")))
+
+  val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Bmp, Multimodal}
 
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -31,6 +31,70 @@ class MultimodalSpec extends AnyFunSuite {
     a.foreach { f =>
       assert(f.channels == 3 && f.n_bytes > 0)
       assert(f.mean_byte > 32 && f.mean_byte < 127)
+    }
+  }
+
+  test("Bmp decodes a hand-built golden fixture exactly") {
+    // 2x2 24-bit BMP crafted byte-by-byte (NOT via the encoder): stride is
+    // ((3*2+3)/4)*4 = 8, so each row carries 2 padding bytes — set to
+    // nonzero garbage to prove the decoder skips them. Rows are stored
+    // bottom-up: file row 0 is IMAGE row 1.
+    def le(v: Int, n: Int): Seq[Byte] =
+      (0 until n).map(i => ((v >>> (8 * i)) & 0xff).toByte)
+    val header: Seq[Byte] =
+      Seq[Byte]('B', 'M') ++ le(70, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(2, 4) ++ le(2, 4) ++ le(1, 2) ++ le(24, 2) ++
+        le(0, 4) ++ le(16, 4) ++ le(0, 4) ++ le(0, 4) ++ le(0, 4) ++ le(0, 4)
+    val bottomRow = Seq[Byte](10, 20, 30, 40, 50, 60) ++
+      Seq(0xAA.toByte, 0xBB.toByte) // padding: must be ignored
+    val topRow = Seq[Byte](1, 2, 3, 4, 5, 6) ++
+      Seq(0xCC.toByte, 0xDD.toByte)
+    val bytes = (header ++ bottomRow ++ topRow).toArray
+    assert(bytes.length == 70)
+    val s = Bmp.decode(bytes)
+    assert(s == Bmp.PixelStats(width = 2, height = 2, nPx = 4,
+      sumB = 10 + 40 + 1 + 4, sumG = 20 + 50 + 2 + 5, sumR = 30 + 60 + 3 + 6,
+      topRowSum = 1 + 2 + 3 + 4 + 5 + 6))
+  }
+
+  test("Bmp rejects what it cannot decode (quarantine, not wrong features)") {
+    val good = Multimodal.syntheticBmp("hello world".getBytes("UTF-8"))
+    assert(Bmp.decode(good).nPx > 0)
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](Bmp.decode(badMagic))
+    val badBpp = good.clone(); badBpp(28) = 32
+    intercept[IllegalArgumentException](Bmp.decode(badBpp))
+    intercept[IllegalArgumentException](Bmp.decode(good.take(60)))
+  }
+
+  test("Bmp encode/decode round-trips exact channel sums (both stride cases)") {
+    // w=1 => stride 4 (1 px + 1 pad byte); w=4 => stride 12 (no padding).
+    for ((w, h) <- Seq((1, 3), (4, 2), (31, 17))) {
+      val px = Array.tabulate(3 * w * h)(i => ((i * 37 + 11) % 256).toByte)
+      val s = Bmp.decode(Bmp.encode(w, h, px))
+      def sum(c: Int) = (0 until w * h).map(k => px(3 * k + c) & 0xff).sum.toLong
+      assert(s.width == w && s.height == h && s.nPx == w.toLong * h)
+      assert((s.sumB, s.sumG, s.sumR) == ((sum(0), sum(1), sum(2))))
+      assert(s.topRowSum == (0 until 3 * w).map(i => px(i) & 0xff).sum.toLong)
+    }
+  }
+
+  test("pixelStats is deterministic across partitionings and batch sizes") {
+    val a = Multimodal.pixelStats(spark, docs, batchSize = 64)
+      .collect().sortBy(_.doc_id)
+    val b = Multimodal.pixelStats(spark, docs.repartition(7), batchSize = 3)
+      .collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    // Geometry closed form holds for every doc (the decoder re-derived it
+    // from the header, not from the text).
+    val lens = docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { f =>
+      val len = lens(f.doc_id)
+      assert(f.width == 1 + (len % 31) && f.height == 1 + ((len / 31) % 17))
+      assert(f.n_px == f.width * f.height && f.top_row_sum > 0)
     }
   }
 }
