@@ -78,6 +78,13 @@ object Streams {
     * the open session by more than the gap emits as its own closed
     * session immediately; it cannot retro-merge into a session that
     * already closed before it arrived (closed emissions are final).
+    * This immediate close happens even when the watermark has NOT yet
+    * passed that straggler session's end+gap — so two stragglers of the
+    * same logical earlier session split across micro-batches emit as TWO
+    * closed sessions where the batch mirror yields one. Holding
+    * non-newest sessions in state until the watermark passes last+gap
+    * would close that gap at the cost of multi-session state per user;
+    * append-mode finality is the documented, spec-pinned trade here.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event],
       gapSeconds: Long = 1800,

@@ -306,6 +306,170 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval joins are state-store-provider-agnostic") {
+    // RocksDB parity for the symmetric hash-join state (the one stateful
+    // operator family the provider sweeps above don't touch): both the
+    // inner and the left-outer interval join replay their scenarios under
+    // the production RocksDB store, and must match BOTH the default
+    // provider's rows and the batch-truth join on the same events —
+    // including the outer join's watermark-timed NULL emissions, which
+    // exercise state eviction (not just lookup) through RocksDB.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def withProvider[T](rocks: Boolean)(body: => T): T = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      if (rocks) spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    val innerEvents = Seq(
+      Event(1, ts(0), 7, "click", 0.0),
+      Event(2, ts(10), 7, "purchase", 9.99),
+      Event(3, ts(45), 7, "purchase", 5.00),
+      Event(4, ts(40), 7, "click", 0.0),
+      Event(5, ts(5), 8, "purchase", 1.00),
+      Event(6, ts(12), 9, "click", 0.0))
+    def innerRun(tag: String): Set[(Long, Long, Long, Long, Long, Double)] = {
+      val input = MemoryStream[Event]
+      val q = Streams.attributedConversions(input.toDS())
+        .writeStream.format("memory").queryName(s"conv_$tag")
+        .outputMode("append").start()
+      try {
+        input.addData(innerEvents.take(3): _*)
+        q.processAllAvailable()
+        input.addData(innerEvents.drop(3): _*)
+        q.processAllAvailable()
+        spark.table(s"conv_$tag")
+          .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      } finally q.stop()
+    }
+    val outerEvents = Seq(
+      Event(1, ts(0), 7, "click", 0.0),
+      Event(2, ts(10), 7, "purchase", 9.99),
+      Event(3, ts(12), 9, "click", 0.0),
+      Event(4, ts(5), 8, "purchase", 1.00))
+    val flush = Seq(Event(99, ts(600), 1, "click", 0.0),
+      Event(98, ts(600), 1, "purchase", 0.0))
+    def outerRun(tag: String):
+        Set[(Long, Long, Option[Long], Long, Option[Long], Option[Double])] = {
+      val input = MemoryStream[Event]
+      val q = Streams.attributedConversionsOuter(input.toDS())
+        .writeStream.format("memory").queryName(s"convo_$tag")
+        .outputMode("append").start()
+      try {
+        input.addData(outerEvents: _*)
+        q.processAllAvailable()
+        input.addData(flush: _*)
+        q.processAllAvailable()
+        input.addData(flush.map(e => e.copy(event_id = e.event_id + 10,
+          ts = ts(610))): _*)
+        q.processAllAvailable()
+        spark.table(s"convo_$tag")
+          .as[(Long, Long, Option[Long], Long, Option[Long], Option[Double])]
+          .collect().toSet
+          .filter(_._2 < 98L) // fixture clicks only (flush rows vary by batching)
+      } finally q.stop()
+    }
+    val innerRocks = withProvider(true)(innerRun("r"))
+    assert(innerRocks == withProvider(false)(innerRun("d")),
+      "inner interval join diverges under RocksDB")
+    val innerBatch = Streams.attributedConversions(innerEvents.toDS())
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(innerRocks == innerBatch,
+      "inner interval join under RocksDB diverges from batch truth")
+    val outerRocks = withProvider(true)(outerRun("r"))
+    assert(outerRocks == withProvider(false)(outerRun("d")),
+      "left-outer interval join diverges under RocksDB")
+    val outerBatch = Streams.attributedConversionsOuter(
+      (outerEvents ++ flush).toDS())
+      .as[(Long, Long, Option[Long], Long, Option[Long], Option[Double])]
+      .collect().toSet.filter(_._2 < 98L)
+    assert(outerRocks == outerBatch,
+      "left-outer interval join under RocksDB diverges from batch truth")
+    assert(outerRocks.map(t => (t._2, t._3)) == Set((1L, Some(2L)), (3L, None)))
+  }
+
+  test("seeded arrival-order permutation: LSH candidates and upsert converge to batch truth") {
+    // The streaming analog of DeterminismSpec's layout invariance: a
+    // production feed delivers events in ANY order within the watermark,
+    // split across micro-batches at arbitrary points. Each stress trial
+    // (tools/stress.sh exports SPARK_GRAFT_STRESS_SEED) permutes the
+    // arrival order AND the batch cut points with the trial seed — the
+    // logged permutation makes a failing trial reproducible — and the
+    // order-free invariants must hold: the LSH candidate stream's
+    // UNORDERED pair set equals the all-pairs truth (orientation is
+    // arrival-order by contract), and the upsert stream's final row per
+    // doc is the (version, fp)-max regardless of how revisions interleave.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{DocEvent, DocVersion, DupCandidate}
+    val seed = SparkTestBase.stressSeed
+    val rnd = new scala.util.Random(0xC0FFEE + seed)
+    def batchesOf[T](events: Seq[T]): Seq[Seq[T]] = {
+      val perm = rnd.shuffle(events)
+      val nBatches = 1 + rnd.nextInt(math.min(4, perm.length))
+      val cuts = (Seq(0, perm.length) ++
+        Seq.fill(nBatches - 1)(rnd.nextInt(perm.length + 1))).sorted
+      cuts.sliding(2).map { case Seq(a, b) => perm.slice(a, b) }
+        .filter(_.nonEmpty).toSeq
+    }
+
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val textB = "structured streams maintain keyed state across micro batch boundaries"
+    val textC = "completely different words about distributed analytics engines today"
+    val docs = Seq(
+      DocEvent(1, ts(0), textA), DocEvent(2, ts(1), textA),
+      DocEvent(3, ts(2), textC), DocEvent(4, ts(3), textA),
+      DocEvent(5, ts(4), textB), DocEvent(6, ts(5), textB))
+    val docBatches = batchesOf(docs)
+    info(s"LSH arrival permutation (seed=$seed): " +
+      docBatches.map(_.map(_.doc_id).mkString("[", ",", "]")).mkString(" "))
+    val lshIn = MemoryStream[DocEvent]
+    val q1 = Streams.lshDedupCandidates(spark, lshIn.toDS())
+      .writeStream.format("memory").queryName(s"lsh_perm_$seed")
+      .outputMode("append").start()
+    val gotPairs = try {
+      docBatches.foreach { b => lshIn.addData(b: _*); q1.processAllAvailable() }
+      spark.table(s"lsh_perm_$seed").as[DupCandidate].collect()
+        .map(c => (math.min(c.doc_id, c.prior_doc_id),
+          math.max(c.doc_id, c.prior_doc_id))).toSet
+    } finally q1.stop()
+    assert(gotPairs == Set((1L, 2L), (1L, 4L), (2L, 4L), (5L, 6L)),
+      s"seed=$seed arrival order changed the unordered candidate set: $gotPairs")
+
+    val revisions = Seq(
+      DocVersion(1, 1, ts(0), "a"), DocVersion(1, 3, ts(1), "b"),
+      DocVersion(1, 2, ts(2), "c"),
+      DocVersion(2, 5, ts(3), "x"), DocVersion(2, 5, ts(4), "y"), // fp tie-break
+      DocVersion(3, 7, ts(5), "only"))
+    val revBatches = batchesOf(revisions)
+    info(s"upsert arrival permutation (seed=$seed): " +
+      revBatches.map(_.map(r => s"${r.doc_id}v${r.version}")
+        .mkString("[", ",", "]")).mkString(" "))
+    val upsIn = MemoryStream[DocVersion]
+    val q2 = Streams.upsertStream(spark, upsIn.toDS())
+      .writeStream.format("memory").queryName(s"ups_perm_$seed")
+      .outputMode("append").start()
+    val finalRows = try {
+      revBatches.foreach { b => upsIn.addData(b: _*); q2.processAllAvailable() }
+      spark.table(s"ups_perm_$seed").as[(Long, Long, String)].collect()
+        .groupBy(_._1).map { case (d, rows) => d -> rows.maxBy(r => (r._2, r._3)) }
+    } finally q2.stop()
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = revisions.groupBy(_.doc_id).map { case (d, rs) =>
+      val best = rs.map(r => (r.version, md5Hex(r.text))).max
+      d -> ((d, best._1, best._2))
+    }
+    assert(finalRows == want,
+      s"seed=$seed arrival order changed the upsert fixpoint: $finalRows")
+  }
+
   test("stream-verified dup pairs equal batch dedup_lsh_verified on the corpus") {
     // End-to-end parity of the full pipeline: replay the sf0.001 documents
     // table as a stream against itself as the doc store; the verified

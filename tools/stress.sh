@@ -20,6 +20,9 @@ for i in $(seq 1 "$N"); do
   SPARK_GRAFT_STRESS_SEED=$i SPARK_GRAFT_STRESS_PARTITIONS=$parts \
     sbt -batch "testOnly $SUITES" >"/tmp/graft_stress_$i.log" 2>&1 \
     || { echo "*** TRIAL $i FAILED — /tmp/graft_stress_$i.log"; exit 1; }
+  # The streaming permutation test logs the seeded micro-batch arrival
+  # order it exercised — echo it so each trial's schedule is on record.
+  grep -E "arrival permutation" "/tmp/graft_stress_$i.log" | sed 's/^.*+ /    /' || true
   grep -E "Tests: succeeded" "/tmp/graft_stress_$i.log" | tail -1
 done
 echo "=== $N/$N trials clean ==="
