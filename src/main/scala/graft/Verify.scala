@@ -61,6 +61,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Under the checkpoint posture the defaulted _checkpoints dir holds
+    // reliable-checkpoint RDD data for ~94 queries (plus per-round loop
+    // checkpoints) and nothing evicts it — left in place it bloats the
+    // output dir the driver scans. Only the defaulted location is
+    // removed; an explicitly configured cluster dir is never touched.
+    val defaultedCkptDir = Option.when(strategy.contains("checkpoint") &&
+      spark.conf.getOption("spark.graft.checkpointDir")
+        .contains(s"$outDir/_checkpoints"))(s"$outDir/_checkpoints")
     spark.stop()
+    defaultedCkptDir.foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
   }
 }

@@ -109,4 +109,36 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("no global window hides behind a materialization (none-posture sweep)") {
+    // The sweep above reads each query's final optimizedPlan — a window
+    // inside a Q.materialize'd subtree is invisible there (the subtree
+    // shows as ExistingRDD) while its WindowExec WARN is still
+    // session-suppressed. Re-planning every query under
+    // spark.graft.materialize=none keeps checkpointed subtrees inline,
+    // so this leg sees windows the final-plan sweep cannot. Window check
+    // only: join shapes legitimately differ under none (repeated
+    // subtrees re-inline), so the BNLJ rule stays with the default-
+    // posture sweep above.
+    val boundedGlobalWindow = Set("ta_cms_topk", "ta_zipf_fit",
+      "q_quantile_sketch", "q_quantile_merge")
+    val prior = spark.conf.getOption("spark.graft.materialize")
+    spark.conf.set("spark.graft.materialize", "none")
+    try {
+      SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(boundedGlobalWindow.contains).foreach { q =>
+          val globals = SparkEntry.queries(q)(spark, dir)
+            .queryExecution.optimizedPlan.collect {
+              case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                  if w.partitionSpec.isEmpty => w
+            }
+          assert(globals.isEmpty,
+            s"$q hides an unpartitioned global window behind a " +
+              s"materialization:\n" + globals.headOption.getOrElse(""))
+        }
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.graft.materialize", v)
+      case None => spark.conf.unset("spark.graft.materialize")
+    }
+  }
 }

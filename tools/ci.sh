@@ -1,0 +1,74 @@
+#!/usr/bin/env bash
+# Single-command certification: everything the round gates check, locally.
+#
+#   tools/ci.sh              # full run: sbt test + stress + 3 oracle sweeps
+#   STRESS_TRIALS=2 tools/ci.sh   # fewer stress trials
+#   CI_BENCH=1 tools/ci.sh        # also run the sf0.1 benchmark at the end
+#
+# Steps (each recorded in the pass/fail summary; the script runs ALL steps
+# and exits nonzero if any failed, so one broken leg can't hide the rest):
+#   1. sbt test                       — the full ScalaTest suite
+#   2. tools/stress.sh N              — N repeat-suite trials, varied
+#                                       layouts/seeds/arrival orders
+#   3. Verify+DuckDB oracle sweep at sf0.01 under each materialization
+#      posture: localCheckpoint (default), persist, checkpoint
+set -uo pipefail
+cd "$(dirname "$0")/.."
+SF_DIR=${SF_DIR:-/root/testdata/sf0.01}
+TRIALS=${STRESS_TRIALS:-5}
+declare -a NAMES RESULTS
+record() { NAMES+=("$1"); RESULTS+=("$2"); }
+
+echo "=== ci: sbt test ==="
+if sbt -batch test >/tmp/graft_ci_test.log 2>&1; then
+  grep -E "Tests: succeeded" /tmp/graft_ci_test.log | tail -1
+  record "sbt test" PASS
+else
+  tail -20 /tmp/graft_ci_test.log
+  record "sbt test" FAIL
+fi
+
+echo "=== ci: stress x$TRIALS ==="
+if tools/stress.sh "$TRIALS"; then record "stress x$TRIALS" PASS
+else record "stress x$TRIALS" FAIL; fi
+
+for posture in default persist checkpoint; do
+  echo "=== ci: oracle sweep ($posture posture, $SF_DIR) ==="
+  out=/tmp/graft_ci_verify_$posture
+  rm -rf "$out"
+  env=""
+  [ "$posture" != default ] && env="SPARK_GRAFT_MATERIALIZE=$posture"
+  if env $env sbt -batch "runMain graft.Verify $SF_DIR $out" \
+       >/tmp/graft_ci_verify_$posture.log 2>&1 \
+     && python3 tools/check_oracle.py "$SF_DIR" "$out" \
+       >/tmp/graft_ci_oracle_$posture.log 2>&1; then
+    tail -2 /tmp/graft_ci_oracle_$posture.log
+    record "oracle sweep ($posture)" PASS
+  else
+    tail -10 /tmp/graft_ci_verify_$posture.log /tmp/graft_ci_oracle_$posture.log
+    record "oracle sweep ($posture)" FAIL
+  fi
+done
+
+if [ "${CI_BENCH:-0}" = "1" ]; then
+  echo "=== ci: bench (sf0.1) ==="
+  if SPARK_GRAFT_SF_DIR=${BENCH_SF_DIR:-/root/testdata/sf0.1} \
+       BENCH_OUT=/tmp/graft_ci_bench.json \
+       sbt -batch "runMain graft.Bench" >/tmp/graft_ci_bench.log 2>&1 \
+     && python3 -c 'import json,sys; d=json.load(open("/tmp/graft_ci_bench.json")); sys.exit(0 if d["value"] > 0 else 1)'; then
+    cat /tmp/graft_ci_bench.json
+    record "bench sf0.1" PASS
+  else
+    tail -5 /tmp/graft_ci_bench.log
+    record "bench sf0.1" FAIL
+  fi
+fi
+
+echo
+echo "=== ci summary ==="
+rc=0
+for i in "${!NAMES[@]}"; do
+  printf '%-28s %s\n' "${NAMES[$i]}" "${RESULTS[$i]}"
+  [ "${RESULTS[$i]}" = FAIL ] && rc=1
+done
+exit $rc
