@@ -35,7 +35,8 @@ object Bench {
     "pipeline_modal_curation", "pipeline_dataset_card",
     "pipeline_sample_exact_k", "pipeline_quarantine", "pipeline_upsert",
     "pipeline_bpe_fit", "ta_zipf_fit",
-    "pipeline_training_corpus", "mm_decode_stub", "mm_pixel_stats")
+    "pipeline_training_corpus", "mm_decode_stub", "mm_pixel_stats",
+    "mm_phash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -68,11 +68,14 @@ object Bmp {
     out
   }
 
-  /** Decode a 24-bit uncompressed BMP to pixel statistics. Throws on
-    * anything that isn't the declared format — an ingest pipeline wants
-    * loud rejects (quarantine lane), not silently wrong features.
+  private final case class Header(off: Int, width: Int, height: Int,
+      stride: Int)
+
+  /** Validate + parse the two headers. Throws on anything that isn't the
+    * declared format — an ingest pipeline wants loud rejects (quarantine
+    * lane), not silently wrong features.
     */
-  def decode(bytes: Array[Byte]): PixelStats = {
+  private def parseHeader(bytes: Array[Byte]): Header = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
       "not a BMP: bad magic/size")
     val off = getLE(bytes, 10, 4)
@@ -86,12 +89,18 @@ object Bmp {
     val stride = rowSize(width)
     require(off + stride.toLong * height <= bytes.length,
       "truncated pixel data")
+    Header(off, width, height, stride)
+  }
+
+  /** Decode a 24-bit uncompressed BMP to pixel statistics. */
+  def decode(bytes: Array[Byte]): PixelStats = {
+    val h = parseHeader(bytes)
     var sumB = 0L; var sumG = 0L; var sumR = 0L; var topRowSum = 0L
     var y = 0
-    while (y < height) {
-      val src = off + (height - 1 - y) * stride // undo bottom-up
+    while (y < h.height) {
+      val src = h.off + (h.height - 1 - y) * h.stride // undo bottom-up
       var x = 0
-      while (x < width) {
+      while (x < h.width) {
         val b = bytes(src + 3 * x) & 0xff
         val g = bytes(src + 3 * x + 1) & 0xff
         val r = bytes(src + 3 * x + 2) & 0xff
@@ -101,7 +110,49 @@ object Bmp {
       }
       y += 1
     }
-    PixelStats(width, height, width.toLong * height, sumB, sumG, sumR,
-      topRowSum)
+    PixelStats(h.width, h.height, h.width.toLong * h.height, sumB, sumG,
+      sumR, topRowSum)
+  }
+
+  /** 16-bit perceptual hash (blockhash family, Yang et al. 2006 lineage):
+    * the image is cut into a 4×4 grid IN IMAGE SPACE (top-down — the
+    * bottom-up file order must be undone, or every hash is vertically
+    * mirrored), each cell's luminance sum (b+g+r, no division) is compared
+    * against the global mean by exact integer cross-multiplication
+    * (`cellSum * nPx > totalSum * cellN` — no floats, so every engine
+    * computes the identical bit), and bit `by*4+bx` is set when the cell
+    * is brighter than average. Empty cells (width or height < 4) compare
+    * 0 > 0 and stay 0. Two images with the same coarse light/dark layout
+    * collide — the near-dup candidate key for images, the visual analog
+    * of SimHash banding.
+    */
+  def phash16(bytes: Array[Byte]): Int = {
+    val h = parseHeader(bytes)
+    val cellSum = new Array[Long](16)
+    val cellN = new Array[Long](16)
+    var y = 0
+    while (y < h.height) {
+      val src = h.off + (h.height - 1 - y) * h.stride
+      val by = y * 4 / h.height
+      var x = 0
+      while (x < h.width) {
+        val lum = (bytes(src + 3 * x) & 0xff) + (bytes(src + 3 * x + 1) & 0xff) +
+          (bytes(src + 3 * x + 2) & 0xff)
+        val cell = by * 4 + x * 4 / h.width
+        cellSum(cell) += lum
+        cellN(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val totalSum = cellSum.sum
+    val totalN = cellN.sum
+    var hash = 0
+    var i = 0
+    while (i < 16) {
+      if (cellSum(i) * totalN > totalSum * cellN(i)) hash |= 1 << i
+      i += 1
+    }
+    hash
   }
 }

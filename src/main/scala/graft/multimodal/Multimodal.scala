@@ -114,4 +114,24 @@ object Multimodal {
         }
       }
   }
+
+  /** Per-image 16-bit perceptual hash over the real-decode path — the
+    * image near-dup candidate key ([[Bmp.phash16]]). Same batched,
+    * payload-local shape as [[pixelStats]].
+    */
+  def phashes(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            id -> Bmp.phash16(syntheticBmp(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))).toLong
+          }
+        }
+      }
+  }
 }

@@ -142,5 +142,58 @@ object MultimodalOps {
           Det.r4e(col("sum_r").cast("double") / col("n_px")).as("mean_r"),
           col("top_row_sum")))
 
-  val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats)
+  val phash = Q(
+    "mm_phash",
+    "Image near-dup candidates by perceptual hash — the visual analog of " +
+      "SimHash banding (blockhash family): each decoded BMP is cut into " +
+      "a 4x4 grid in image space, a bit per cell marks brighter-than-" +
+      "global-mean (exact integer cross-multiplication, no floats — " +
+      "engine-identical bits), and images sharing the 16-bit hash are " +
+      "candidate visual dups. Output: (doc_id, phash, n_same) where " +
+      "n_same counts hash collisions — the census an image-dedup stage " +
+      "feeds its verify join. The decode runs ONCE into a materialized " +
+      "(doc_id, phash) frame; the census is an aggregation on the " +
+      "16-bit key (bounded at 2^bits groups — production uses 64-256 " +
+      "bit grids, same plan) broadcast-joined back. At 100 TB nothing " +
+      "but (id, hash) pairs shuffle; payloads stay in their scan " +
+      "partitions.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents WHERE length(text) > 0),
+           g AS (SELECT doc_id, text, len,
+                        1 + (len % 31) AS w, 1 + ((len // 31) % 17) AS h
+                 FROM d),
+           lum AS (SELECT doc_id,
+                          ascii(substr(text, (3*k % len)::INT + 1, 1))
+                        + ascii(substr(text, ((3*k+1) % len)::INT + 1, 1))
+                        + ascii(substr(text, ((3*k+2) % len)::INT + 1, 1)) AS l,
+                          ((k % w) * 4 // w) + 4 * ((k // w) * 4 // h) AS blk
+                   FROM (SELECT doc_id, text, len, w, h,
+                                unnest(range(0, w*h)) AS k
+                         FROM g)),
+           blocks AS (SELECT doc_id, blk, sum(l)::BIGINT AS bs,
+                             count(*)::BIGINT AS bn
+                      FROM lum GROUP BY doc_id, blk),
+           tot AS (SELECT doc_id, sum(bs)::BIGINT AS ts, sum(bn)::BIGINT AS tn
+                   FROM blocks GROUP BY doc_id),
+           ph AS (SELECT b.doc_id,
+                         sum(CASE WHEN bs * tn > ts * bn
+                             THEN 1::BIGINT << blk ELSE 0 END)::BIGINT AS phash
+                  FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+                  GROUP BY b.doc_id)
+      SELECT p.doc_id, p.phash, c.n_same
+      FROM ph p JOIN (SELECT phash, count(*)::BIGINT AS n_same
+                      FROM ph GROUP BY phash) c ON c.phash = p.phash""".stripMargin),
+    (spark, dir) => {
+      val ph = Q.materialize(
+        Multimodal.phashes(spark, t(spark, dir, "documents"))
+          .toDF("doc_id", "phash"))
+      val census = ph.groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_same"))
+      ph.join(census, "phash")
+        .select(col("doc_id"), col("phash"), col("n_same"))
+    })
+
+  val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
+    phash)
 }

@@ -79,6 +79,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash16 sets image-space bits (orientation) and matches the closed form") {
+    // Orientation pin: a 4x4 image bright in IMAGE rows 0-1, dark in rows
+    // 2-3. Bits 0-7 (top two grid rows) must be set, 8-15 clear — a
+    // decoder that forgets to undo the bottom-up file order produces the
+    // vertical mirror 0xFF00 instead.
+    val px = Array.tabulate(3 * 4 * 4) { i =>
+      val y = (i / 3) / 4
+      (if (y < 2) 200 else 10).toByte
+    }
+    assert(Bmp.phash16(Bmp.encode(4, 4, px)) == 0x00FF)
+    // Differential: the synthetic path must match an independent closed-
+    // form reimplementation (the same formula the DuckDB oracle runs).
+    val texts = Seq("hello world", "a", "the quick brown fox jumps over",
+      "x" * 100, ("abc " * 200).trim)
+    texts.foreach { t =>
+      val b = t.getBytes("UTF-8")
+      val len = b.length
+      val w = 1 + len % 31
+      val h = 1 + (len / 31) % 17
+      val bs = new Array[Long](16); val bn = new Array[Long](16)
+      for (k <- 0 until w * h) {
+        val lum = (b(3 * k % len) & 0xff) + (b((3 * k + 1) % len) & 0xff) +
+          (b((3 * k + 2) % len) & 0xff)
+        val blk = (k % w) * 4 / w + 4 * ((k / w) * 4 / h)
+        bs(blk) += lum; bn(blk) += 1
+      }
+      val (ts, tn) = (bs.sum, bn.sum)
+      val want = (0 until 16).map(i =>
+        if (bs(i) * tn > ts * bn(i)) 1 << i else 0).sum
+      assert(Bmp.phash16(Multimodal.syntheticBmp(b)) == want, s"text '$t'")
+    }
+  }
+
   test("pixelStats is deterministic across partitionings and batch sizes") {
     val a = Multimodal.pixelStats(spark, docs, batchSize = 64)
       .collect().sortBy(_.doc_id)
