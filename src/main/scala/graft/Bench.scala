@@ -76,10 +76,20 @@ object Bench {
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
       .flatMap(_.toIntOption).getOrElse(3) max 1
     // Optional isolation filter (comma-separated query names): lets a
-    // fresh JVM time a suspect query without the 56 preceding sweeps.
+    // fresh JVM time a suspect query without the preceding sweeps. Any
+    // DECLARED query can be isolated (not just headline names), and an
+    // unknown name fails loudly — a typo must not produce a passing-
+    // looking empty run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(headline)(f => headline.filter(f))
+    val selected = only match {
+      case None => headline
+      case Some(f) =>
+        val unknown = f.filterNot(queries.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY: unknown queries ${unknown.mkString(",")}")
+        headline.filter(f) ++ f.diff(headline.toSet).toSeq.sorted
+    }
     val results = selected.filter(queries.contains).map { name =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()

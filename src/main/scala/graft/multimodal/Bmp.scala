@@ -83,6 +83,10 @@ object Bmp {
     val height = getLE(bytes, 22, 4)
     val bpp = getLE(bytes, 28, 2)
     val compression = getLE(bytes, 30, 4)
+    // Lower bound too: a corrupt offset pointing into the headers (or a
+    // huge u32 read back as negative) must reject loudly, not read header
+    // bytes as pixels.
+    require(off >= 54, s"pixel data offset $off inside the headers")
     require(bpp == 24, s"unsupported bpp $bpp (only 24-bit)")
     require(compression == 0, s"unsupported compression $compression")
     require(width > 0 && height > 0, s"unsupported geometry ${width}x$height")
@@ -120,7 +124,9 @@ object Bmp {
     * mirrored), each cell's luminance sum (b+g+r, no division) is compared
     * against the global mean by exact integer cross-multiplication
     * (`cellSum * nPx > totalSum * cellN` — no floats, so every engine
-    * computes the identical bit), and bit `by*4+bx` is set when the cell
+    * computes the identical bit; the products are compared through
+    * 128-bit arithmetic, so even a gigapixel image cannot silently wrap
+    * a Long), and bit `by*4+bx` is set when the cell
     * is brighter than average. Empty cells (width or height < 4) compare
     * 0 > 0 and stay 0. Two images with the same coarse light/dark layout
     * collide — the near-dup candidate key for images, the visual analog
@@ -150,9 +156,21 @@ object Bmp {
     var hash = 0
     var i = 0
     while (i < 16) {
-      if (cellSum(i) * totalN > totalSum * cellN(i)) hash |= 1 << i
+      if (productGreater(cellSum(i), totalN, totalSum, cellN(i)))
+        hash |= 1 << i
       i += 1
     }
     hash
+  }
+
+  /** `a*b > c*d` for non-negative longs, exact at any magnitude: compare
+    * the full 128-bit products (a 64-bit multiply wraps at ~1.1e8 pixels:
+    * cellSum·nPx approaches 765·nPx²/16 > Long.MaxValue well inside real
+    * image sizes).
+    */
+  private def productGreater(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
   }
 }

@@ -97,10 +97,20 @@ object Multimodal {
     * padding, bottom-up rows, BGR order — in partition-local batches.
     * Payload bytes never shuffle; only the fixed-width features flow on.
     */
+  /** The text-stand-in payload contract: non-empty AND pure ASCII (byte
+    * length == char length), so the DuckDB oracle's character indexing is
+    * byte indexing. The shipped corpus is entirely ASCII; a non-ASCII doc
+    * is excluded rather than silently hashed differently by the two
+    * engines (real deployments carry an actual binary column instead).
+    */
+  private def asciiPayloadDocs(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) > 0 &&
+      octet_length(col("text")) === length(col("text")))
+
   def pixelStats(spark: SparkSession, docs: DataFrame,
       batchSize: Int = 64): Dataset[PixelFeatures] = {
     import spark.implicits._
-    docs.filter(length(col("text")) > 0)
+    asciiPayloadDocs(docs)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -122,7 +132,7 @@ object Multimodal {
   def phashes(spark: SparkSession, docs: DataFrame,
       batchSize: Int = 64): Dataset[(Long, Long)] = {
     import spark.implicits._
-    docs.filter(length(col("text")) > 0)
+    asciiPayloadDocs(docs)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>

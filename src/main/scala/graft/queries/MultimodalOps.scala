@@ -113,11 +113,16 @@ object MultimodalOps {
       "unreversed rows flip top_row_sum. The oracle computes the same " +
       "stats from the same bytes via the synthesis closed form (DuckDB " +
       "cannot parse BMP; the SPARK side genuinely round-trips the " +
-      "encoded bytes). Payload never shuffles — the plan is one scan, " +
-      "zero exchanges.",
+      "encoded bytes). Both sides restrict to ASCII documents " +
+      "(octet_length = char length — the whole shipped corpus) so the " +
+      "oracle's character indexing IS byte indexing; a non-ASCII doc " +
+      "would need a real binary payload column, not this text stand-in. " +
+      "Payload never shuffles — the plan is one scan, zero exchanges.",
     Some("""
       WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
-                 FROM documents WHERE length(text) > 0),
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
            g AS (SELECT doc_id, text, len,
                         1 + (len % 31) AS w, 1 + ((len // 31) % 17) AS h
                  FROM d),
@@ -159,7 +164,9 @@ object MultimodalOps {
       "partitions.",
     Some("""
       WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
-                 FROM documents WHERE length(text) > 0),
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
            g AS (SELECT doc_id, text, len,
                         1 + (len % 31) AS w, 1 + ((len // 31) % 17) AS h
                  FROM d),

@@ -65,6 +65,11 @@ class MultimodalSpec extends AnyFunSuite {
     val badBpp = good.clone(); badBpp(28) = 32
     intercept[IllegalArgumentException](Bmp.decode(badBpp))
     intercept[IllegalArgumentException](Bmp.decode(good.take(60)))
+    // A corrupt pixel-data offset pointing inside the headers must reject
+    // loudly, not read header bytes as pixels.
+    val badOff = good.clone()
+    badOff(10) = 0; badOff(11) = 0; badOff(12) = 0; badOff(13) = 0
+    intercept[IllegalArgumentException](Bmp.decode(badOff))
   }
 
   test("Bmp encode/decode round-trips exact channel sums (both stride cases)") {

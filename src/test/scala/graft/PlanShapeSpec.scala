@@ -115,11 +115,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // inside a Q.materialize'd subtree is invisible there (the subtree
     // shows as ExistingRDD) while its WindowExec WARN is still
     // session-suppressed. Re-planning every query under
-    // spark.graft.materialize=none keeps checkpointed subtrees inline,
-    // so this leg sees windows the final-plan sweep cannot. Window check
-    // only: join shapes legitimately differ under none (repeated
-    // subtrees re-inline), so the BNLJ rule stays with the default-
-    // posture sweep above.
+    // spark.graft.materialize=none keeps Q.materialize subtrees inline,
+    // so this leg sees windows the final-plan sweep cannot. Remaining
+    // blind spot, stated precisely: Q.materializeLoop ALWAYS cuts
+    // lineage (a convergence loop's plan would re-double per round
+    // otherwise), so a window inside an iterative loop BODY stays behind
+    // ExistingRDD even here — loop bodies are small fixed shapes audited
+    // in PLANS.md, not sweepable. Window check only: join shapes
+    // legitimately differ under none (repeated subtrees re-inline), so
+    // the BNLJ rule stays with the default-posture sweep above.
     val boundedGlobalWindow = Set("ta_cms_topk", "ta_zipf_fit",
       "q_quantile_sketch", "q_quantile_merge")
     val prior = spark.conf.getOption("spark.graft.materialize")
