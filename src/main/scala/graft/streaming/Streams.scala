@@ -499,6 +499,78 @@ object Streams {
       }
   }
 
+  /** An arriving image whose perceptual hash an earlier image already
+    * owns — one row per visual-dup candidate observed.
+    */
+  case class PhashDup(doc_id: Long, phash: Long, owner_doc_id: Long)
+
+  /** Streaming image near-dup candidates — the incremental face of
+    * `mm_phash`: each arriving payload goes through the SAME real decode +
+    * blockhash as the batch path (`Bmp.phash16` over the synthesized BMP,
+    * partition-local — payload bytes never shuffle; only (doc, ts, hash)
+    * rows reach the keyed state), one GroupState cell per hash records the
+    * OWNER (first image seen with it), and every later image colliding on
+    * the hash emits a [[PhashDup]] against that owner — the candidate
+    * stream an image-dedup verify stage consumes, exactly
+    * [[cdcDedupStream]]'s ownership contract keyed by the visual
+    * fingerprint instead of a content chunk.
+    *
+    * Same honest divergence from the batch census as CDC dedup: `mm_phash`
+    * marks EVERY member of a collision cohort (n_same ≥ 2) retroactively;
+    * a stream cannot retract, so the owner itself is never flagged.
+    * Within a micro-batch ownership is deterministic (doc_id order);
+    * across batches it is arrival order. State is one long per live hash
+    * (bounded at 2^bits cells even before the TTL), evicted by the same
+    * watermark-driven event-time timeout as the LSH buckets.
+    */
+  def phashDedupStream(spark: SparkSession, docs: Dataset[DocEvent],
+      hashTtlSeconds: Long = 3600,
+      watermarkDelay: String = "1 hour"): Dataset[PhashDup] = {
+    import spark.implicits._
+    docs.toDF()
+      .filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("ts"), col("text"))
+      .as[(Long, Timestamp, String)]
+      .mapPartitions(_.map { case (id, ts, text) =>
+        (id, ts, graft.multimodal.Bmp.phash16(
+          graft.multimodal.Multimodal.syntheticBmp(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))).toLong)
+      })
+      .toDF("doc_id", "ts", "phash")
+      // The watermark goes on AFTER the typed map: a map's output columns
+      // are new attributes, so a tag set before it would not survive to
+      // the stateful operator (EventTimeTimeout requires it downstream).
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Long, PhashDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (hash: Long, it: Iterator[(Long, Timestamp, Long)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val out = Seq.newBuilder[PhashDup]
+            var owner = state.getOption
+            rows.map(_._1).sorted.foreach { d =>
+              owner match {
+                case Some(o) => if (d != o) out += PhashDup(d, hash, o)
+                case None => owner = Some(d)
+              }
+            }
+            owner.foreach(state.update)
+            val maxTsMs = rows.map(r => micros(r._2) / 1000L).max
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1000,
+              maxTsMs + hashTtlSeconds * 1000))
+            out.result().iterator
+          }
+      }
+  }
+
   /** The full streaming dedup pipeline: [[lshDedupCandidates]] composed
     * with the SAME exact shingle-Jaccard verification the batch
     * `dedup_lsh_verified` query applies — candidates are joined (stateless

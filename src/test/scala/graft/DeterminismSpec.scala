@@ -38,7 +38,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_quantile_sketch" -> sfSmoke,   // fixed-bucket histogram + percentile walk
     "pipeline_bpe_fit" -> sfSmoke,    // iterative merge learning with tie-breaks
     "sim_topk_ivfpq" -> sfSmoke,      // ANN candidate ranking ties
-    "pipeline_upsert" -> sfSmoke)     // max-version keep-one tie-break
+    "pipeline_upsert" -> sfSmoke,     // max-version keep-one tie-break
+    "mm_phash" -> sfSmoke)            // decode batches + census join (r6)
 
   private def runAt(name: String, dir: String, partitions: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

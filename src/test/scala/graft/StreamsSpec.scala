@@ -939,6 +939,66 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming phash dedup equals the batch mm_phash census on the corpus") {
+    // End-to-end parity of the image near-dup stream: replay the sf0.001
+    // documents through phashDedupStream in one micro-batch (within-batch
+    // ownership = lowest doc_id, so batch truth is derivable exactly from
+    // the declared mm_phash census: every cohort member except its min
+    // flags against the min), then a cross-batch near-dup to prove state
+    // deserialization — run under BOTH state-store providers.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{DocEvent, PhashDup}
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val census = SparkEntry.queries("mm_phash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cohorts = census.groupBy(_._2).view.mapValues(_.map(_._1).sorted)
+    val want = cohorts.flatMap { case (ph, ids) =>
+      ids.drop(1).map(d => PhashDup(d, ph, ids.head))
+    }.toSet
+    def run(rocks: Boolean): (Set[PhashDup], Set[PhashDup]) = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      if (rocks) spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val input = MemoryStream[DocEvent]
+        val tag = if (rocks) "r" else "d"
+        val q = Streams.phashDedupStream(spark, input.toDS())
+          .writeStream.format("memory").queryName(s"phash_dedup_$tag")
+          .outputMode("append").start()
+        try {
+          input.addData(docs.map { case (id, t) => DocEvent(id, ts(0), t) }: _*)
+          q.processAllAvailable()
+          val batch1 = spark.table(s"phash_dedup_$tag").as[PhashDup]
+            .collect().toSet
+          // Batch 2: re-send an existing doc's text under a new id — it
+          // must flag against that text's cohort owner from batch-1 STATE.
+          input.addData(DocEvent(999999L, ts(5), docs.head._2))
+          q.processAllAvailable()
+          val all = spark.table(s"phash_dedup_$tag").as[PhashDup]
+            .collect().toSet
+          (batch1, all -- batch1)
+        } finally q.stop()
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val (b1, b2) = run(rocks = false)
+    assert(b1 == want, s"stream dups != batch census truth " +
+      s"(missing ${(want -- b1).take(3)}, extra ${(b1 -- want).take(3)})")
+    val firstHash = census.toMap.apply(docs.head._1)
+    val expectedOwner = cohorts(firstHash).head
+    assert(b2 == Set(PhashDup(999999L, firstHash, expectedOwner)),
+      s"cross-batch ownership broke: $b2")
+    val (r1, r2) = run(rocks = true)
+    assert(r1 == b1 && r2 == b2, "phashDedupStream diverges under RocksDB")
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates keeps first per key") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
