@@ -129,6 +129,51 @@ object Multimodal {
     * image near-dup candidate key ([[Bmp.phash16]]). Same batched,
     * payload-local shape as [[pixelStats]].
     */
+  /** Decoded-audio features from the REAL WAV decode ([[Wav]]): exact
+    * amplitude sums so the query layer owns the one rounding step.
+    */
+  case class AudioFeatures(doc_id: Long, n_samples: Long, sample_rate: Long,
+      sum_amp: Long, sum_sq: Long, peak: Long)
+
+  /** Deterministic audio payload for a document: 8 kHz mono PCM16 WAV
+    * whose sample stream maps each UTF-8 byte across the full int16 range
+    * (`b*257 - 32768`), WITH an odd-sized LIST chunk between `fmt ` and
+    * `data` — every synthesized file exercises the decoder's chunk walk
+    * and pad-byte handling, not just the canonical 44-byte layout.
+    */
+  def syntheticWav(textBytes: Array[Byte]): Array[Byte] = {
+    require(textBytes.length > 0, "empty payload")
+    val samples = new Array[Short](textBytes.length)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = ((textBytes(i) & 0xff) * 257 - 32768).toShort
+      i += 1
+    }
+    Wav.encode(8000, samples, junkChunk = true)
+  }
+
+  /** The audio twin of [[pixelStats]]: synthesize the WAV payload, round-
+    * trip it through the actual chunk-walking PCM decoder in partition-
+    * local batches. Payload bytes never shuffle.
+    */
+  def audioStats(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    asciiPayloadDocs(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            val s = Wav.decode(syntheticWav(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            AudioFeatures(id, s.nSamples, s.sampleRate, s.sumAmp, s.sumSq,
+              s.peak)
+          }
+        }
+      }
+  }
+
   def phashes(spark: SparkSession, docs: DataFrame,
       batchSize: Int = 64): Dataset[(Long, Long)] = {
     import spark.implicits._

@@ -201,6 +201,46 @@ object MultimodalOps {
         .select(col("doc_id"), col("phash"), col("n_same"))
     })
 
+  val wavStats = Q(
+    "mm_wav_stats",
+    "REAL audio decode — the second dependency-free codec (RIFF/WAVE " +
+      "PCM16): each document's bytes become an actual 8 kHz mono WAV " +
+      "whose sample stream spans the full int16 range, with an odd-sized " +
+      "LIST chunk inserted between fmt and data so EVERY payload " +
+      "exercises the decoder's chunk walk and pad-byte handling (the " +
+      "detail naive offset-44 readers get wrong on files in the wild). " +
+      "graft.multimodal.Wav walks the chunk list, validates the PCM16 " +
+      "mono format tag, sign-extends the little-endian samples, and " +
+      "emits exact amplitude sums; the query derives duration, peak, " +
+      "mean and RMS. Oracle: the synthesis closed form over the same " +
+      "bytes (ASCII contract as mm_pixel_stats). One scan, zero " +
+      "exchanges; payload never shuffles.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           s AS (SELECT doc_id, len,
+                        ascii(substr(text, (i + 1)::INT, 1)) * 257 - 32768 AS amp
+                 FROM (SELECT doc_id, text, len, unnest(range(0, len)) AS i
+                       FROM d))
+      SELECT doc_id, len::BIGINT AS n_samples, 8000::BIGINT AS sample_rate,
+             (len * 1000 // 8000)::BIGINT AS duration_ms,
+             max(abs(amp))::BIGINT AS peak,
+             round(sum(amp)::DOUBLE / len + 1e-8, 4) AS mean_amp,
+             round(sqrt(sum(amp::BIGINT * amp)::DOUBLE / len) + 1e-8, 4) AS rms
+      FROM s GROUP BY doc_id, len""".stripMargin),
+    (spark, dir) =>
+      Multimodal.audioStats(spark, t(spark, dir, "documents"))
+        .toDF()
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          expr("n_samples * 1000L div sample_rate").as("duration_ms"),
+          col("peak"),
+          Det.r4e(col("sum_amp").cast("double") / col("n_samples"))
+            .as("mean_amp"),
+          Det.r4e(sqrt(col("sum_sq").cast("double") / col("n_samples")))
+            .as("rms")))
+
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
-    phash)
+    phash, wavStats)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{Bmp, Multimodal}
+import graft.multimodal.{Bmp, Multimodal, Wav}
 
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -115,6 +115,61 @@ class MultimodalSpec extends AnyFunSuite {
         if (bs(i) * tn > ts * bn(i)) 1 << i else 0).sum
       assert(Bmp.phash16(Multimodal.syntheticBmp(b)) == want, s"text '$t'")
     }
+  }
+
+  test("Wav decodes a hand-built golden fixture, walking unknown chunks") {
+    // RIFF → fmt → a 5-byte 'fact' chunk (odd: carries a pad byte) → data.
+    // A naive offset-44 reader would read the fact chunk's bytes as
+    // samples; the decoder must skip it and land on 'data' exactly.
+    def le(v: Int, n: Int): Seq[Byte] =
+      (0 until n).map(i => ((v >>> (8 * i)) & 0xff).toByte)
+    val samples = Seq[Int](100, -200, 32767, -32768)
+    val data = samples.flatMap(s => le(s & 0xffff, 2))
+    val fact = "fact".getBytes("US-ASCII").toSeq ++ le(5, 4) ++
+      Seq.fill(5)(0x77.toByte) ++ Seq(0x00.toByte) // odd size + pad
+    val fmt = "fmt ".getBytes("US-ASCII").toSeq ++ le(16, 4) ++
+      le(1, 2) ++ le(1, 2) ++ le(44100, 4) ++ le(88200, 4) ++
+      le(2, 2) ++ le(16, 2)
+    val body = "WAVE".getBytes("US-ASCII").toSeq ++ fmt ++ fact ++
+      "data".getBytes("US-ASCII").toSeq ++ le(data.length, 4) ++ data
+    val bytes = ("RIFF".getBytes("US-ASCII").toSeq ++ le(body.length, 4) ++
+      body).toArray
+    val s = Wav.decode(bytes)
+    assert(s == Wav.AudioStats(nSamples = 4, sampleRate = 44100,
+      sumAmp = 100L - 200 + 32767 - 32768,
+      sumSq = 100L * 100 + 200L * 200 + 32767L * 32767 + 32768L * 32768,
+      peak = 32768))
+  }
+
+  test("Wav rejects what it cannot decode") {
+    val good = Multimodal.syntheticWav("hello world".getBytes("UTF-8"))
+    assert(Wav.decode(good).nSamples == 11)
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](Wav.decode(badMagic))
+    val stereo = good.clone(); stereo(22) = 2 // channels field in fmt
+    intercept[IllegalArgumentException](Wav.decode(stereo))
+    intercept[IllegalArgumentException](Wav.decode(good.take(50)))
+  }
+
+  test("Wav encode/decode round-trips exact sums through the junk chunk") {
+    val samples = Array.tabulate(333)(i => ((i * 997 - 50000) % 32768).toShort)
+    for (junk <- Seq(false, true)) {
+      val s = Wav.decode(Wav.encode(8000, samples, junkChunk = junk))
+      assert(s.nSamples == samples.length && s.sampleRate == 8000)
+      assert(s.sumAmp == samples.map(_.toLong).sum)
+      assert(s.sumSq == samples.map(x => x.toLong * x).sum)
+      assert(s.peak == samples.map(x => math.abs(x.toInt)).max)
+    }
+  }
+
+  test("audioStats is deterministic across partitionings and batch sizes") {
+    val a = Multimodal.audioStats(spark, docs, batchSize = 64)
+      .collect().sortBy(_.doc_id)
+    val b = Multimodal.audioStats(spark, docs.repartition(5), batchSize = 7)
+      .collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty && a.forall(f => f.sample_rate == 8000 &&
+      f.n_samples > 0 && f.peak <= 32768))
   }
 
   test("pixelStats is deterministic across partitionings and batch sizes") {
