@@ -34,7 +34,7 @@ object Bench {
     "sim_power_iteration", "pipeline_corpus_clean", "pipeline_token_budget",
     "pipeline_modal_curation", "pipeline_dataset_card",
     "pipeline_sample_exact_k", "pipeline_quarantine", "pipeline_upsert",
-    "pipeline_bpe_fit", "ta_zipf_fit",
+    "pipeline_bpe_fit", "pipeline_quality_fit", "ta_zipf_fit",
     "pipeline_training_corpus", "mm_decode_stub", "mm_pixel_stats",
     "mm_phash", "mm_wav_stats")
 

@@ -1004,9 +1004,121 @@ object TextOps {
           col("n_unique_texts"), col("dup_frac"))
     })
 
+  val qualityFit = Q(
+    "pipeline_quality_fit",
+    "Quality-classifier TRAINING on-cluster — two full-batch gradient " +
+      "steps of logistic regression distilling a labeling heuristic " +
+      "(n_words >= 60) into a cheap linear scorer over engine-exact " +
+      "features (clamped word/char counts, distinct-word ratio): the " +
+      "fastText-style quality-filter fit every LLM pipeline runs, and " +
+      "the repo's first SUPERVISED trainer (BPE learns a vocabulary, " +
+      "k-means/PCA are unsupervised). Per step: ONE corpus-scale " +
+      "aggregation builds the 4 gradient components (partial-aggregable " +
+      "sums — map-side combine, 4 doubles per partition leave), the " +
+      "1-row weight update broadcasts back (the bounded cross this " +
+      "family always uses), nothing else moves. Cross-row aggregates " +
+      "round to 6 decimals on both engines before reuse (the " +
+      "sim_power_iteration convention) so FP summation-order noise " +
+      "cannot compound across steps; accuracy predicts in z-space " +
+      "(margin > 1e-9, no sigmoid at the decision boundary). Step 1 " +
+      "closes sigmoid(0) = 0.5 analytically. Output: weights + training " +
+      "accuracy per step. At 100 TB each step is one scan + one 4-value " +
+      "reduce — the property that makes full-batch distillation " +
+      "feasible.",
+    Some("""
+      WITH f AS (SELECT doc_id,
+                        CASE WHEN nw >= 60 THEN 1.0 ELSE 0.0 END AS y,
+                        least(nw, 200) / 200.0 AS x1,
+                        least(nc, 2000) / 2000.0 AS x2,
+                        ndw::DOUBLE / nw AS x3
+                 FROM (SELECT doc_id,
+                              len(list_filter(string_split(text, ' '), t -> t <> '')) AS nw,
+                              length(text) AS nc,
+                              len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS ndw
+                       FROM documents WHERE length(text) > 0)),
+           n AS (SELECT count(*)::BIGINT AS n FROM f),
+           g1 AS (SELECT round(sum(0.5 - y) + 1e-9, 6) AS g0,
+                         round(sum((0.5 - y) * x1) + 1e-9, 6) AS g1,
+                         round(sum((0.5 - y) * x2) + 1e-9, 6) AS g2,
+                         round(sum((0.5 - y) * x3) + 1e-9, 6) AS g3
+                  FROM f),
+           w1 AS (SELECT round(-g0 / n + 1e-9, 6) AS w0, round(-g1 / n + 1e-9, 6) AS w1,
+                         round(-g2 / n + 1e-9, 6) AS w2, round(-g3 / n + 1e-9, 6) AS w3
+                  FROM g1, n),
+           g2s AS (SELECT round(sum(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) - y) + 1e-9, 6) AS g0,
+                          round(sum((1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) - y) * x1) + 1e-9, 6) AS g1,
+                          round(sum((1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) - y) * x2) + 1e-9, 6) AS g2,
+                          round(sum((1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) - y) * x3) + 1e-9, 6) AS g3
+                   FROM f, w1),
+           w2 AS (SELECT round(w1.w0 - g2s.g0 / n + 1e-9, 6) AS w0,
+                         round(w1.w1 - g2s.g1 / n + 1e-9, 6) AS w1,
+                         round(w1.w2 - g2s.g2 / n + 1e-9, 6) AS w2,
+                         round(w1.w3 - g2s.g3 / n + 1e-9, 6) AS w3
+                  FROM w1, g2s, n),
+           a1 AS (SELECT round(avg(CASE WHEN (CASE WHEN w0 + w1*x1 + w2*x2 + w3*x3 > 1e-9
+                                               THEN 1.0 ELSE 0.0 END) = y
+                                   THEN 1.0 ELSE 0.0 END) + 1e-9, 4) AS accuracy
+                  FROM f, w1),
+           a2 AS (SELECT round(avg(CASE WHEN (CASE WHEN w0 + w1*x1 + w2*x2 + w3*x3 > 1e-9
+                                               THEN 1.0 ELSE 0.0 END) = y
+                                   THEN 1.0 ELSE 0.0 END) + 1e-9, 4) AS accuracy
+                  FROM f, w2)
+      SELECT 1::BIGINT AS iter, w0, w1, w2, w3, accuracy FROM w1, a1
+      UNION ALL
+      SELECT 2::BIGINT, w0, w1, w2, w3, accuracy FROM w2, a2""".stripMargin),
+    (spark, dir) => {
+      def r6(c: Column) = round(c + lit(1e-9), 6)
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val f = Q.materialize(
+        t(spark, dir, "documents").filter(length(col("text")) > 0)
+          .select(
+            when(size(toks) >= 60, 1.0).otherwise(0.0).as("y"),
+            (least(size(toks), lit(200)).cast("double") / 200.0).as("x1"),
+            (least(length(col("text")), lit(2000)).cast("double") / 2000.0)
+              .as("x2"),
+            (size(array_distinct(toks)).cast("double") / size(toks)).as("x3")))
+      val nRow = f.agg(count(lit(1)).as("n"))
+      def grads(p: Column) = Seq(
+        r6(sum(p - col("y"))).as("g0"),
+        r6(sum((p - col("y")) * col("x1"))).as("g1"),
+        r6(sum((p - col("y")) * col("x2"))).as("g2"),
+        r6(sum((p - col("y")) * col("x3"))).as("g3"))
+      // step 1: w = 0, so sigmoid(z) = 0.5 for every row — closed form.
+      val g1 = f.agg(grads(lit(0.5)).head, grads(lit(0.5)).tail: _*)
+      val w1 = Q.materialize(g1.crossJoin(broadcast(nRow)).select(
+        r6(-col("g0") / col("n")).as("w0"), r6(-col("g1") / col("n")).as("w1"),
+        r6(-col("g2") / col("n")).as("w2"), r6(-col("g3") / col("n")).as("w3")))
+      // z is the SAME left-associated expression on both engines, so the
+      // doubles agree bit-for-bit before the (rounded) aggregation.
+      val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+        col("w3") * col("x3")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val g2 = f.crossJoin(broadcast(w1))
+        .agg(grads(p).head, grads(p).tail: _*)
+      val w2 = Q.materialize(g2.crossJoin(broadcast(w1.select(
+        col("w0").as("pw0"), col("w1").as("pw1"),
+        col("w2").as("pw2"), col("w3").as("pw3"))))
+        .crossJoin(broadcast(nRow)).select(
+          r6(col("pw0") - col("g0") / col("n")).as("w0"),
+          r6(col("pw1") - col("g1") / col("n")).as("w1"),
+          r6(col("pw2") - col("g2") / col("n")).as("w2"),
+          r6(col("pw3") - col("g3") / col("n")).as("w3")))
+      def accOf(w: org.apache.spark.sql.DataFrame) = {
+        val pred = when(z > 1e-9, 1.0).otherwise(0.0)
+        f.crossJoin(broadcast(w))
+          .agg(round(avg(when(pred === col("y"), 1.0).otherwise(0.0))
+            + lit(1e-9), 4).as("accuracy"))
+      }
+      def row(iter: Int, w: org.apache.spark.sql.DataFrame) =
+        w.crossJoin(accOf(w))
+          .select(lit(iter.toLong).as("iter"), col("w0"), col("w1"),
+            col("w2"), col("w3"), col("accuracy"))
+      row(1, w1).union(row(2, w2))
+    })
+
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
     sampleExactK, unigramLogprob, tokenBudget, trainingCorpus, datasetCard,
-    quarantine, bpeFit, zipfFit)
+    quarantine, bpeFit, zipfFit, qualityFit)
 }

@@ -78,7 +78,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "dedup_semantic", "pipeline_modal_curation", "ta_tfidf",
       "ta_unigram_logprob", "pipeline_token_budget", "q_events_setops",
       "q_hll_merge", "q_quantile_sketch", "q_quantile_merge",
-      "sim_power_iteration", "pipeline_bpe_fit", "q_events_gapfill")
+      "sim_power_iteration", "pipeline_bpe_fit", "q_events_gapfill",
+      "pipeline_quality_fit")
     // The only queries allowed an UNPARTITIONED window (single-partition
     // shuffle) — each one's input bound is asserted above. This sweep is
     // what makes the session-wide WindowExec WARN suppression
