@@ -90,7 +90,7 @@ object Bench {
           s"SPARK_GRAFT_BENCH_ONLY: unknown queries ${unknown.mkString(",")}")
         headline.filter(f) ++ f.diff(headline.toSet).toSeq.sorted
     }
-    val results = selected.filter(queries.contains).map { name =>
+    val raw = selected.filter(queries.contains).map { name =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -107,17 +107,41 @@ object Bench {
         // metric can't be silently flattered by fast failures.
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> (if (times.contains(-1.0)) Seq(-1.0) else times.sorted)
     }
+    val results = raw.map { case (name, ts) => name -> ts.head } // min
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    // Per-query repeat spread (min/median/max of the sorted repeats): the
+    // round-6 lesson is that a single ambient-load outlier can make the
+    // official artifact read as a +24% regression while the engine got 9%
+    // faster. The spread makes noise VISIBLE IN the artifact — a query
+    // whose max is 3x its min was measured on a loaded box, and the record
+    // says so itself instead of needing a forensic re-run to exonerate.
+    val spreads = raw
+      .map { case (k, ts) =>
+        val med = ts(ts.size / 2)
+        "\"" + k + "\":" +
+          f"""{"min":${ts.head}%.3f,"med":$med%.3f,"max":${ts.last}%.3f}"""
+      }
       .mkString("{", ",", "}")
     // Any failure poisons the total to -1: summing only successes would
     // make a breaking change read as a speedup.
     val total =
       if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
+    // Calibrated noise band (round 6, three full min-of-3 sweeps on this
+    // box): per-query min repeatable to ±9%, headline total to ±11%.
+    // Re-run rule carried in the artifact itself: a sweep whose total
+    // lands outside ±11% of the previous round's like-for-like total is
+    // presumed ambient-load noise and must be re-run on a quiet box
+    // before becoming the round's record (PLANS.md round-6 post-mortem).
+    val band = """{"per_query_pct":9,"total_pct":11,""" +
+      """"rule":"totals outside the band of the prior round's """ +
+      """like-for-like sum get one quiet-box re-run before becoming the record"}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""spreads":$spreads,"repeat":$repeat,"noise_band":$band,"sf":"$sfDir"}"""
     println(line)
     // Also write the line to a file: sbt decorates stdout with [info]
     // prefixes, which broke the driver's JSON parse in round 1.

@@ -34,16 +34,30 @@ object Bmp {
     v
   }
 
-  /** Row stride: 3 bytes/px rounded up to a 4-byte boundary (the BMP spec's
-    * scanline alignment — the padding bytes are NOT pixel data).
+  /** Dimensions above this cannot possibly fit a JVM byte array (stride
+    * alone would exceed Int.MaxValue), so they are rejected up front —
+    * otherwise `3*width` wraps in Int arithmetic, the stride goes
+    * zero/negative, the truncation require passes vacuously, and decode
+    * dies later with an index error instead of the documented loud reject.
     */
-  def rowSize(width: Int): Int = (3 * width + 3) / 4 * 4
+  private val MaxDim: Int = (Int.MaxValue - 3) / 3
+
+  /** Row stride: 3 bytes/px rounded up to a 4-byte boundary (the BMP spec's
+    * scanline alignment — the padding bytes are NOT pixel data). Computed
+    * in Long so adversarial widths can't wrap before the MaxDim check.
+    */
+  def rowSize(width: Int): Int = {
+    require(width >= 0 && width <= MaxDim, s"width $width out of range")
+    ((3L * width + 3) / 4 * 4).toInt
+  }
 
   /** Encode a top-down row-major BGR pixel array (3 bytes per pixel,
     * `pixels.length == 3*width*height`) as a standard bottom-up 24-bit BMP.
     */
   def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
-    require(pixels.length == 3 * width * height,
+    require(width > 0 && width <= MaxDim && height > 0 && height <= MaxDim,
+      s"unsupported geometry ${width}x$height")
+    require(pixels.length == 3L * width * height,
       s"pixel buffer ${pixels.length} != 3*$width*$height")
     val stride = rowSize(width)
     val dataSize = stride * height
@@ -89,7 +103,8 @@ object Bmp {
     require(off >= 54, s"pixel data offset $off inside the headers")
     require(bpp == 24, s"unsupported bpp $bpp (only 24-bit)")
     require(compression == 0, s"unsupported compression $compression")
-    require(width > 0 && height > 0, s"unsupported geometry ${width}x$height")
+    require(width > 0 && width <= MaxDim && height > 0 && height <= MaxDim,
+      s"unsupported geometry ${width}x$height")
     val stride = rowSize(width)
     require(off + stride.toLong * height <= bytes.length,
       "truncated pixel data")

@@ -41,6 +41,11 @@ object Wav {
     */
   def encode(sampleRate: Int, samples: Array[Short],
       junkChunk: Boolean = false): Array[Byte] = {
+    // Same loud-reject contract as decode: above ~1Gi samples the Int size
+    // fields wrap negative and the failure would be an opaque
+    // NegativeArraySizeException instead of this message.
+    require(samples.length <= (Int.MaxValue - 100) / 2,
+      s"sample count ${samples.length} exceeds RIFF Int size fields")
     val dataSize = 2 * samples.length
     val junkPayload = 7 // odd on purpose: forces the pad byte
     val junkSize = if (junkChunk) 8 + junkPayload + 1 else 0

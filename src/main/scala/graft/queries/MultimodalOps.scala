@@ -197,7 +197,10 @@ object MultimodalOps {
           .toDF("doc_id", "phash"))
       val census = ph.groupBy(col("phash"))
         .agg(count(lit(1)).as("n_same"))
-      ph.join(census, "phash")
+      // The census is bounded at 2^bits rows regardless of corpus size —
+      // broadcast explicitly so the documented plan shape doesn't depend
+      // on AQE statistics picking it.
+      ph.join(broadcast(census), "phash")
         .select(col("doc_id"), col("phash"), col("n_same"))
     })
 
