@@ -147,19 +147,30 @@ object Bmp {
     * collide — the near-dup candidate key for images, the visual analog
     * of SimHash banding.
     */
-  def phash16(bytes: Array[Byte]): Int = {
+  def phash16(bytes: Array[Byte]): Int = blockHash(bytes, 4).toInt
+
+  /** 64-bit perceptual hash: the same blockhash over an 8×8 grid — the
+    * production-width key. 16 bits collide too eagerly for a corpus-scale
+    * census; 64 bits make exact collisions rare enough that near-dups are
+    * found by small HAMMING DISTANCE instead, which the 4×16-bit Manku
+    * pigeonhole (`mm_phash_hamming`) searches without an all-pairs
+    * product — the visual twin of `dedup_simhash_hamming`.
+    */
+  def phash64(bytes: Array[Byte]): Long = blockHash(bytes, 8)
+
+  private def blockHash(bytes: Array[Byte], grid: Int): Long = {
     val h = parseHeader(bytes)
-    val cellSum = new Array[Long](16)
-    val cellN = new Array[Long](16)
+    val cellSum = new Array[Long](grid * grid)
+    val cellN = new Array[Long](grid * grid)
     var y = 0
     while (y < h.height) {
       val src = h.off + (h.height - 1 - y) * h.stride
-      val by = y * 4 / h.height
+      val by = y * grid / h.height
       var x = 0
       while (x < h.width) {
         val lum = (bytes(src + 3 * x) & 0xff) + (bytes(src + 3 * x + 1) & 0xff) +
           (bytes(src + 3 * x + 2) & 0xff)
-        val cell = by * 4 + x * 4 / h.width
+        val cell = by * grid + x * grid / h.width
         cellSum(cell) += lum
         cellN(cell) += 1
         x += 1
@@ -168,11 +179,11 @@ object Bmp {
     }
     val totalSum = cellSum.sum
     val totalN = cellN.sum
-    var hash = 0
+    var hash = 0L
     var i = 0
-    while (i < 16) {
+    while (i < grid * grid) {
       if (productGreater(cellSum(i), totalN, totalSum, cellN(i)))
-        hash |= 1 << i
+        hash |= 1L << i
       i += 1
     }
     hash

@@ -189,4 +189,25 @@ object Multimodal {
         }
       }
   }
+
+  /** The production-width (64-bit, 8×8 grid) perceptual hashes — the key
+    * stream for Hamming-tolerant visual near-dup ([[Bmp.phash64]]). Same
+    * batched, payload-local shape: only (doc_id, hash) pairs leave the
+    * scan stage.
+    */
+  def phashes64(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    asciiPayloadDocs(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            id -> Bmp.phash64(syntheticBmp(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        }
+      }
+  }
 }

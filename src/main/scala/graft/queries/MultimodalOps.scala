@@ -204,6 +204,96 @@ object MultimodalOps {
         .select(col("doc_id"), col("phash"), col("n_same"))
     })
 
+  /** DuckDB closed form of [[graft.multimodal.Bmp.phash64]] over the
+    * synthetic payload: CTE chain ending in `ph(doc_id, phash)`. The 8×8
+    * grid needs bit 63, which DuckDB cannot reach by `1 << 63` (overflow
+    * error) — the Long.MinValue literal supplies it; two's-complement sum
+    * then reproduces the JVM hash bit-for-bit.
+    */
+  private val Phash64Sql = """
+      d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           g AS (SELECT doc_id, text, len,
+                        1 + (len % 31) AS w, 1 + ((len // 31) % 17) AS h
+                 FROM d),
+           lum AS (SELECT doc_id,
+                          ascii(substr(text, (3*k % len)::INT + 1, 1))
+                        + ascii(substr(text, ((3*k+1) % len)::INT + 1, 1))
+                        + ascii(substr(text, ((3*k+2) % len)::INT + 1, 1)) AS l,
+                          ((k % w) * 8 // w) + 8 * ((k // w) * 8 // h) AS blk
+                   FROM (SELECT doc_id, text, len, w, h,
+                                unnest(range(0, w*h)) AS k
+                         FROM g)),
+           blocks AS (SELECT doc_id, blk, sum(l)::BIGINT AS bs,
+                             count(*)::BIGINT AS bn
+                      FROM lum GROUP BY doc_id, blk),
+           tot AS (SELECT doc_id, sum(bs)::BIGINT AS ts, sum(bn)::BIGINT AS tn
+                   FROM blocks GROUP BY doc_id),
+           ph AS (SELECT b.doc_id,
+                         sum(CASE WHEN bs * tn > ts * bn
+                             THEN CASE WHEN blk = 63
+                                  THEN (-9223372036854775807 - 1)
+                                  ELSE 1::BIGINT << blk END
+                             ELSE 0 END)::BIGINT AS phash
+                  FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+                  GROUP BY b.doc_id)"""
+
+  val phashHamming = Q(
+    "mm_phash_hamming",
+    "Hamming-tolerant image near-dup pairs — the production form of " +
+      "mm_phash: the 16-bit 4x4 hash collides whole style families, so " +
+      "the production key is the 64-bit 8x8 blockhash (Bmp.phash64) and " +
+      "near-dups are pairs within HAMMING distance 3 of each other, " +
+      "found WITHOUT an all-pairs product by the same Manku 4-chunk " +
+      "pigeonhole the text side uses (dedup_simhash_hamming): any pair " +
+      "within Hamming 3 agrees exactly on one of the four 16-bit chunks, " +
+      "so candidates come from capped bucket equi-joins on (chunk_index, " +
+      "chunk_value) and only candidates pay the popcount(xor) check. " +
+      "Decode runs ONCE into a materialized (doc_id, phash64) frame; at " +
+      "100 TB only (id, hash) pairs shuffle, payloads never leave their " +
+      "scan partitions, and the bucket cap keeps a degenerate hot chunk " +
+      "from going quadratic (identical cap mirrored in the oracle). " +
+      "MultimodalSpec's planted-recall leg proves the pigeonhole equals " +
+      "the exhaustive N-squared result on near-identical images.",
+    Some(s"""
+      WITH $Phash64Sql,
+           chunks AS (SELECT doc_id, phash, c.chunk,
+                             (phash >> (16*c.chunk)) & 65535 AS key
+                      FROM ph, (VALUES (0),(1),(2),(3)) c(chunk)),
+           ok AS (SELECT chunk, key FROM chunks GROUP BY chunk, key
+                  HAVING count(*) > 1 AND count(*) <= 1000),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.phash AS pa, b.phash AS pb
+             FROM chunks a
+             JOIN chunks b ON a.chunk = b.chunk AND a.key = b.key
+                          AND a.doc_id < b.doc_id
+             JOIN ok ON ok.chunk = a.chunk AND ok.key = a.key)
+      SELECT doc_a, doc_b, bit_count(xor(pa, pb))::BIGINT AS hamming
+      FROM cand
+      WHERE bit_count(xor(pa, pb)) <= 3""".stripMargin),
+    (spark, dir) => {
+      val ph = Q.materialize(
+        Multimodal.phashes64(spark, t(spark, dir, "documents"))
+          .toDF("doc_id", "phash"))
+      val chunkStructs = (0 until 4).map(c =>
+        struct(lit(c).as("band"),
+          shiftright(col("phash"), 16 * c).bitwiseAND(lit(65535L)).as("key")))
+      val keyed = ph.select(
+        struct(col("doc_id"), col("phash")).as("m"),
+        explode(array(chunkStructs: _*)).as("ck"))
+        .select(col("ck.band").as("band"), col("ck.key").as("key"), col("m"))
+      val hamming = bit_count(col("pa").bitwiseXOR(col("pb")))
+      Lsh.bucketPairs(keyed)
+        .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+          col("p.a.phash").as("pa"), col("p.b.phash").as("pb"))
+        .distinct()
+        .filter(hamming <= 3)
+        .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
+    })
+
   val wavStats = Q(
     "mm_wav_stats",
     "REAL audio decode — the second dependency-free codec (RIFF/WAVE " +
@@ -245,5 +335,5 @@ object MultimodalOps {
             .as("rms")))
 
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
-    phash, wavStats)
+    phash, phashHamming, wavStats)
 }

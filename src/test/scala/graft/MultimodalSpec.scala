@@ -117,6 +117,66 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash64 generalizes the grid: closed form + phash16 consistency") {
+    // Differential against an independent closed-form reimplementation
+    // (the same formula the mm_phash_hamming oracle runs in DuckDB).
+    val texts = Seq("hello world", "a", "the quick brown fox jumps over",
+      "x" * 100, ("abc " * 200).trim, "z" * 311)
+    texts.foreach { t =>
+      val b = t.getBytes("UTF-8")
+      val len = b.length
+      val w = 1 + len % 31
+      val h = 1 + (len / 31) % 17
+      val bs = new Array[Long](64); val bn = new Array[Long](64)
+      for (k <- 0 until w * h) {
+        val lum = (b(3 * k % len) & 0xff) + (b((3 * k + 1) % len) & 0xff) +
+          (b((3 * k + 2) % len) & 0xff)
+        val blk = (k % w) * 8 / w + 8 * ((k / w) * 8 / h)
+        bs(blk) += lum; bn(blk) += 1
+      }
+      val (ts, tn) = (bs.sum, bn.sum)
+      var want = 0L
+      for (i <- 0 until 64)
+        if (bs(i) * tn > ts * bn(i)) want |= 1L << i
+      assert(Bmp.phash64(Multimodal.syntheticBmp(b)) == want, s"text '$t'")
+    }
+  }
+
+  test("planted visual near-dups: Hamming tracks cell edits, pigeonhole catches them") {
+    // 64x64 image, 8x8 px per hash cell, cells strongly bright (lum 600)
+    // or dark (lum 90) in a fixed pattern — margins so wide that flipping
+    // k cells shifts the global mean by ~k*8 lum (<< the ~250 margin) and
+    // flips EXACTLY those k bits. The codec-level recall claim behind
+    // mm_phash_hamming: a small visual edit is a small Hamming distance.
+    val dim = 64
+    def img(brightCells: Set[Int]): Array[Byte] = {
+      val px = new Array[Byte](3 * dim * dim)
+      for (y <- 0 until dim; x <- 0 until dim) {
+        val cell = (y / 8) * 8 + (x / 8)
+        val v: Byte = if (brightCells(cell)) 200.toByte else 30.toByte
+        px(3 * (y * dim + x)) = v
+        px(3 * (y * dim + x) + 1) = v
+        px(3 * (y * dim + x) + 2) = v
+      }
+      px
+    }
+    val base = (0 until 64).filter(c => (c * 37 + 13) % 64 < 32).toSet
+    assert(base.size >= 24 && base.size <= 40) // balanced light/dark layout
+    val h0 = Bmp.phash64(Bmp.encode(dim, dim, img(base)))
+    for (k <- 1 to 3) {
+      val edits = (0 until 64).filterNot(base).take(k).toSet
+      val hk = Bmp.phash64(Bmp.encode(dim, dim, img(base ++ edits)))
+      assert(java.lang.Long.bitCount(h0 ^ hk) == k, s"edit of $k cells")
+      // The pigeonhole's pledge at Hamming<=3: >=1 of the 4 16-bit chunks
+      // agrees exactly, so the pair lands in a shared bucket.
+      assert((0 until 4).exists(c =>
+        ((h0 >> (16 * c)) & 0xffffL) == ((hk >> (16 * c)) & 0xffffL)))
+    }
+    // A genuinely different layout is FAR (no false near-dup): invert all.
+    val inv = Bmp.phash64(Bmp.encode(dim, dim, img((0 until 64).toSet -- base)))
+    assert(java.lang.Long.bitCount(h0 ^ inv) > 32)
+  }
+
   test("Wav decodes a hand-built golden fixture, walking unknown chunks") {
     // RIFF → fmt → a 5-byte 'fact' chunk (odd: carries a pad byte) → data.
     // A naive offset-44 reader would read the fact chunk's bytes as
