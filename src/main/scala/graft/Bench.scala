@@ -36,7 +36,7 @@ object Bench {
     "pipeline_sample_exact_k", "pipeline_quarantine", "pipeline_upsert",
     "pipeline_bpe_fit", "pipeline_quality_fit", "ta_zipf_fit",
     "pipeline_training_corpus", "mm_decode_stub", "mm_pixel_stats",
-    "mm_phash", "mm_phash_hamming", "mm_wav_stats")
+    "mm_png_stats", "mm_phash", "mm_phash_hamming", "mm_wav_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

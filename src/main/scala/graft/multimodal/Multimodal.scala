@@ -190,6 +190,48 @@ object Multimodal {
       }
   }
 
+  /** Deterministic COMPRESSED image payload for a document: an 8-bit RGB
+    * PNG whose pixel stream is the document's UTF-8 bytes repeated
+    * cyclically. Geometry differs from the BMP path (mod 29/13, height
+    * floor 5) so every payload has ≥5 rows — and since [[Png.encode]]
+    * filters row `y` with type `y % 5`, EVERY synthesized file exercises
+    * all five PNG filter reconstructions plus IDAT reassembly (the
+    * encoder always splits the compressed stream across two chunks).
+    */
+  def syntheticPng(textBytes: Array[Byte]): Array[Byte] = {
+    val len = textBytes.length
+    require(len > 0, "empty payload")
+    val w = 1 + (len % 29)
+    val h = 5 + ((len / 29) % 13)
+    val px = new Array[Byte](3 * w * h)
+    var i = 0
+    while (i < px.length) { px(i) = textBytes(i % len); i += 1 }
+    Png.encode(w, h, px)
+  }
+
+  /** The compressed-image twin of [[pixelStats]]: synthesize the PNG
+    * payload, round-trip it through the real inflate + per-row filter
+    * reconstruction in partition-local batches. Payload bytes never
+    * shuffle; PNG channel order is RGB (sum_r first), rows top-down.
+    */
+  def pngStats(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[PixelFeatures] = {
+    import spark.implicits._
+    asciiPayloadDocs(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            val s = Png.decode(syntheticPng(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            PixelFeatures(id, s.width, s.height, s.nPx, s.sumB, s.sumG,
+              s.sumR, s.topRowSum)
+          }
+        }
+      }
+  }
+
   /** The production-width (64-bit, 8×8 grid) perceptual hashes — the key
     * stream for Hamming-tolerant visual near-dup ([[Bmp.phash64]]). Same
     * batched, payload-local shape: only (doc_id, hash) pairs leave the

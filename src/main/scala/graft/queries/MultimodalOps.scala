@@ -204,6 +204,52 @@ object MultimodalOps {
         .select(col("doc_id"), col("phash"), col("n_same"))
     })
 
+  val pngStats = Q(
+    "mm_png_stats",
+    "REAL COMPRESSED image decode — the first entropy-coded codec (8-bit " +
+      "RGB PNG via the JDK's zlib): each document's bytes become an " +
+      "actual PNG whose rows are delta-coded with ALL FIVE filter types " +
+      "(row y uses filter y mod 5; the synthetic geometry guarantees >=5 " +
+      "rows) and whose compressed stream is split across two IDAT " +
+      "chunks, so every payload exercises chunk-walking with per-chunk " +
+      "CRC32 validation, IDAT reassembly, zlib inflate with an exact " +
+      "size contract, and per-row None/Sub/Up/Average/Paeth " +
+      "reconstruction. graft.multimodal.Png does the byte work; the " +
+      "query derives geometry + per-channel means + the top-row " +
+      "checksum, all oracle-verified from the synthesis closed form " +
+      "(channel order RGB — a BGR confusion flips mean_r/mean_b; a " +
+      "mis-implemented filter corrupts every row below it and breaks " +
+      "the sums). ASCII contract as mm_pixel_stats. One scan, zero " +
+      "exchanges; payload bytes never shuffle.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           g AS (SELECT doc_id, text, len,
+                        1 + (len % 29) AS w, 5 + ((len // 29) % 13) AS h
+                 FROM d),
+           v AS (SELECT doc_id, w, h, i % 3 AS c, i < 3*w AS top,
+                        ascii(substr(text, (i % len)::INT + 1, 1)) AS val
+                 FROM (SELECT doc_id, text, len, w, h,
+                              unnest(range(0, 3*w*h)) AS i
+                       FROM g))
+      SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+             (w*h)::BIGINT AS n_px,
+             round(sum(CASE WHEN c=0 THEN val END)::DOUBLE / (w*h) + 1e-8, 4) AS mean_r,
+             round(sum(CASE WHEN c=1 THEN val END)::DOUBLE / (w*h) + 1e-8, 4) AS mean_g,
+             round(sum(CASE WHEN c=2 THEN val END)::DOUBLE / (w*h) + 1e-8, 4) AS mean_b,
+             sum(CASE WHEN top THEN val ELSE 0 END)::BIGINT AS top_row_sum
+      FROM v GROUP BY doc_id, w, h""".stripMargin),
+    (spark, dir) =>
+      Multimodal.pngStats(spark, t(spark, dir, "documents"))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          Det.r4e(col("sum_r").cast("double") / col("n_px")).as("mean_r"),
+          Det.r4e(col("sum_g").cast("double") / col("n_px")).as("mean_g"),
+          Det.r4e(col("sum_b").cast("double") / col("n_px")).as("mean_b"),
+          col("top_row_sum")))
+
   /** DuckDB closed form of [[graft.multimodal.Bmp.phash64]] over the
     * synthetic payload: CTE chain ending in `ph(doc_id, phash)`. The 8×8
     * grid needs bit 63, which DuckDB cannot reach by `1 << 63` (overflow
@@ -335,5 +381,5 @@ object MultimodalOps {
             .as("rms")))
 
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
-    phash, phashHamming, wavStats)
+    pngStats, phash, phashHamming, wavStats)
 }

@@ -14,4 +14,16 @@ class BenchHeadlineSpec extends AnyFunSuite {
     val dupes = Bench.headline.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate headline names: $dupes")
   }
+
+  test("declared-query census matches the documented count") {
+    // README/SURVEY cite these numbers; they drifted twice in round 6 as
+    // queries landed. Pinning them here means adding a query without
+    // updating the docs (or vice versa) fails the build instead of
+    // silently disagreeing with the contract. Update BOTH on change.
+    assert(SparkEntry.queries.size == 100,
+      s"declared queries: ${SparkEntry.queries.size}, docs say 100")
+    assert(SparkEntry.oracleSql.size == 99,
+      s"oracled queries: ${SparkEntry.oracleSql.size}, docs say 99 " +
+        "(q_approx_distinct_users is no_oracle by design)")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{Bmp, Multimodal, Wav}
+import graft.multimodal.{Bmp, Multimodal, Png, Wav}
 
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -175,6 +175,115 @@ class MultimodalSpec extends AnyFunSuite {
     // A genuinely different layout is FAR (no false near-dup): invert all.
     val inv = Bmp.phash64(Bmp.encode(dim, dim, img((0 until 64).toSet -- base)))
     assert(java.lang.Long.bitCount(h0 ^ inv) > 32)
+  }
+
+  // ---- PNG: test-local chunk builder, independent of Png's internals ----
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    def be(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    be(data.length) ++ t ++ data ++ be(crc.getValue.toInt)
+  }
+  private val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n',
+    0x1a, '\n')
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+    d.end(); buf.take(n)
+  }
+
+  test("Png decodes a golden fixture with hand-derived deltas for all 5 filters") {
+    // 2x5 RGB image; row y carries filter type y. The filtered scanline
+    // bytes below were derived BY HAND from RFC 2083 §6 (Sub subtracts the
+    // left pixel's same channel, Average floors (left+up)/2, Paeth picks
+    // the neighbor closest to left+up-upleft, ties left-first) — a decoder
+    // whose reconstruction disagrees with the spec on any filter produces
+    // different pixel sums.
+    // Raw pixels (RGB): row0 (10,20,30)(40,50,60)   row1 (15,25,35)(45,55,65)
+    //                   row2 (20,30,40)(50,60,70)   row3 (25,35,45)(55,65,75)
+    //                   row4 (30,40,50)(60,70,80)
+    val scanlines = Array[Byte](
+      0, 10, 20, 30, 40, 50, 60, // None: raw
+      1, 15, 25, 35, 30, 30, 30, // Sub: second px minus first
+      2, 5, 5, 5, 5, 5, 5,       // Up: constant +5 vs row1
+      3, 15, 20, 25, 18, 18, 18, // Average: floor((left+up)/2) preds
+      4, 5, 5, 5, 5, 5, 5)       // Paeth: picks 'up' everywhere here
+    val ihdr = Array[Byte](0, 0, 0, 2, 0, 0, 0, 5, 8, 2, 0, 0, 0)
+    val z = deflate(scanlines)
+    // Split IDAT mid-stream: reassembly is part of the golden contract.
+    val bytes = pngSig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", z.take(3)) ++ pngChunk("IDAT", z.drop(3)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val s = Png.decode(bytes)
+    assert(s == Bmp.PixelStats(width = 2, height = 5, nPx = 10,
+      sumB = 30 + 60 + 35 + 65 + 40 + 70 + 45 + 75 + 50 + 80,
+      sumG = 20 + 50 + 25 + 55 + 30 + 60 + 35 + 65 + 40 + 70,
+      sumR = 10 + 40 + 15 + 45 + 20 + 50 + 25 + 55 + 30 + 60,
+      topRowSum = 10 + 20 + 30 + 40 + 50 + 60))
+  }
+
+  test("Png rejects what it cannot decode (CRC, geometry, filters, zlib)") {
+    val good = Multimodal.syntheticPng("hello world, png edition".getBytes("UTF-8"))
+    assert(Png.decode(good).nPx > 0)
+    val badSig = good.clone(); badSig(0) = 'X'
+    intercept[IllegalArgumentException](Png.decode(badSig))
+    // Flip one byte inside the first IDAT payload: CRC must catch it.
+    val flipped = good.clone(); flipped(8 + 25 + 8 + 2) =
+      (flipped(8 + 25 + 8 + 2) ^ 0x40).toByte
+    intercept[IllegalArgumentException](Png.decode(flipped))
+    intercept[IllegalArgumentException](Png.decode(good.take(40)))
+    // RGBA color type (correct CRC, so the type check itself must fire).
+    val ihdrRgba = Array[Byte](0, 0, 0, 2, 0, 0, 0, 2, 8, 6, 0, 0, 0)
+    val rgba = pngSig ++ pngChunk("IHDR", ihdrRgba) ++
+      pngChunk("IDAT", deflate(new Array[Byte](2 * 9))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException](Png.decode(rgba))
+    // Filter type 5 in an otherwise valid file.
+    val raw = Array[Byte](5, 1, 2, 3) // 1x1 image, bogus filter byte
+    val bad = pngSig ++
+      pngChunk("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 2, 0, 0, 0)) ++
+      pngChunk("IDAT", deflate(raw)) ++ pngChunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException](Png.decode(bad))
+    // Truncated zlib stream (valid chunks, short data).
+    val short = pngSig ++
+      pngChunk("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 2, 0, 0, 0)) ++
+      pngChunk("IDAT", deflate(Array[Byte](0, 1, 2, 3)).dropRight(4)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException](Png.decode(short))
+  }
+
+  test("Png encode/decode round-trips exact channel sums across geometries") {
+    for ((w, h) <- Seq((1, 5), (2, 7), (29, 17), (13, 6))) {
+      val px = Array.tabulate(3 * w * h)(i => ((i * 41 + 7) % 256).toByte)
+      val s = Png.decode(Png.encode(w, h, px))
+      def sum(c: Int) = (0 until w * h).map(k => px(3 * k + c) & 0xff).sum.toLong
+      assert(s.width == w && s.height == h && s.nPx == w.toLong * h)
+      // PNG is RGB: channel 0 is R (the BMP decoder's channel 0 is B).
+      assert((s.sumR, s.sumG, s.sumB) == ((sum(0), sum(1), sum(2))))
+      assert(s.topRowSum == (0 until 3 * w).map(i => px(i) & 0xff).sum.toLong)
+    }
+  }
+
+  test("pngStats is deterministic across partitionings and batch sizes") {
+    val a = Multimodal.pngStats(spark, docs, batchSize = 64)
+      .collect().sortBy(_.doc_id)
+    val b = Multimodal.pngStats(spark, docs.repartition(7), batchSize = 3)
+      .collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    val lens = docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { f =>
+      val len = lens(f.doc_id)
+      assert(f.width == 1 + (len % 29) && f.height == 5 + ((len / 29) % 13))
+      assert(f.height >= 5) // every payload exercises all five filters
+    }
   }
 
   test("Wav decodes a hand-built golden fixture, walking unknown chunks") {
