@@ -11,11 +11,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * different intermediate state).
   *
   * This spec re-runs the queries where such dependence is most plausible at
-  * two deliberately awkward shuffle-partition counts (3 and 17 — co-prime
-  * with each other, the data layout, and the test session's default 8) and
-  * asserts bit-identical collected results. Complements tools/stress.sh,
-  * which varies the layout for the engine/streaming SUITES but not for the
-  * declared query surface.
+  * three shuffle-partition counts: two deliberately awkward ones (3 and 17
+  * — co-prime with each other, the data layout, and the test session's
+  * default 8) and 200, the stock cluster default (round 7: a layout bug
+  * that only shows when partitions exceed distinct keys — empty-partition
+  * handling, per-partition sample floors — is invisible at 3/17).
+  * Asserts bit-identical collected results across all three. Complements
+  * tools/stress.sh, which varies the layout for the engine/streaming
+  * SUITES but not for the declared query surface.
   */
 class DeterminismSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -39,7 +42,8 @@ class DeterminismSpec extends AnyFunSuite {
     "pipeline_bpe_fit" -> sfSmoke,    // iterative merge learning with tie-breaks
     "sim_topk_ivfpq" -> sfSmoke,      // ANN candidate ranking ties
     "pipeline_upsert" -> sfSmoke,     // max-version keep-one tie-break
-    "mm_phash" -> sfSmoke)            // decode batches + census join (r6)
+    "mm_phash" -> sfSmoke,            // decode batches + census join (r6)
+    "mm_phash_hamming" -> sfCaps)     // LSH bucket caps over image hashes (r7)
 
   private def runAt(name: String, dir: String, partitions: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -50,11 +54,15 @@ class DeterminismSpec extends AnyFunSuite {
   }
 
   for ((name, dir) <- tricky)
-    test(s"$name: identical rows at 3 vs 17 shuffle partitions") {
+    test(s"$name: identical rows at 3 vs 17 vs 200 shuffle partitions") {
       val a = runAt(name, dir, 3)
-      val b = runAt(name, dir, 17)
-      assert(a.size == b.size, s"$name row count differs: ${a.size} vs ${b.size}")
-      val diff = a.zip(b).collectFirst { case (x, y) if x != y => s"$x != $y" }
-      assert(diff.isEmpty, s"$name differs across layouts: ${diff.getOrElse("")}")
+      for (p <- Seq(17, 200)) {
+        val b = runAt(name, dir, p)
+        assert(a.size == b.size,
+          s"$name row count differs at $p partitions: ${a.size} vs ${b.size}")
+        val diff = a.zip(b).collectFirst { case (x, y) if x != y => s"$x != $y" }
+        assert(diff.isEmpty,
+          s"$name differs at $p partitions: ${diff.getOrElse("")}")
+      }
     }
 }

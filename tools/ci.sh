@@ -7,7 +7,10 @@
 #
 # Steps (each recorded in the pass/fail summary; the script runs ALL steps
 # and exits nonzero if any failed, so one broken leg can't hide the rest):
-#   1. sbt test                       — the full ScalaTest suite
+#   1. sbt test                       — the full ScalaTest suite, incl.
+#                                       DeterminismSpec's layout sweep at
+#                                       3/17/200 shuffle partitions (200 =
+#                                       the stock cluster default)
 #   2. tools/stress.sh N              — N repeat-suite trials, varied
 #                                       layouts/seeds/arrival orders
 #   3. Verify+DuckDB oracle sweep at sf0.01 under each materialization
