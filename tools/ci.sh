@@ -53,6 +53,19 @@ for posture in default persist checkpoint; do
   fi
 done
 
+if [ "${CI_STREAM_BENCH:-0}" = "1" ]; then
+  echo "=== ci: stream bench (RocksDB) ==="
+  if STREAM_BENCH_OUT=/tmp/graft_ci_stream_bench.json \
+       sbt -batch "runMain graft.StreamBench" >/tmp/graft_ci_stream.log 2>&1 \
+     && python3 -c 'import json; d=json.load(open("/tmp/graft_ci_stream_bench.json")); assert d["streams"]'; then
+    cat /tmp/graft_ci_stream_bench.json
+    record "stream bench" PASS
+  else
+    tail -5 /tmp/graft_ci_stream.log
+    record "stream bench" FAIL
+  fi
+fi
+
 if [ "${CI_BENCH:-0}" = "1" ]; then
   echo "=== ci: bench (sf0.1) ==="
   if SPARK_GRAFT_SF_DIR=${BENCH_SF_DIR:-/root/testdata/sf0.1} \
