@@ -17,7 +17,7 @@ object SparkEntry {
   private def modules: Seq[Q] =
     Relational.all ++ EventsOps.all ++ TextOps.all ++ CorpusOps.all ++
       Dedup.all ++ Similarity.all ++ EngineOps.all ++ MultimodalOps.all ++
-      Extras.all
+      GraphOps.all ++ Extras.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

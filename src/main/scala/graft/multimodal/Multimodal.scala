@@ -174,6 +174,50 @@ object Multimodal {
       }
   }
 
+  /** Walsh-spectrum features over the decoded analysis window: exact
+    * integer coefficients (see [[Walsh]]), so dominance and energy are
+    * engine-reproducible with no rounding step at all.
+    */
+  case class SpectrumFeatures(doc_id: Long, n_used: Long, dc: Long,
+      dominant_k: Long, dominant_coef: Long, energy: Long)
+
+  /** Spectral analysis over the real WAV decode: the first 64 PCM samples
+    * (zero-padded when shorter) go through the O(n log n) FWHT butterfly,
+    * and the features are the DC term, the dominant non-DC sequency (max
+    * |coef|, smallest-k tie-break) and total spectral energy (Σ coef² —
+    * Parseval-checked in tests). Same batched, payload-local shape as
+    * [[audioStats]]: only the fixed-width feature row leaves the scan.
+    */
+  def audioSpectrum(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[SpectrumFeatures] = {
+    import spark.implicits._
+    asciiPayloadDocs(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            val (_, samples) = Wav.decodeWindow(syntheticWav(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 64)
+            val a = new Array[Long](64)
+            var i = 0
+            while (i < samples.length) { a(i) = samples(i).toLong; i += 1 }
+            Walsh.fwht(a)
+            var bestK = 1
+            var energy = 0L
+            var k = 0
+            while (k < 64) {
+              energy += a(k) * a(k)
+              if (k >= 1 && math.abs(a(k)) > math.abs(a(bestK))) bestK = k
+              k += 1
+            }
+            SpectrumFeatures(id, samples.length.toLong, a(0), bestK.toLong,
+              a(bestK), energy)
+          }
+        }
+      }
+  }
+
   def phashes(spark: SparkSession, docs: DataFrame,
       batchSize: Int = 64): Dataset[(Long, Long)] = {
     import spark.implicits._
@@ -227,6 +271,53 @@ object Multimodal {
               text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
             PixelFeatures(id, s.width, s.height, s.nPx, s.sumB, s.sumG,
               s.sumR, s.topRowSum)
+          }
+        }
+      }
+  }
+
+  /** Decoded GIF index-stream features ([[Gif]]): exact index sums plus
+    * the distinct-index count (palette utilization).
+    */
+  case class GifFeatures(doc_id: Long, width: Long, height: Long,
+      n_px: Long, sum_idx: Long, n_colors: Long, top_row_sum: Long)
+
+  /** Deterministic LZW-compressed image payload: a GIF87a whose 256-entry
+    * grayscale palette maps index k → (k,k,k) and whose index stream is the
+    * document's UTF-8 bytes repeated cyclically. Geometry (mod 23/19)
+    * differs from the BMP/PNG paths; since the corpus text repeats
+    * cyclically across rows, the LZW dictionary gets real hits on every
+    * payload, exercising variable-width growth (and KwKwK on repeated-char
+    * runs) — not just literal passthrough.
+    */
+  def syntheticGif(textBytes: Array[Byte]): Array[Byte] = {
+    val len = textBytes.length
+    require(len > 0, "empty payload")
+    val w = 1 + (len % 23)
+    val h = 1 + ((len / 23) % 19)
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) { px(i) = textBytes(i % len); i += 1 }
+    Gif.encode(w, h, px)
+  }
+
+  /** The LZW twin of [[pixelStats]]/[[pngStats]]: synthesize the GIF
+    * payload, round-trip it through the real variable-width LZW decode in
+    * partition-local batches. Payload bytes never shuffle.
+    */
+  def gifStats(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[GifFeatures] = {
+    import spark.implicits._
+    asciiPayloadDocs(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            val s = Gif.decode(syntheticGif(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            GifFeatures(id, s.width, s.height, s.nPx, s.sumIdx, s.nColors,
+              s.topRowSum)
           }
         }
       }

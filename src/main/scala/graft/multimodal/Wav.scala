@@ -81,11 +81,11 @@ object Wav {
     out
   }
 
-  /** Decode a PCM16 mono RIFF/WAVE file to amplitude statistics, walking
-    * the chunk list. Throws on anything that isn't the declared format —
-    * loud rejects, never silently wrong features.
+  /** The shared chunk walk: validates RIFF/WAVE magic, locates `fmt ` and
+    * `data`, validates the PCM16-mono format. Returns
+    * `(sampleRate, dataOff, dataLen)`.
     */
-  def decode(bytes: Array[Byte]): AudioStats = {
+  private def walkChunks(bytes: Array[Byte]): (Int, Int, Int) = {
     require(bytes.length >= 44 && ascii(bytes, 0) == "RIFF" &&
       ascii(bytes, 8) == "WAVE", "not a WAV: bad RIFF/WAVE magic")
     var off = 12
@@ -118,12 +118,23 @@ object Wav {
       off += 8 + size + (size & 1) // odd chunks carry a pad byte
     }
     require(dataOff >= 0, "no data chunk")
+    (sampleRate, dataOff, dataLen)
+  }
+
+  /** Sign-extend the 16-bit LE sample at byte offset `i`. */
+  @inline private def sampleAt(bytes: Array[Byte], i: Int): Int =
+    ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+
+  /** Decode a PCM16 mono RIFF/WAVE file to amplitude statistics, walking
+    * the chunk list. Throws on anything that isn't the declared format —
+    * loud rejects, never silently wrong features.
+    */
+  def decode(bytes: Array[Byte]): AudioStats = {
+    val (sampleRate, dataOff, dataLen) = walkChunks(bytes)
     var sumAmp = 0L; var sumSq = 0L; var peak = 0
     var i = 0
     while (i < dataLen) {
-      // sign-extend the 16-bit LE sample
-      val s = ((bytes(dataOff + i) & 0xff) |
-        (bytes(dataOff + i + 1) << 8)).toShort.toInt
+      val s = sampleAt(bytes, dataOff + i)
       sumAmp += s
       sumSq += s.toLong * s
       val a = math.abs(s)
@@ -131,5 +142,19 @@ object Wav {
       i += 2
     }
     AudioStats(dataLen / 2, sampleRate, sumAmp, sumSq, peak)
+  }
+
+  /** Decode the leading `maxSamples` PCM16 samples (same chunk walk and
+    * format validation as [[decode]]) — the windowed-read path a spectral
+    * stage uses: it never needs the whole stream in memory, just the
+    * analysis window.
+    */
+  def decodeWindow(bytes: Array[Byte], maxSamples: Int): (Int, Array[Int]) = {
+    val (sampleRate, dataOff, dataLen) = walkChunks(bytes)
+    val n = math.min(maxSamples, dataLen / 2)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = sampleAt(bytes, dataOff + 2 * i); i += 1 }
+    (sampleRate, out)
   }
 }

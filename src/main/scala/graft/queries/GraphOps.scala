@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the relational tables — the ranking twin
+  * of `dedup_components`' label propagation: where components answers "which
+  * nodes are the same entity", ranking answers "which nodes matter", the
+  * other standard Pregel-style iteration a data-curation stack runs (e.g.
+  * ranking sources/domains by link authority before sampling a training
+  * corpus; Page et al. 1999).
+  *
+  * Graph construction is relational: the customer–supplier bipartite graph
+  * induced by `orders ⋈ lineitem` (an edge per distinct trading pair),
+  * symmetrized so every node has out-degree ≥ 1 — the row-level analog of a
+  * web-graph's link table, built with one join + distinct, no driver-side
+  * graph object. The iteration itself is the textbook relational PageRank:
+  * rank/out-degree flows along edges (equi join on src), in-flows sum per
+  * dst (one aggregation), damping mixes in the teleport mass. Every round
+  * is two shuffles on the node key, each bounded by |E|; nothing is ever
+  * collected, and the only broadcast is the 1-row node count.
+  */
+object GraphOps {
+  import Tables.t
+
+  val pagerank = Q(
+    "graph_pagerank",
+    "Damped PageRank (d=0.85, 3 synchronous iterations) over the " +
+      "symmetrized customer-supplier trading graph from orders x lineitem; " +
+      "suppliers are offset by 1e6 into a shared node-id space. Per " +
+      "iteration: contributions rank/deg flow along materialized edges " +
+      "(equi join on src), sum per dst, then mix with teleport mass " +
+      "(1-d)/N — the relational formulation of the Pregel loop, exactly " +
+      "two node-key shuffles per round. The edge list is materialized " +
+      "once (ids only — at 100 TB nothing wider than (src,dst) pairs " +
+      "ever shuffles); degree is one aggregation reused each round; the " +
+      "node count broadcasts as a 1-row scalar. Output: top-20 nodes by " +
+      "rank in parts-per-million (rounded, id tie-break — TakeOrdered, " +
+      "no global sort materialization). The oracle unrolls the three " +
+      "iterations as CTEs; rank sums are doubles, so both sides round " +
+      "ppm to 2 decimals (epsilon-shifted) before compare/order.",
+    Some("""
+      WITH pairs AS (SELECT DISTINCT o_custkey::BIGINT AS c,
+                                     1000000 + l_suppkey::BIGINT AS s
+                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           edges AS (SELECT c AS src, s AS dst FROM pairs
+                     UNION ALL
+                     SELECT s AS src, c AS dst FROM pairs),
+           deg AS (SELECT src, count(*)::BIGINT AS deg
+                   FROM edges GROUP BY src),
+           n AS (SELECT count(*)::DOUBLE AS n FROM deg),
+           r0 AS (SELECT src AS node, 1.0 / n.n AS pr FROM deg, n),
+           m1 AS (SELECT e.dst AS node, sum(r.pr / d.deg) AS m
+                  FROM edges e
+                  JOIN r0 r ON r.node = e.src
+                  JOIN deg d ON d.src = e.src
+                  GROUP BY e.dst),
+           r1 AS (SELECT d.src AS node,
+                         0.15 / n.n + 0.85 * coalesce(m.m, 0.0) AS pr
+                  FROM deg d CROSS JOIN n
+                  LEFT JOIN m1 m ON m.node = d.src),
+           m2 AS (SELECT e.dst AS node, sum(r.pr / d.deg) AS m
+                  FROM edges e
+                  JOIN r1 r ON r.node = e.src
+                  JOIN deg d ON d.src = e.src
+                  GROUP BY e.dst),
+           r2 AS (SELECT d.src AS node,
+                         0.15 / n.n + 0.85 * coalesce(m.m, 0.0) AS pr
+                  FROM deg d CROSS JOIN n
+                  LEFT JOIN m2 m ON m.node = d.src),
+           m3 AS (SELECT e.dst AS node, sum(r.pr / d.deg) AS m
+                  FROM edges e
+                  JOIN r2 r ON r.node = e.src
+                  JOIN deg d ON d.src = e.src
+                  GROUP BY e.dst),
+           r3 AS (SELECT d.src AS node,
+                         0.15 / n.n + 0.85 * coalesce(m.m, 0.0) AS pr
+                  FROM deg d CROSS JOIN n
+                  LEFT JOIN m3 m ON m.node = d.src)
+      SELECT node, round(pr * 1000000.0 + 1e-6, 2) AS rank_ppm
+      FROM r3
+      ORDER BY rank_ppm DESC, node ASC
+      LIMIT 20""".stripMargin),
+    (spark, dir) => {
+      val pairs = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + lit(1000000L)).as("s"))
+        .distinct()
+      // Materialized once: every iteration re-reads the id-only edge list,
+      // not the orders/lineitem join that built it.
+      val edges = Q.materialize(
+        pairs.select(col("c").as("src"), col("s").as("dst"))
+          .union(pairs.select(col("s").as("src"), col("c").as("dst"))))
+      val deg = Q.materialize(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      val nRow = deg.agg(count(lit(1)).cast("double").as("n"))
+      var ranks = deg.crossJoin(broadcast(nRow))
+        .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
+      for (_ <- 1 to 3) {
+        val outflow = ranks.join(deg, col("node") === col("src"))
+          .select(col("node"), (col("pr") / col("deg")).as("w"))
+        val contrib = edges.as("e")
+          .join(outflow, col("e.src") === outflow("node"))
+          .groupBy(col("e.dst").as("node")).agg(sum(col("w")).as("m"))
+        // materializeLoop cuts lineage each round — a 3-round plan of
+        // self-referencing joins is small, but the cut keeps every round's
+        // physical plan identical (and checkpoint-strategy fault-tolerant
+        // on a cluster, like the components loop).
+        ranks = Q.materializeLoop(
+          deg.select(col("src").as("node")).as("nodes")
+            .join(contrib.select(col("node").as("cn"), col("m")),
+              col("nodes.node") === col("cn"), "left")
+            .crossJoin(broadcast(nRow))
+            .select(col("nodes.node").as("node"),
+              (lit(0.15) / col("n") + lit(0.85) * coalesce(col("m"), lit(0.0)))
+                .as("pr")))
+      }
+      ranks
+        .select(col("node"),
+          Det.r2e(col("pr") * lit(1000000.0)).as("rank_ppm"))
+        .orderBy(col("rank_ppm").desc, col("node").asc)
+        .limit(20)
+    })
+
+  val all: Seq[Q] = Seq(pagerank)
+}

@@ -380,6 +380,98 @@ object MultimodalOps {
           Det.r4e(sqrt(col("sum_sq").cast("double") / col("n_samples")))
             .as("rms")))
 
+  val gifStats = Q(
+    "mm_gif_stats",
+    "REAL DICTIONARY-CODED image decode — the second entropy coder " +
+      "(GIF87a/LZW via graft.multimodal.Gif, zero dependencies): each " +
+      "document's bytes become an actual GIF whose 256-entry grayscale " +
+      "palette is validated entry-by-entry and whose index stream is " +
+      "LZW-coded with variable-width codes (9 to 12 bits, LSB-first), " +
+      "CLEAR/EOI control codes, 4096-entry dictionary resets and the " +
+      "KwKwK corner case — a coder family DEFLATE never exercises. The " +
+      "decoder walks screen/image descriptors, reassembles sub-blocks, " +
+      "extracts bit-level codes and rebuilds the string table; the " +
+      "query derives geometry, mean index, palette utilization " +
+      "(distinct indices) and the top-row checksum, all oracle-verified " +
+      "from the synthesis closed form (a mis-synced code width or a " +
+      "botched KwKwK corrupts every pixel after it and breaks the " +
+      "sums). ASCII contract as mm_pixel_stats. One scan, zero " +
+      "exchanges; payload bytes never shuffle.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           g AS (SELECT doc_id, text, len,
+                        1 + (len % 23) AS w, 1 + ((len // 23) % 19) AS h
+                 FROM d),
+           v AS (SELECT doc_id, w, h, k < w AS top,
+                        ascii(substr(text, (k % len)::INT + 1, 1)) AS val
+                 FROM (SELECT doc_id, text, len, w, h,
+                              unnest(range(0, w*h)) AS k
+                       FROM g))
+      SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+             (w*h)::BIGINT AS n_px,
+             round(sum(val)::DOUBLE / (w*h) + 1e-8, 4) AS mean_idx,
+             count(DISTINCT val)::BIGINT AS n_colors,
+             sum(CASE WHEN top THEN val ELSE 0 END)::BIGINT AS top_row_sum
+      FROM v GROUP BY doc_id, w, h""".stripMargin),
+    (spark, dir) =>
+      Multimodal.gifStats(spark, t(spark, dir, "documents"))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          Det.r4e(col("sum_idx").cast("double") / col("n_px")).as("mean_idx"),
+          col("n_colors"), col("top_row_sum")))
+
+  val audioSpectrum = Q(
+    "mm_audio_spectrum",
+    "REAL spectral analysis over the decoded audio — the feature-extract " +
+      "stage after the codec: the first 64 PCM samples of each document's " +
+      "WAV payload (chunk-walked and sign-extended by graft.multimodal." +
+      "Wav.decodeWindow, zero-padded when shorter) go through a fast " +
+      "Walsh-Hadamard transform (the O(n log n) butterfly in graft." +
+      "multimodal.Walsh), and the features are the DC term, the dominant " +
+      "non-DC sequency (max |coef|, smallest-k tie-break) and the total " +
+      "spectral energy (sum of squared coefficients; Parseval pins it to " +
+      "64x the window's sample energy). Walsh basis values are +-1, so " +
+      "every coefficient is an EXACT integer: the JVM butterfly and the " +
+      "oracle's naive O(n^2) sum-over-popcount closed form must agree " +
+      "bit-for-bit, with no rounding step anywhere — a mis-wired " +
+      "butterfly stage or a sign-extension bug flips exact bigints, not " +
+      "epsilons. ASCII contract as mm_pixel_stats. One scan, zero " +
+      "exchanges; payload bytes never shuffle, only the fixed-width " +
+      "feature row leaves the scan stage.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           s AS (SELECT doc_id, least(len, 64)::BIGINT AS n_used, i,
+                        ascii(substr(text, (i + 1)::INT, 1)) * 257 - 32768 AS amp
+                 FROM (SELECT doc_id, text, len,
+                              unnest(range(0, least(len, 64))) AS i
+                       FROM d)),
+           c AS (SELECT s.doc_id, s.n_used, ks.k,
+                        sum(amp * (1 - 2 * (bit_count(i & ks.k) % 2)))::BIGINT AS coef
+                 FROM s, (SELECT unnest(range(0, 64)) AS k) ks
+                 GROUP BY s.doc_id, s.n_used, ks.k),
+           dom AS (SELECT doc_id, k, coef,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY abs(coef) DESC, k ASC) AS rn
+                   FROM c WHERE k >= 1),
+           agg AS (SELECT doc_id, any_value(n_used) AS n_used,
+                          sum(coef * coef)::BIGINT AS energy,
+                          sum(CASE WHEN k = 0 THEN coef END)::BIGINT AS dc
+                   FROM c GROUP BY doc_id)
+      SELECT a.doc_id, a.n_used, a.dc, m.k::BIGINT AS dominant_k,
+             m.coef AS dominant_coef, a.energy
+      FROM agg a JOIN dom m ON m.doc_id = a.doc_id AND m.rn = 1""".stripMargin),
+    (spark, dir) =>
+      Multimodal.audioSpectrum(spark, t(spark, dir, "documents"))
+        .toDF()
+        .select(col("doc_id"), col("n_used"), col("dc"), col("dominant_k"),
+          col("dominant_coef"), col("energy")))
+
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
-    pngStats, phash, phashHamming, wavStats)
+    pngStats, gifStats, phash, phashHamming, wavStats, audioSpectrum)
 }

@@ -79,7 +79,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "ta_unigram_logprob", "pipeline_token_budget", "q_events_setops",
       "q_hll_merge", "q_quantile_sketch", "q_quantile_merge",
       "sim_power_iteration", "pipeline_bpe_fit", "q_events_gapfill",
-      "pipeline_quality_fit")
+      "pipeline_quality_fit",
+      // 1-row node-count scalar cross in the teleport term (r7); the loop
+      // body's own crosses sit behind materializeLoop and are audited in
+      // PLANS.md like every iterative body.
+      "graph_pagerank")
     // The only queries allowed an UNPARTITIONED window (single-partition
     // shuffle) — each one's input bound is asserted above. This sweep is
     // what makes the session-wide WindowExec WARN suppression
