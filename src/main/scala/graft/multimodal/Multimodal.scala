@@ -218,6 +218,40 @@ object Multimodal {
       }
   }
 
+  /** 64-bit Walsh spectral fingerprints over the decoded audio window —
+    * the audio analog of [[phashes64]]: bit k is the sign of Walsh
+    * coefficient k (strictly positive → 1), so near-identical audio
+    * differs in few bits and the Manku pigeonhole applies unchanged.
+    * Same batched, payload-local shape: only (doc_id, fp) pairs leave
+    * the scan stage.
+    */
+  def audioFingerprints(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    asciiPayloadDocs(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            val (_, samples) = Wav.decodeWindow(syntheticWav(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 64)
+            val a = new Array[Long](64)
+            var i = 0
+            while (i < samples.length) { a(i) = samples(i).toLong; i += 1 }
+            Walsh.fwht(a)
+            var fp = 0L
+            var k = 0
+            while (k < 64) {
+              if (a(k) > 0) fp |= 1L << k
+              k += 1
+            }
+            id -> fp
+          }
+        }
+      }
+  }
+
   def phashes(spark: SparkSession, docs: DataFrame,
       batchSize: Int = 64): Dataset[(Long, Long)] = {
     import spark.implicits._

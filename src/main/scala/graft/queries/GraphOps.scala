@@ -27,12 +27,14 @@ object GraphOps {
     "Damped PageRank (d=0.85, 3 synchronous iterations) over the " +
       "symmetrized customer-supplier trading graph from orders x lineitem; " +
       "suppliers are offset by 1e6 into a shared node-id space. Per " +
-      "iteration: contributions rank/deg flow along materialized edges " +
-      "(equi join on src), sum per dst, then mix with teleport mass " +
-      "(1-d)/N — the relational formulation of the Pregel loop, exactly " +
-      "two node-key shuffles per round. The edge list is materialized " +
-      "once (ids only — at 100 TB nothing wider than (src,dst) pairs " +
-      "ever shuffles); degree is one aggregation reused each round; the " +
+      "iteration: contributions rank/deg flow along the materialized " +
+      "degree-annotated edge list (equi join on src), sum per dst, then " +
+      "mix with teleport mass (1-d)/N — the relational Pregel loop, " +
+      "exactly two |E|-scale node-key shuffles per round (degree rides " +
+      "on the edge row, so no per-round join against the degree table; " +
+      "the teleport left join moves only the N-row node set). The edge " +
+      "list is materialized once (ids + one degree long — at 100 TB " +
+      "nothing wider ever shuffles); the " +
       "node count broadcasts as a 1-row scalar. Output: top-20 nodes by " +
       "rank in parts-per-million (rounded, id tie-break — TakeOrdered, " +
       "no global sort materialization). The oracle unrolls the three " +
@@ -96,15 +98,18 @@ object GraphOps {
           .union(pairs.select(col("s").as("src"), col("c").as("dst"))))
       val deg = Q.materialize(
         edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      // Degree rides ON the edge row (one extra long), so each round is
+      // ranks ⋈ edges + one aggregation — not a third per-round join
+      // against the degree table.
+      val degE = Q.materialize(edges.join(deg, "src"))
       val nRow = deg.agg(count(lit(1)).cast("double").as("n"))
       var ranks = deg.crossJoin(broadcast(nRow))
         .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 3) {
-        val outflow = ranks.join(deg, col("node") === col("src"))
-          .select(col("node"), (col("pr") / col("deg")).as("w"))
-        val contrib = edges.as("e")
-          .join(outflow, col("e.src") === outflow("node"))
-          .groupBy(col("e.dst").as("node")).agg(sum(col("w")).as("m"))
+        val contrib = degE
+          .join(ranks, col("src") === col("node"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("pr") / col("deg")).as("m"))
         // materializeLoop cuts lineage each round — a 3-round plan of
         // self-referencing joins is small, but the cut keeps every round's
         // physical plan identical (and checkpoint-strategy fault-tolerant

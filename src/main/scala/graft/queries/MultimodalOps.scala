@@ -472,6 +472,82 @@ object MultimodalOps {
         .select(col("doc_id"), col("n_used"), col("dc"), col("dominant_k"),
           col("dominant_coef"), col("energy")))
 
+  val audioHamming = Q(
+    "mm_audio_hamming",
+    "Hamming-tolerant AUDIO near-dup pairs — completes the near-dup " +
+      "modality triangle (text: dedup_simhash_hamming; image: " +
+      "mm_phash_hamming; audio: this): each decoded WAV window's 64 " +
+      "Walsh coefficients collapse to a 64-bit sign fingerprint (bit k " +
+      "= coef_k > 0 — exact integer compares, engine-identical bits), " +
+      "and near-dups are pairs within Hamming distance 3, found WITHOUT " +
+      "an all-pairs product by the same Manku 4-chunk pigeonhole: " +
+      "candidates come from capped bucket equi-joins on (chunk_index, " +
+      "16-bit chunk_value), only candidates pay the popcount(xor) " +
+      "check. Decode+transform runs ONCE into a materialized (doc_id, " +
+      "fp) frame; at 100 TB only (id, fp) pairs shuffle, payloads never " +
+      "leave their scan partitions, the bucket cap (mirrored in the " +
+      "oracle) bounds a degenerate hot chunk. Duplicate documents give " +
+      "identical fingerprints, so the corpus guarantees hits at " +
+      "Hamming 0; near-identical audio lands at small positive " +
+      "distances exactly as the planted-recall leg in WalshSpec's " +
+      "fingerprint tests shows.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           s AS (SELECT doc_id, i,
+                        ascii(substr(text, (i + 1)::INT, 1)) * 257 - 32768 AS amp
+                 FROM (SELECT doc_id, text, len,
+                              unnest(range(0, least(len, 64))) AS i
+                       FROM d)),
+           c AS (SELECT s.doc_id, ks.k,
+                        sum(amp * (1 - 2 * (bit_count(i & ks.k) % 2)))::BIGINT AS coef
+                 FROM s, (SELECT unnest(range(0, 64)) AS k) ks
+                 GROUP BY s.doc_id, ks.k),
+           fp AS (SELECT doc_id,
+                         sum(CASE WHEN coef > 0
+                             THEN CASE WHEN k = 63
+                                  THEN (-9223372036854775807 - 1)
+                                  ELSE 1::BIGINT << k END
+                             ELSE 0 END)::BIGINT AS fp
+                  FROM c GROUP BY doc_id),
+           chunks AS (SELECT doc_id, fp.fp, ch.chunk,
+                             (fp.fp >> (16*ch.chunk)) & 65535 AS key
+                      FROM fp, (VALUES (0),(1),(2),(3)) ch(chunk)),
+           ok AS (SELECT chunk, key FROM chunks GROUP BY chunk, key
+                  HAVING count(*) > 1 AND count(*) <= 1000),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.fp AS fa, b.fp AS fb
+             FROM chunks a
+             JOIN chunks b ON a.chunk = b.chunk AND a.key = b.key
+                          AND a.doc_id < b.doc_id
+             JOIN ok ON ok.chunk = a.chunk AND ok.key = a.key)
+      SELECT doc_a, doc_b, bit_count(xor(fa, fb))::BIGINT AS hamming
+      FROM cand
+      WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin),
+    (spark, dir) => {
+      val fp = Q.materialize(
+        Multimodal.audioFingerprints(spark, t(spark, dir, "documents"))
+          .toDF("doc_id", "fp"))
+      val chunkStructs = (0 until 4).map(c =>
+        struct(lit(c).as("band"),
+          shiftright(col("fp"), 16 * c).bitwiseAND(lit(65535L)).as("key")))
+      val keyed = fp.select(
+        struct(col("doc_id"), col("fp")).as("m"),
+        explode(array(chunkStructs: _*)).as("ck"))
+        .select(col("ck.band").as("band"), col("ck.key").as("key"), col("m"))
+      val hamming = bit_count(col("fa").bitwiseXOR(col("fb")))
+      Lsh.bucketPairs(keyed)
+        .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+          col("p.a.fp").as("fa"), col("p.b.fp").as("fb"))
+        .distinct()
+        .filter(hamming <= 3)
+        .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
+    })
+
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
-    pngStats, gifStats, phash, phashHamming, wavStats, audioSpectrum)
+    pngStats, gifStats, phash, phashHamming, wavStats, audioSpectrum,
+    audioHamming)
 }

@@ -86,6 +86,62 @@ class WalshSpec extends AnyFunSuite {
     }
   }
 
+  private def signFp(coefs: Array[Long]): Long = {
+    var fp = 0L
+    for (k <- 0 until 64) if (coefs(k) > 0) fp |= 1L << k
+    fp
+  }
+
+  test("audioFingerprints match the closed-form sign-of-coefficient recomputation") {
+    val fps = Multimodal.audioFingerprints(spark, docs).collect().toMap
+    assert(fps.nonEmpty)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      if (b.nonEmpty && b.length == text.length) {
+        val a = new Array[Long](64)
+        for (i <- 0 until math.min(64, b.length))
+          a(i) = (b(i) & 0xff) * 257L - 32768L
+        assert(fps(id) == signFp(Walsh.naive(a)), s"doc $id")
+      }
+    }
+  }
+
+  test("planted spectral edits: Hamming tracks sign flips, pigeonhole catches them") {
+    // Build the sample window as the FWHT of a chosen sign pattern C with
+    // margin ±8: fwht is self-inverse up to n, so coefficients come out as
+    // 64·C — every sign is strong (|coef| = 512), and flipping exactly k
+    // entries of C flips exactly k fingerprint bits. The audio analog of
+    // MultimodalSpec's planted-visual-near-dup leg: a small spectral edit
+    // is a small Hamming distance, and at Hamming ≤ 3 at least one of the
+    // four 16-bit chunks agrees exactly (the mm_audio_hamming pledge).
+    val rnd = new scala.util.Random(23 + SparkTestBase.stressSeed)
+    val base = Array.fill(64)(if (rnd.nextBoolean()) 8L else -8L)
+    def fpOf(c: Array[Long]): Long = signFp(Walsh.fwht(Walsh.fwht(c.clone())))
+    // fwht(fwht(C)) = 64*C: signs of 64*C are signs of C — so fpOf really
+    // round-trips the sample domain (samples = fwht(C), coefs = 64*C).
+    val f0 = fpOf(base)
+    for (k <- 1 to 3) {
+      val edited = base.clone()
+      var flipped = 0
+      var i = 0
+      while (flipped < k && i < 64) {
+        if (rnd.nextBoolean() || 64 - i <= k - flipped) {
+          edited(i) = -edited(i); flipped += 1
+        }
+        i += 1
+      }
+      val fk = fpOf(edited)
+      assert(java.lang.Long.bitCount(f0 ^ fk) == k, s"$k planted flips")
+      assert((0 until 4).exists(c =>
+        ((f0 >> (16 * c)) & 0xffffL) == ((fk >> (16 * c)) & 0xffffL)))
+    }
+    // A genuinely different pattern is FAR: invert every sign.
+    val inv = fpOf(base.map(-_))
+    assert(java.lang.Long.bitCount(f0 ^ inv) == 64)
+  }
+
   test("audioSpectrum is deterministic across partitionings and batch sizes") {
     val a = Multimodal.audioSpectrum(spark, docs, batchSize = 64)
       .collect().sortBy(_.doc_id)
