@@ -45,7 +45,8 @@ class DeterminismSpec extends AnyFunSuite {
     "mm_phash" -> sfSmoke,            // decode batches + census join (r6)
     "mm_phash_hamming" -> sfCaps,     // LSH bucket caps over image hashes (r7)
     "mm_audio_hamming" -> sfCaps,     // LSH bucket caps over audio fingerprints (r7)
-    "graph_pagerank" -> sfCaps)       // iterative float sums + rounded top-20 (r7)
+    "graph_pagerank" -> sfCaps,       // iterative float sums + rounded top-20 (r7)
+    "rsm_submit_replay" -> sfSmoke)   // secondary-sort log fold + session dedup (r7)
 
   private def runAt(name: String, dir: String, partitions: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
