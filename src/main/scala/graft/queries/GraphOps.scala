@@ -130,5 +130,81 @@ object GraphOps {
         .limit(20)
     })
 
-  val all: Seq[Q] = Seq(pagerank)
+  val triangles = Q(
+    "graph_triangles",
+    "Per-node triangle counts (top-20) over the supplier co-purchase " +
+      "graph: suppliers are adjacent when they serve the same order — the " +
+      "market-basket projection, whose blowup is bounded per basket " +
+      "(TPC-H orders hold <=7 lineitems, so <=21 pairs/order; the same " +
+      "bound a production pipeline enforces with a basket cap). Counting " +
+      "uses DEGREE-ORDERED ORIENTATION (Schank-Wagner; Cohen's MapReduce " +
+      "formulation): each undirected edge points from its lower-(deg,id) " +
+      "endpoint to the higher, so every out-neighborhood is O(sqrt(|E|)) " +
+      "and the wedge self-join — the step a naive all-pairs count blows " +
+      "up on — stays bounded; each triangle is generated at exactly one " +
+      "apex and closed by one equi join against the oriented edge list. " +
+      "Corner explode + count per node, top-20 (count desc, id asc). The " +
+      "oracle counts the same triangles via the a<b<c three-way join — " +
+      "orientation changes the join ORDER, never the triangle set.",
+    Some("""
+      WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey::BIGINT AS s
+                  FROM lineitem),
+           e AS (SELECT DISTINCT x.s AS a, y.s AS b
+                 FROM su x JOIN su y ON x.o = y.o AND x.s < y.s),
+           tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                   FROM e e1
+                   JOIN e e2 ON e2.a = e1.b
+                   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+           corners AS (SELECT a AS node FROM tri
+                       UNION ALL SELECT b FROM tri
+                       UNION ALL SELECT c FROM tri)
+      SELECT node, count(*)::BIGINT AS n_triangles
+      FROM corners GROUP BY node
+      ORDER BY n_triangles DESC, node ASC
+      LIMIT 20""".stripMargin),
+    (spark, dir) => {
+      val su = t(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o"),
+          col("l_suppkey").cast("long").as("s"))
+        .distinct()
+      // Undirected edge list (a < b), materialized: referenced by the
+      // degree count AND the orientation join.
+      val edges = Q.materialize(
+        su.as("x").join(su.as("y"),
+            col("x.o") === col("y.o") && col("x.s") < col("y.s"))
+          .select(col("x.s").as("a"), col("y.s").as("b"))
+          .distinct())
+      val deg = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      // Total order for orientation: (deg, id) packed into one long —
+      // deg < 2^31 and ids fit 32 bits, so rank = deg<<32 | id is exact.
+      val rank = deg.select(col("node"),
+        (col("deg") * lit(4294967296L) + col("node")).as("rank"))
+      val oriented = Q.materialize(edges
+        .join(rank.select(col("node").as("a"), col("rank").as("ra")), "a")
+        .join(rank.select(col("node").as("b"), col("rank").as("rb")), "b")
+        .select(
+          when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
+          when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
+          greatest(col("ra"), col("rb")).as("rdst")))
+      // Wedges at each apex: ordered out-neighbor pairs (u before v in
+      // rank order), closed by the oriented edge u->v (which is how the
+      // (u,v) edge is oriented, since rank(u) < rank(v)).
+      val tri = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.rdst") < col("e2.rdst"))
+        .select(col("e1.src").as("apex"),
+          col("e1.dst").as("u"), col("e2.dst").as("v"))
+        .join(oriented.select(col("src").as("u"), col("dst").as("v")),
+          Seq("u", "v"))
+      tri.select(col("apex").as("node"))
+        .union(tri.select(col("u").as("node")))
+        .union(tri.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node").asc)
+        .limit(20)
+    })
+
+  val all: Seq[Q] = Seq(pagerank, triangles)
 }

@@ -1116,9 +1116,73 @@ object TextOps {
       row(1, w1).union(row(2, w2))
     })
 
+  val bm25 = Q(
+    "ta_bm25",
+    "BM25 document ranking (Robertson-Sparck Jones idf, k1=1.2, b=0.75) " +
+      "for a fixed 4-term query — the retrieval scorer a RAG/eval stack " +
+      "runs over a curated corpus. Reuses ta_tfidf's one-pass (doc, term) " +
+      "count frame: doc lengths and the corpus avgdl/N derive from that " +
+      "aggregated frame (no second corpus scan); the query-term slice is " +
+      "filtered BEFORE any join, so only |docs|x|query| rows move, and " +
+      "the 4-row df table + 1-row corpus stats broadcast. Top-20 docs by " +
+      "score, ordered on the 6-decimal rounding with doc_id tie-break " +
+      "(both engines sum 4 doubles in different orders; the epsilon " +
+      "rounding absorbs the ~1e-15 noise).",
+    Some("""
+      WITH w AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents),
+           tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+           dl AS (SELECT doc_id, sum(c)::BIGINT AS dl FROM tf GROUP BY 1),
+           stats AS (SELECT avg(dl) AS avgdl, count(*)::BIGINT AS n_docs FROM dl),
+           q AS (SELECT unnest(['vector', 'hash', 'stream', 'spark']) AS term),
+           df AS (SELECT tf.term, count(*)::BIGINT AS df
+                  FROM tf JOIN q ON q.term = tf.term GROUP BY 1),
+           scored AS (
+             SELECT tf.doc_id,
+                    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * c * 2.2
+                        / (c + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))) AS s
+             FROM tf
+             JOIN df ON df.term = tf.term
+             JOIN dl ON dl.doc_id = tf.doc_id, stats
+             GROUP BY tf.doc_id)
+      SELECT doc_id, round(s + 1e-8, 4) AS bm25
+      FROM scored
+      ORDER BY round(s + 1e-9, 6) DESC, doc_id
+      LIMIT 20""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val tf = Q.materialize(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast("long").as("c")))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).cast("long").as("dl"))
+      val stats = dl.agg(avg(col("dl")).as("avgdl"),
+        count(lit(1)).cast("long").as("n_docs"))
+      val qterms = Seq("vector", "hash", "stream", "spark")
+      val tfq = tf.filter(col("term").isin(qterms: _*))
+      val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+      tfq.join(broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+              + lit(1.0)) *
+            col("c") * lit(2.2) /
+            (col("c") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id")).agg(sum(col("contrib")).as("s"))
+        .withColumn("bm25", Det.r4e(col("s")))
+        .orderBy(round(col("s") + lit(1e-9), 6).desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("bm25"))
+    })
+
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
     sampleExactK, unigramLogprob, tokenBudget, trainingCorpus, datasetCard,
-    quarantine, bpeFit, zipfFit, qualityFit)
+    quarantine, bpeFit, zipfFit, qualityFit, bm25)
 }

@@ -3,6 +3,9 @@ package graft.state
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream,
   DataOutputStream}
 
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
 /** S5 — the replicated-state-machine layer (SURVEY §2.3 S5): the reference's
   * `rsm.Submit(op)` orders client ops through consensus and applies each
   * committed log entry exactly once to a server implementing
@@ -147,5 +150,47 @@ object KvRsmSnapshot {
       client -> (seq, (err, ver))
     }.toMap
     RsmImage(state, sessions, nApplied, nSuppressed)
+  }
+}
+
+/** One committed KV log row on the streaming wire (the concrete KvRsmMachine
+  * instance's entry shape, flattened for encoders).
+  */
+case class RsmKvLogRow(grp: Long, index: Long, clientId: Long, seq: Long,
+    key: String, value: String, version: Long)
+
+case class RsmGroupProgress(grp: Long, nKeys: Long, nApplied: Long,
+    nSuppressed: Long, versionSum: Long)
+
+/** The RSM's LIVE-SERVER face: each micro-batch delivers a slab of newly
+  * committed entries per group, and the per-group GroupState value is
+  * LITERALLY the `Snapshot()` bytes — every batch is Restore → apply slab →
+  * Snapshot, so a query restart (or RocksDB state-store recovery) resumes
+  * from exactly the lab's persister contract
+  * (src/kvraft1/rsm/rsm.go:47-56). Sessions ride inside the bytes, so a
+  * resend arriving in a LATER micro-batch than its original is still
+  * suppressed — the property RsmStreamSpec pins.
+  */
+object RsmStream {
+  def update(grp: Long, rows: Iterator[RsmKvLogRow],
+      state: GroupState[Array[Byte]]): RsmGroupProgress = {
+    var img = state.getOption.map(KvRsmSnapshot.decode)
+      .getOrElse(Rsm.start(KvRsmMachine))
+    // Sort within the micro-batch: group order is nondeterministic.
+    rows.toSeq.sortBy(_.index).foreach { r =>
+      val op = KvOp(r.key, r.value, r.version, seq = r.index)
+      img = Rsm.applyEntry(KvRsmMachine, img,
+        RsmEntry(r.index, r.clientId, r.seq, op))._1
+    }
+    state.update(KvRsmSnapshot.encode(img))
+    RsmGroupProgress(grp, img.state.size.toLong, img.nApplied,
+      img.nSuppressed, img.state.valuesIterator.map(_.version).sum)
+  }
+
+  def pipeline(spark: SparkSession, rows: Dataset[RsmKvLogRow])
+      : Dataset[RsmGroupProgress] = {
+    import spark.implicits._
+    rows.groupByKey(_.grp)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update _)
   }
 }

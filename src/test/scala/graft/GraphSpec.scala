@@ -55,6 +55,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("distributed triangle count matches the sequential set-based reference") {
+    // Independent recomputation: supplier co-purchase edges from the same
+    // parquet, triangles by brute-force neighbor-set intersection.
+    val su = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), col("l_suppkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val coEdges = su.groupBy(_._1).values.flatMap { grp =>
+      val ss = grp.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
+    }.toSet
+    val nbrs = (coEdges.toSeq ++ coEdges.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val triCount = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- coEdges; c <- nbrs(a) intersect nbrs(b); if b < c)
+      for (n <- Seq(a, b, c)) triCount(n) += 1L
+    val want = triCount.toSeq.sortBy { case (n, k) => (-k, n) }.take(20)
+    val got = GraphOps.triangles.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == want, s"top-20 triangle counts differ\n got: $got\nwant: $want")
+    assert(got.nonEmpty && got.head._2 > 0, "degenerate: no triangles at all")
+  }
+
   test("rank mass is conserved (no dangling nodes in the symmetrized graph)") {
     for (it <- Seq(1, 3)) {
       val mass = referencePagerank(it).values.sum
