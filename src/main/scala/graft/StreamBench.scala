@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.state.{RsmKvLogRow, RsmStream}
 import graft.streaming.Streams
 import graft.streaming.Streams.{DocEvent, DocVersion, Event}
 
@@ -142,7 +143,15 @@ object StreamBench {
       run[DocEvent]("phash_dedup", docEvent(_, 800), heavy = true)(in =>
         Streams.phashDedupStream(spark, in.toDS()).toDF()),
       run[DocVersion]("upsert", docVersion)(in =>
-        Streams.upsertStream(spark, in.toDS())))
+        Streams.upsertStream(spark, in.toDS())),
+      // S5 live-server face: 500 sequential clients over 64 RSM groups;
+      // state = 64 snapshot byte images, bounded by client/key cardinality
+      // (sessions + cells), NOT by input rows.
+      run[RsmKvLogRow]("rsm_apply", { i =>
+        val client = i % 500
+        val seq = i / 500
+        RsmKvLogRow(client % 64, i, client, seq, s"k$client", s"v$seq", seq)
+      }, mode = "update")(in => RsmStream.pipeline(spark, in.toDS()).toDF()))
 
     val qs = results.map { r =>
       val rps = if (r.secs > 0) r.rows / r.secs else 0.0

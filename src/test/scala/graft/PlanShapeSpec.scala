@@ -83,7 +83,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // 1-row node-count scalar cross in the teleport term (r7); the loop
       // body's own crosses sit behind materializeLoop and are audited in
       // PLANS.md like every iterative body.
-      "graph_pagerank")
+      "graph_pagerank",
+      // 1-row corpus-stats (avgdl, n_docs) scalar cross (r7).
+      "ta_bm25")
     // The only queries allowed an UNPARTITIONED window (single-partition
     // shuffle) — each one's input bound is asserted above. This sweep is
     // what makes the session-wide WindowExec WARN suppression
