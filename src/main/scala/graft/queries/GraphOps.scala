@@ -132,11 +132,16 @@ object GraphOps {
 
   val triangles = Q(
     "graph_triangles",
-    "Per-node triangle counts (top-20) over the supplier co-purchase " +
-      "graph: suppliers are adjacent when they serve the same order — the " +
-      "market-basket projection, whose blowup is bounded per basket " +
-      "(TPC-H orders hold <=7 lineitems, so <=21 pairs/order; the same " +
-      "bound a production pipeline enforces with a basket cap). Counting " +
+    "Per-node triangle counts (top-20) over the SUPPORT-THRESHOLDED " +
+      "supplier co-purchase graph: suppliers are adjacent when they serve " +
+      "the same order in >=5 orders — the market-basket projection with " +
+      "the association-rule support filter, which is what keeps the graph " +
+      "sparse at every SF (without it the co-purchase graph over a small " +
+      "supplier universe approaches a clique and triangle ENUMERATION is " +
+      "Theta(n^3) no matter the algorithm). Pair blowup is bounded per " +
+      "basket (TPC-H orders hold <=7 lineitems, so <=21 pairs/order; a " +
+      "production pipeline enforces the same bound with a basket cap). " +
+      "Counting " +
       "uses DEGREE-ORDERED ORIENTATION (Schank-Wagner; Cohen's MapReduce " +
       "formulation): each undirected edge points from its lower-(deg,id) " +
       "endpoint to the higher, so every out-neighborhood is O(sqrt(|E|)) " +
@@ -149,8 +154,9 @@ object GraphOps {
     Some("""
       WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey::BIGINT AS s
                   FROM lineitem),
-           e AS (SELECT DISTINCT x.s AS a, y.s AS b
-                 FROM su x JOIN su y ON x.o = y.o AND x.s < y.s),
+           e AS (SELECT x.s AS a, y.s AS b
+                 FROM su x JOIN su y ON x.o = y.o AND x.s < y.s
+                 GROUP BY 1, 2 HAVING count(*) >= 5),
            tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
                    FROM e e1
                    JOIN e e2 ON e2.a = e1.b
@@ -167,13 +173,17 @@ object GraphOps {
         .select(col("l_orderkey").as("o"),
           col("l_suppkey").cast("long").as("s"))
         .distinct()
-      // Undirected edge list (a < b), materialized: referenced by the
-      // degree count AND the orientation join.
+      // Undirected edge list (a < b) with the support filter (su is
+      // per-order distinct, so count(*) = orders containing both),
+      // materialized: referenced by the degree count AND the orientation
+      // join.
       val edges = Q.materialize(
         su.as("x").join(su.as("y"),
             col("x.o") === col("y.o") && col("x.s") < col("y.s"))
-          .select(col("x.s").as("a"), col("y.s").as("b"))
-          .distinct())
+          .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 5)
+          .select(col("a"), col("b")))
       val deg = edges.select(col("a").as("node"))
         .union(edges.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -61,10 +61,14 @@ class GraphSpec extends AnyFunSuite {
     val su = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey").cast("long"), col("l_suppkey").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    // Support >= 5 orders, matching the declared query's edge filter.
     val coEdges = su.groupBy(_._1).values.flatMap { grp =>
       val ss = grp.map(_._2).distinct.sorted
       for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
-    }.toSet
+    }.groupBy(identity).filter(_._2.size >= 5).keySet
+    // (NOT `.collect { case (e, hits) ... => e }`: collect on a Map whose
+    // results are pairs REBUILDS a Map, silently collapsing edges that
+    // share a first endpoint.)
     val nbrs = (coEdges.toSeq ++ coEdges.toSeq.map(_.swap))
       .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
     val triCount = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
