@@ -377,4 +377,66 @@ object Multimodal {
         }
       }
   }
+
+  /** Per-frame features from a REAL video-container decode ([[Avi]]):
+    * one row per SAMPLED frame, carrying the container-level truth
+    * (geometry, declared total frame count) plus the frame's exact
+    * channel sums.
+    */
+  case class VideoFrameFeatures(doc_id: Long, frame_idx: Long, width: Long,
+      height: Long, n_frames: Long, n_px: Long, sum_b: Long, sum_g: Long,
+      sum_r: Long)
+
+  /** Deterministic video payload for a document: a `w×h`, 1–4-frame RIFF
+    * AVI of uncompressed 24-bit DIB frames whose byte streams are the
+    * document's UTF-8 bytes cyclically shifted by the frame index (frame
+    * `f` byte `j` = text byte `(j+f) mod len`), so consecutive frames are
+    * near- but not exactly identical, like real video. Geometry (mod
+    * 19/13) differs from every image path; odd-length docs also get a
+    * JUNK alignment chunk so half the corpus exercises the decoder's
+    * unknown-chunk skip + pad-byte walk. The decoder sees ONLY the
+    * encoded container bytes, never these parameters.
+    */
+  def syntheticAvi(textBytes: Array[Byte]): Array[Byte] = {
+    val len = textBytes.length
+    require(len > 0, "empty payload")
+    val w = 1 + (len % 19)
+    val h = 1 + ((len / 19) % 13)
+    val nf = 1 + (len % 4)
+    val frames = (0 until nf).map { f =>
+      val px = new Array[Byte](3 * w * h)
+      var j = 0
+      while (j < px.length) { px(j) = textBytes((j + f) % len); j += 1 }
+      px
+    }
+    Avi.encode(w, h, frames, junkChunk = len % 2 == 1)
+  }
+
+  /** The video twin of [[pixelStats]], with the ingest economics made
+    * real: synthesize the AVI container, walk it with [[Avi.decodeSampled]]
+    * at step 2 — every chunk header is parsed and validated (the container
+    * is sequential), but pixel loops run only for even frame indices.
+    * Same batched, payload-local shape: the container bytes never shuffle;
+    * only fixed-width per-sampled-frame feature rows leave the scan.
+    */
+  def videoStats(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[VideoFrameFeatures] = {
+    import spark.implicits._
+    asciiPayloadDocs(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, text) =>
+            val s = Avi.decodeSampled(syntheticAvi(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 2)
+            s.frames.map { f =>
+              VideoFrameFeatures(id, f.frameIdx.toLong, s.width.toLong,
+                s.height.toLong, s.nFrames.toLong,
+                s.width.toLong * s.height, f.sumB, f.sumG, f.sumR)
+            }
+          }
+        }
+      }
+  }
 }

@@ -547,7 +547,60 @@ object MultimodalOps {
         .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
     })
 
+  val videoStats = Q(
+    "mm_video_stats",
+    "REAL video-container decode — completes the image/audio/video trio " +
+      "of dependency-free codecs (RIFF AVI, uncompressed 24-bit DIB " +
+      "frames): each document's bytes become an actual multi-frame AVI " +
+      "whose NESTED chunk tree (LIST hdrl holding avih + LIST strl with " +
+      "strh/strf, LIST movi holding the '00db' frames, a trailing idx1 " +
+      "index, and a JUNK alignment chunk on odd-length docs) is what " +
+      "distinguishes this parse from the flat WAV walk. " +
+      "graft.multimodal.Avi recursively walks the LIST tree, " +
+      "cross-validates avih geometry against strf and the declared frame " +
+      "count against the movi payload, and decodes SAMPLED frames only " +
+      "(step 2 — every chunk header is still walked, but pixel loops run " +
+      "for even frame indices only: the every-k-th-frame ingest " +
+      "economics the mm_frame_sample stub gestured at, now on a real " +
+      "container). One row per sampled frame with exact channel sums; " +
+      "oracle is the synthesis closed form (frame f byte j = text byte " +
+      "(j+f) mod len; channel order B,G,R — a frame-shift or channel " +
+      "confusion breaks the sums). ASCII contract as mm_pixel_stats. " +
+      "One scan, zero exchanges; container bytes never shuffle.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           g AS (SELECT doc_id, text, len,
+                        1 + (len % 19) AS w, 1 + ((len // 19) % 13) AS h,
+                        1 + (len % 4) AS nf
+                 FROM d),
+           fr AS (SELECT doc_id, text, len, w, h, nf,
+                         unnest(range(0, nf)) AS f
+                  FROM g),
+           v AS (SELECT doc_id, w, h, nf, f, j % 3 AS c,
+                        ascii(substr(text, ((j + f) % len)::INT + 1, 1)) AS val
+                 FROM (SELECT doc_id, text, len, w, h, nf, f,
+                              unnest(range(0, 3*w*h)) AS j
+                       FROM fr WHERE f % 2 = 0))
+      SELECT doc_id, f::BIGINT AS frame_idx, w::BIGINT AS width,
+             h::BIGINT AS height, nf::BIGINT AS n_frames,
+             (w*h)::BIGINT AS n_px,
+             round(sum(CASE WHEN c=0 THEN val END)::DOUBLE / (w*h) + 1e-8, 4) AS mean_b,
+             round(sum(CASE WHEN c=1 THEN val END)::DOUBLE / (w*h) + 1e-8, 4) AS mean_g,
+             round(sum(CASE WHEN c=2 THEN val END)::DOUBLE / (w*h) + 1e-8, 4) AS mean_r
+      FROM v GROUP BY doc_id, f, w, h, nf""".stripMargin),
+    (spark, dir) =>
+      Multimodal.videoStats(spark, t(spark, dir, "documents"))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("n_frames"), col("n_px"),
+          Det.r4e(col("sum_b").cast("double") / col("n_px")).as("mean_b"),
+          Det.r4e(col("sum_g").cast("double") / col("n_px")).as("mean_g"),
+          Det.r4e(col("sum_r").cast("double") / col("n_px")).as("mean_r")))
+
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
     pngStats, gifStats, phash, phashHamming, wavStats, audioSpectrum,
-    audioHamming)
+    audioHamming, videoStats)
 }

@@ -106,17 +106,32 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read nanos as long (legacy conf) and convert with
-    * integer `div` — NOT `/`, which would round-trip the int64 nanos through
-    * a double and lose sub-second precision.
+  /** `events.ts` normalization — the driver's generator has shipped this
+    * column in different physical shapes across rounds, and every query
+    * assumes one logical type (session-tz TIMESTAMP, castable to double
+    * seconds):
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright.
+    *    Read nanos as long (legacy conf) and convert with integer `div` —
+    *    NOT `/`, which would round-trip the int64 nanos through a double
+    *    and lose sub-second precision.
+    *  - TIMESTAMP(MICROS) without tz metadata (pandas-written): Spark
+    *    reads TIMESTAMP_NTZ, which Spark 4 refuses to cast to double.
+    *    Cast to session-tz TIMESTAMP — the session is pinned UTC
+    *    everywhere (Sessions/Verify/Bench), so the wall-clock value is
+    *    preserved and matches DuckDB's naive-as-UTC `epoch()` reading.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }

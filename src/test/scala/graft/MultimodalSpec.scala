@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{Bmp, Multimodal, Png, Wav}
+import graft.multimodal.{Avi, Bmp, Multimodal, Png, Wav}
 
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -357,6 +357,77 @@ class MultimodalSpec extends AnyFunSuite {
       val len = lens(f.doc_id)
       assert(f.width == 1 + (len % 31) && f.height == 1 + ((len / 31) % 17))
       assert(f.n_px == f.width * f.height && f.top_row_sum > 0)
+    }
+  }
+
+  test("Avi decodes a hand-built multi-frame container exactly") {
+    // 2×1, 3 frames, with the JUNK chunk forcing the odd-size pad walk and
+    // the trailing idx1 exercised by every encode. Frame buffers are
+    // top-down BGR triplets, so frame f = [B0,G0,R0,B1,G1,R1].
+    val frames = (0 until 3).map(f => Array.tabulate(6)(j => (10 * f + j + 1).toByte))
+    val s = Avi.decode(Avi.encode(2, 1, frames, junkChunk = true))
+    assert(s.width == 2 && s.height == 1 && s.nFrames == 3)
+    assert(s.frames == Seq(
+      Avi.FrameStats(0, 1 + 4, 2 + 5, 3 + 6),
+      Avi.FrameStats(1, 11 + 14, 12 + 15, 13 + 16),
+      Avi.FrameStats(2, 21 + 24, 22 + 25, 23 + 26)))
+  }
+
+  test("Avi sampled decode walks every chunk but sums only sampled frames") {
+    val frames = (0 until 4).map(f => Array.tabulate(9)(j => (f * 9 + j).toByte))
+    val bytes = Avi.encode(3, 1, frames)
+    val s = Avi.decodeSampled(bytes, 2)
+    assert(s.nFrames == 4 && s.frames.map(_.frameIdx) == Seq(0, 2))
+    val full = Avi.decode(bytes)
+    assert(full.frames.size == 4)
+    assert(s.frames == full.frames.filter(_.frameIdx % 2 == 0))
+  }
+
+  test("Avi rejects what it cannot decode (container-level cross-checks)") {
+    def cc(b: Array[Byte], s: String): Int = {
+      val pat = s.getBytes("US-ASCII")
+      b.indices.find(i => i + 4 <= b.length &&
+        pat.indices.forall(k => b(i + k) == pat(k))).get
+    }
+    val good = Multimodal.syntheticAvi("hello avi world".getBytes("UTF-8"))
+    // len=15 → w=16, h=1, nf=4, junk chunk present (odd length)
+    val g = Avi.decode(good)
+    assert(g.width == 16 && g.height == 1 && g.nFrames == 4)
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](Avi.decode(badMagic))
+    intercept[IllegalArgumentException](Avi.decode(good.take(60)))
+    // avih/strf geometry cross-validation: corrupt strf's biWidth
+    val badW = good.clone(); badW(cc(badW, "strf") + 8 + 4) = 17
+    intercept[IllegalArgumentException](Avi.decode(badW))
+    // declared-vs-walked frame count: inflate avih dwTotalFrames
+    val badN = good.clone(); badN(cc(badN, "avih") + 8 + 16) = 5
+    intercept[IllegalArgumentException](Avi.decode(badN))
+    // compressed frame id in a BI_RGB stream: first movi chunk → '00dc'
+    val badF = good.clone(); badF(cc(badF, "00db") + 3) = 'c'
+    intercept[IllegalArgumentException](Avi.decode(badF))
+    // non-24-bit DIB: strf biBitCount → 8
+    val badB = good.clone(); badB(cc(badB, "strf") + 8 + 14) = 8
+    intercept[IllegalArgumentException](Avi.decode(badB))
+  }
+
+  test("videoStats is deterministic across partitionings and batch sizes") {
+    val a = Multimodal.videoStats(spark, docs, batchSize = 64)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val b = Multimodal.videoStats(spark, docs.repartition(5), batchSize = 7)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    // step-2 sampling: only even frame indices, always including frame 0,
+    // and the container-level total is carried on every row.
+    assert(a.forall(f => f.frame_idx % 2 == 0 && f.frame_idx < f.n_frames))
+    assert(a.groupBy(_.doc_id).values.forall(_.exists(_.frame_idx == 0)))
+    val lens = docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { f =>
+      val len = lens(f.doc_id)
+      assert(f.width == 1 + (len % 19) && f.height == 1 + ((len / 19) % 13))
+      assert(f.n_frames == 1 + (len % 4) && f.n_px == f.width * f.height)
     }
   }
 }
