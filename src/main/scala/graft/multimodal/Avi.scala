@@ -31,10 +31,15 @@ package graft.multimodal
 object Avi {
 
   /** Per-frame exact channel sums (longs — callers derive means with one
-    * rounding step in the query layer, as with [[Bmp.PixelStats]]).
+    * rounding step in the query layer, as with [[Bmp.PixelStats]]) plus
+    * the frame's 16-bit blockhash perceptual hash — [[Bmp.phash16]]'s
+    * 4×4-cell brighter-than-global-mean grid computed on the SAME pixel
+    * pass (image-space top-down cells, exact 128-bit
+    * cross-multiplication compares), the per-frame near-dup key for
+    * video-level dedup.
     */
   final case class FrameStats(frameIdx: Int, sumB: Long, sumG: Long,
-      sumR: Long)
+      sumR: Long, phash16: Long)
 
   /** Decoded-container features: geometry from `strf`, the TOTAL frame
     * count from `avih`, and stats for the frames the sampler visited.
@@ -235,19 +240,35 @@ object Avi {
       idx: Int): FrameStats = {
     val st = stride(h.width)
     var sumB = 0L; var sumG = 0L; var sumR = 0L
+    val cellSum = new Array[Long](16)
+    val cellN = new Array[Long](16)
     var y = 0
     while (y < h.height) {
       val src = off + (h.height - 1 - y) * st
+      val blkRow = 4 * (y * 4 / h.height)
       var x = 0
       while (x < h.width) {
-        sumB += b(src + 3 * x) & 0xff
-        sumG += b(src + 3 * x + 1) & 0xff
-        sumR += b(src + 3 * x + 2) & 0xff
+        val bb = b(src + 3 * x) & 0xff
+        val g = b(src + 3 * x + 1) & 0xff
+        val r = b(src + 3 * x + 2) & 0xff
+        sumB += bb; sumG += g; sumR += r
+        val cell = blkRow + x * 4 / h.width
+        cellSum(cell) += bb + g + r
+        cellN(cell) += 1
         x += 1
       }
       y += 1
     }
-    FrameStats(idx, sumB, sumG, sumR)
+    val totalSum = sumB + sumG + sumR
+    val totalN = h.width.toLong * h.height
+    var ph = 0L
+    var c = 0
+    while (c < 16) {
+      if (Bmp.productGreater(cellSum(c), totalN, totalSum, cellN(c)))
+        ph |= 1L << c
+      c += 1
+    }
+    FrameStats(idx, sumB, sumG, sumR, ph)
   }
 
   /** Decode with frame sampling: walk every chunk header, but run the

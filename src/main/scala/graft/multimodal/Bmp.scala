@@ -194,7 +194,8 @@ object Bmp {
     * cellSum·nPx approaches 765·nPx²/16 > Long.MaxValue well inside real
     * image sizes).
     */
-  private def productGreater(a: Long, b: Long, c: Long, d: Long): Boolean = {
+  private[multimodal] def productGreater(a: Long, b: Long, c: Long,
+      d: Long): Boolean = {
     val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
     val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
     hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)

@@ -439,4 +439,28 @@ object Multimodal {
         }
       }
   }
+
+  /** Per-sampled-frame perceptual hashes from the real video decode — the
+    * video near-dup key stream: (doc_id, frame_idx, fhash) where fhash is
+    * the frame's 16-bit blockhash ([[Avi.FrameStats.phash16]], computed
+    * on the same pixel pass as the channel sums). Same batched,
+    * payload-local shape: the container bytes never shuffle, only the
+    * fixed-width key rows leave the scan stage.
+    */
+  def videoFramePhashes(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    asciiPayloadDocs(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, text) =>
+            val s = Avi.decodeSampled(syntheticAvi(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 2)
+            s.frames.map(f => (id, f.frameIdx.toLong, f.phash16))
+          }
+        }
+      }
+  }
 }

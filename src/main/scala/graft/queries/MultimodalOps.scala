@@ -600,7 +600,74 @@ object MultimodalOps {
           Det.r4e(col("sum_g").cast("double") / col("n_px")).as("mean_g"),
           Det.r4e(col("sum_r").cast("double") / col("n_px")).as("mean_r")))
 
+  val videoPhash = Q(
+    "mm_video_phash",
+    "Video near-dup candidates by per-frame perceptual hash — the video " +
+      "face of the blockhash family (mm_phash is per image; this is per " +
+      "SAMPLED FRAME of the decoded AVI container): every even-index " +
+      "frame gets the 4x4-grid 16-bit blockhash computed on the same " +
+      "pixel pass as the channel sums (exact 128-bit integer " +
+      "cross-multiplication — engine-identical bits), and frames " +
+      "sharing a hash across the corpus are candidate visual-dup " +
+      "frames; videos sharing many frame hashes are candidate dup " +
+      "VIDEOS. Output: (doc_id, frame_idx, fhash, n_same) — the " +
+      "frame-level census a video-dedup verify join consumes, exactly " +
+      "as mm_phash's image census feeds image dedup. Decode runs ONCE " +
+      "into a materialized key frame; the census aggregates on the " +
+      "16-bit key (bounded at 2^bits groups at ANY corpus size) and is " +
+      "broadcast back. At 100 TB only (id, idx, hash) rows shuffle; " +
+      "container bytes stay in their scan partitions.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           g AS (SELECT doc_id, text, len,
+                        1 + (len % 19) AS w, 1 + ((len // 19) % 13) AS h,
+                        1 + (len % 4) AS nf
+                 FROM d),
+           fr AS (SELECT doc_id, text, len, w, h, f
+                  FROM (SELECT doc_id, text, len, w, h,
+                               unnest(range(0, nf)) AS f
+                        FROM g)
+                  WHERE f % 2 = 0),
+           lum AS (SELECT doc_id, f,
+                          ascii(substr(text, ((3*k + f) % len)::INT + 1, 1))
+                        + ascii(substr(text, ((3*k + 1 + f) % len)::INT + 1, 1))
+                        + ascii(substr(text, ((3*k + 2 + f) % len)::INT + 1, 1)) AS l,
+                          ((k % w) * 4 // w) + 4 * ((k // w) * 4 // h) AS blk
+                   FROM (SELECT doc_id, text, len, w, h, f,
+                                unnest(range(0, w*h)) AS k
+                         FROM fr)),
+           blocks AS (SELECT doc_id, f, blk, sum(l)::BIGINT AS bs,
+                             count(*)::BIGINT AS bn
+                      FROM lum GROUP BY doc_id, f, blk),
+           tot AS (SELECT doc_id, f, sum(bs)::BIGINT AS ts,
+                          sum(bn)::BIGINT AS tn
+                   FROM blocks GROUP BY doc_id, f),
+           ph AS (SELECT b.doc_id, b.f,
+                         sum(CASE WHEN bs * tn > ts * bn
+                             THEN 1::BIGINT << blk ELSE 0 END)::BIGINT AS fhash
+                  FROM blocks b JOIN tot t
+                    ON t.doc_id = b.doc_id AND t.f = b.f
+                  GROUP BY b.doc_id, b.f)
+      SELECT p.doc_id, p.f::BIGINT AS frame_idx, p.fhash, c.n_same
+      FROM ph p JOIN (SELECT fhash, count(*)::BIGINT AS n_same
+                      FROM ph GROUP BY fhash) c ON c.fhash = p.fhash""".stripMargin),
+    (spark, dir) => {
+      val ph = Q.materialize(
+        Multimodal.videoFramePhashes(spark, t(spark, dir, "documents"))
+          .toDF("doc_id", "frame_idx", "fhash"))
+      val census = ph.groupBy(col("fhash"))
+        .agg(count(lit(1)).as("n_same"))
+      // Bounded at 2^bits rows at any corpus size — broadcast explicitly
+      // so the documented plan shape doesn't depend on AQE statistics.
+      ph.join(broadcast(census), "fhash")
+        .select(col("doc_id"), col("frame_idx"), col("fhash"),
+          col("n_same"))
+    })
+
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
     pngStats, gifStats, phash, phashHamming, wavStats, audioSpectrum,
-    audioHamming, videoStats)
+    audioHamming, videoStats, videoPhash)
 }

@@ -367,10 +367,13 @@ class MultimodalSpec extends AnyFunSuite {
     val frames = (0 until 3).map(f => Array.tabulate(6)(j => (10 * f + j + 1).toByte))
     val s = Avi.decode(Avi.encode(2, 1, frames, junkChunk = true))
     assert(s.width == 2 && s.height == 1 && s.nFrames == 3)
+    // phash16, hand-derived: a 2×1 frame occupies grid cells 0 (x=0) and
+    // 2 (x=1); with pixel-1's luminance always the larger, only bit 2
+    // sets (strict cross-multiplied compare) → hash 4 for every frame.
     assert(s.frames == Seq(
-      Avi.FrameStats(0, 1 + 4, 2 + 5, 3 + 6),
-      Avi.FrameStats(1, 11 + 14, 12 + 15, 13 + 16),
-      Avi.FrameStats(2, 21 + 24, 22 + 25, 23 + 26)))
+      Avi.FrameStats(0, 1 + 4, 2 + 5, 3 + 6, 4L),
+      Avi.FrameStats(1, 11 + 14, 12 + 15, 13 + 16, 4L),
+      Avi.FrameStats(2, 21 + 24, 22 + 25, 23 + 26, 4L)))
   }
 
   test("Avi sampled decode walks every chunk but sums only sampled frames") {
@@ -429,5 +432,57 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.width == 1 + (len % 19) && f.height == 1 + ((len / 19) % 13))
       assert(f.n_frames == 1 + (len % 4) && f.n_px == f.width * f.height)
     }
+  }
+
+  test("video frame phash matches an independent closed-form recompute") {
+    // Straight-line reimplementation of the intended frame-hash semantics
+    // from the synthesis parameters (never touching Avi/Bmp code paths):
+    // frame f byte j = text[(j+f) mod len]; pixel k luminance = bytes
+    // 3k..3k+2; image-space 4×4 cells; strict integer mean compare.
+    def expected(text: String, f: Int): Long = {
+      val b = text.getBytes("UTF-8"); val len = b.length
+      val w = 1 + (len % 19); val h = 1 + ((len / 19) % 13)
+      val cs = new Array[Long](16); val cn = new Array[Long](16)
+      var ts = 0L
+      for (k <- 0 until w * h) {
+        val l = (b((3 * k + f) % len) & 0xff) + (b((3 * k + 1 + f) % len) & 0xff) +
+          (b((3 * k + 2 + f) % len) & 0xff)
+        val blk = (k % w) * 4 / w + 4 * ((k / w) * 4 / h)
+        cs(blk) += l; cn(blk) += 1; ts += l
+      }
+      (0 until 16).map(i =>
+        if (cs(i) * (w.toLong * h) > ts * cn(i)) 1L << i else 0L).sum
+    }
+    val texts = Seq("hello avi world", "the quick brown fox jumps over",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaabbbbbbbbbbbbcccccc dddd")
+    for (text <- texts) {
+      val s = Avi.decodeSampled(
+        Multimodal.syntheticAvi(text.getBytes("UTF-8")), 2)
+      s.frames.foreach(fr =>
+        assert(fr.phash16 == expected(text, fr.frameIdx),
+          s"frame ${fr.frameIdx} of '$text'"))
+    }
+    // Planted near-dup: identical payloads hash identically frame by
+    // frame (the collision the census counts); a brightness-structure
+    // change flips the hash.
+    val a = Avi.decode(Multimodal.syntheticAvi(texts.head.getBytes("UTF-8")))
+    val b = Avi.decode(Multimodal.syntheticAvi(texts.head.getBytes("UTF-8")))
+    assert(a.frames.map(_.phash16) == b.frames.map(_.phash16))
+  }
+
+  test("videoFramePhashes is deterministic and census-consistent") {
+    val a = Multimodal.videoFramePhashes(spark, docs, batchSize = 64)
+      .collect().sortBy(r => (r._1, r._2))
+    val b = Multimodal.videoFramePhashes(spark, docs.repartition(5),
+      batchSize = 7).collect().sortBy(r => (r._1, r._2))
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    // Hash rows agree with videoStats row-for-row on (doc, frame) keys —
+    // both come from the same sampled walk.
+    val keys = Multimodal.videoStats(spark, docs)
+      .collect().map(f => f.doc_id -> f.frame_idx).toSet
+    assert(a.map(r => r._1 -> r._2).toSet == keys)
+    // 16-bit range
+    assert(a.forall(r => r._3 >= 0 && r._3 < (1L << 16)))
   }
 }
