@@ -88,15 +88,21 @@ object Avi {
       s"frame buffer ${f.length} != 3*$width*$height"))
     val st = stride(width)
     val frameSize = st * height
-    require(frameSize.toLong * frames.size < Int.MaxValue / 2,
-      "video exceeds RIFF Int size fields")
     val junkPayload = 5 // odd on purpose: forces the pad byte
     val junkSize = if (junkChunk) 8 + junkPayload + 1 else 0
     val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
-    val moviSize = 4 + frames.size * (8 + frameSize)
-    val idx1Size = frames.size * 16
-    val riffSize = 4 + (8 + hdrlSize) + junkSize + (8 + moviSize) +
-      (8 + idx1Size)
+    // All size accounting in Long: a huge count of tiny frames would wrap
+    // Int arithmetic (n*(8+frameSize), n*16) BEFORE any total check could
+    // run, turning the loud reject below into a negative-size allocation.
+    val moviSizeL = 4L + frames.size.toLong * (8L + frameSize)
+    val idx1SizeL = frames.size.toLong * 16
+    val riffSizeL = 4L + (8 + hdrlSize) + junkSize + (8 + moviSizeL) +
+      (8 + idx1SizeL)
+    require(8 + riffSizeL <= Int.MaxValue,
+      s"video exceeds RIFF Int size fields (${8 + riffSizeL} bytes)")
+    val moviSize = moviSizeL.toInt
+    val idx1Size = idx1SizeL.toInt
+    val riffSize = riffSizeL.toInt
     val out = new Array[Byte](8 + riffSize)
     var p = 0
     putCC(out, p, "RIFF"); putLE(out, p + 4, riffSize, 4); p += 8

@@ -43,6 +43,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_topk_ivfpq" -> sfSmoke,      // ANN candidate ranking ties
     "pipeline_upsert" -> sfSmoke,     // max-version keep-one tie-break
     "mm_phash" -> sfSmoke,            // decode batches + census join (r6)
+    "mm_video_phash" -> sfSmoke,      // sampled-frame decode + census join (r7)
     "mm_phash_hamming" -> sfCaps,     // LSH bucket caps over image hashes (r7)
     "mm_audio_hamming" -> sfCaps,     // LSH bucket caps over audio fingerprints (r7)
     "graph_pagerank" -> sfCaps,       // iterative float sums + rounded top-20 (r7)
