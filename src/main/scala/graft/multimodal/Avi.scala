@@ -153,10 +153,14 @@ object Avi {
     }
     // LIST movi
     putCC(out, p, "LIST"); putLE(out, p + 4, moviSize, 4); p += 8
+    val moviFourcc = p // absolute position of the 'movi' list-type fourcc
     putCC(out, p, "movi"); p += 4
     val frameOffsets = new Array[Int](frames.size)
     frames.zipWithIndex.foreach { case (f, idx) =>
-      frameOffsets(idx) = p - 8 // offset convention: from movi fourcc
+      // idx1 offset convention: relative to the 'movi' fourcc (the
+      // common of the two interpretations in the wild; decodeIndexed
+      // probes both, and AviSpec exercises the absolute variant too).
+      frameOffsets(idx) = p - moviFourcc
       putCC(out, p, "00db"); putLE(out, p + 4, frameSize, 4); p += 8
       var y = 0
       while (y < height) {
@@ -338,4 +342,90 @@ object Avi {
 
   /** Full decode: every frame. */
   def decode(bytes: Array[Byte]): VideoStats = decodeSampled(bytes, 1)
+
+  /** Index-SEEK decode: resolve sampled frames through the `idx1` index
+    * instead of walking every `movi` chunk header — O(sampled frames)
+    * instead of O(total frames), which is the ingest economics that
+    * matters when a "payload" is an hour of video and the sampler wants
+    * one frame a minute ([[decodeSampled]] still pays a header parse per
+    * frame because the container is sequential without the index).
+    *
+    * Trust moves from the walk to the index, so every index entry used
+    * is validated against the bytes it points at: the target must carry
+    * a `'00db'` header whose size matches the strf geometry, and the
+    * whole entry list must agree with avih's declared frame count.
+    * Offsets in the wild are EITHER relative to the `'movi'` fourcc or
+    * absolute file offsets (the spec ambiguity every AVI reader ships a
+    * workaround for) — detected once on the first entry by probing both
+    * interpretations, then pinned for the rest of the file.
+    */
+  def decodeIndexed(bytes: Array[Byte], step: Int): VideoStats = {
+    require(step >= 1, s"step $step")
+    require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF",
+      "not RIFF: bad magic")
+    val riffSize = getLE(bytes, 4, 4)
+    require(riffSize >= 4 && 8 + riffSize <= bytes.length,
+      "truncated RIFF payload")
+    require(fourcc(bytes, 8) == "AVI ", "RIFF form is not 'AVI '")
+    val end = 8 + riffSize
+    var p = 12
+    var header: Option[Header] = None
+    var moviFourcc = -1 // absolute position of the 'movi' list-type fourcc
+    var moviEnd = -1
+    var idx1Off = -1
+    var idx1Size = 0
+    while (p + 8 <= end) {
+      val id = fourcc(bytes, p)
+      val size = getLE(bytes, p + 4, 4)
+      require(size >= 0 && p + 8 + size <= end, s"truncated '$id' chunk")
+      if (id == "LIST" && size >= 4) fourcc(bytes, p + 8) match {
+        case "hdrl" => header = Some(parseHdrl(bytes, p + 12, p + 8 + size))
+        case "movi" => moviFourcc = p + 8; moviEnd = p + 8 + size
+        case _ => ()
+      } else if (id == "idx1") { idx1Off = p + 8; idx1Size = size }
+      p += 8 + size + (size & 1)
+    }
+    val h = header.getOrElse(
+      throw new IllegalArgumentException("missing LIST hdrl"))
+    require(moviFourcc >= 0, "missing LIST movi")
+    require(idx1Off >= 0, "missing idx1 index (sequential decode only)")
+    require(idx1Size % 16 == 0, s"idx1 size $idx1Size not entry-aligned")
+    val nEntries = idx1Size / 16
+    require(nEntries == h.nFrames,
+      s"idx1 carries $nEntries entries, avih declares ${h.nFrames}")
+    val frameSize = stride(h.width).toLong * h.height
+    // A frame chunk resolved at `pos` must look like one, wherever the
+    // index pointed: inside movi, '00db' id, strf-consistent size.
+    def validFrameAt(pos: Int): Boolean =
+      pos >= moviFourcc + 4 && pos + 8 <= moviEnd &&
+        fourcc(bytes, pos) == "00db" &&
+        getLE(bytes, pos + 4, 4) == frameSize &&
+        pos + 8 + frameSize <= moviEnd
+    // Offset-convention probe on entry 0 (movi-relative wins ties: the
+    // two interpretations only coincide when moviFourcc == 0, impossible
+    // inside a RIFF).
+    val off0 = getLE(bytes, idx1Off + 8, 4)
+    val relative =
+      if (validFrameAt(moviFourcc + off0)) true
+      else if (validFrameAt(off0)) false
+      else throw new IllegalArgumentException(
+        s"idx1 entry 0 offset $off0 resolves to no frame chunk under " +
+          "either the movi-relative or absolute convention")
+    val frames = Seq.newBuilder[FrameStats]
+    var i = 0
+    while (i < nEntries) {
+      val e = idx1Off + 16 * i
+      require(fourcc(bytes, e) == "00db",
+        s"idx1 entry $i id '${fourcc(bytes, e)}' is not a video frame")
+      if (i % step == 0) {
+        val off = getLE(bytes, e + 8, 4)
+        val pos = if (relative) moviFourcc + off else off
+        require(validFrameAt(pos),
+          s"idx1 entry $i offset $off resolves to no frame chunk")
+        frames += sumFrame(bytes, pos + 8, h, i)
+      }
+      i += 1
+    }
+    VideoStats(h.width, h.height, h.nFrames, frames.result())
+  }
 }

@@ -443,9 +443,14 @@ object Multimodal {
   /** Per-sampled-frame perceptual hashes from the real video decode — the
     * video near-dup key stream: (doc_id, frame_idx, fhash) where fhash is
     * the frame's 16-bit blockhash ([[Avi.FrameStats.phash16]], computed
-    * on the same pixel pass as the channel sums). Same batched,
-    * payload-local shape: the container bytes never shuffle, only the
-    * fixed-width key rows leave the scan stage.
+    * on the same pixel pass as the channel sums). This path uses the
+    * INDEX-SEEK decode ([[Avi.decodeIndexed]] — O(sampled) via idx1,
+    * entries validated against the bytes they point at) while
+    * [[videoStats]] keeps the full sequential walk: the two queries
+    * deliberately exercise both ingest postures, and AviSpec pins their
+    * frame-for-frame parity. Same batched, payload-local shape: the
+    * container bytes never shuffle, only the fixed-width key rows leave
+    * the scan stage.
     */
   def videoFramePhashes(spark: SparkSession, docs: DataFrame,
       batchSize: Int = 64): Dataset[(Long, Long, Long)] = {
@@ -456,7 +461,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.flatMap { case (id, text) =>
-            val s = Avi.decodeSampled(syntheticAvi(
+            val s = Avi.decodeIndexed(syntheticAvi(
               text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 2)
             s.frames.map(f => (id, f.frameIdx.toLong, f.phash16))
           }

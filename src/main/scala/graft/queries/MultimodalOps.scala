@@ -612,7 +612,12 @@ object MultimodalOps {
       "frames; videos sharing many frame hashes are candidate dup " +
       "VIDEOS. Output: (doc_id, frame_idx, fhash, n_same) — the " +
       "frame-level census a video-dedup verify join consumes, exactly " +
-      "as mm_phash's image census feeds image dedup. Decode runs ONCE " +
+      "as mm_phash's image census feeds image dedup. This path uses " +
+      "the idx1 INDEX-SEEK decode (O(sampled frames), entries " +
+      "validated against the bytes they point at, both offset " +
+      "conventions) where mm_video_stats keeps the full sequential " +
+      "walk — the two real ingest postures, spec-pinned to frame " +
+      "parity. Decode runs ONCE " +
       "into a materialized key frame; the census aggregates on the " +
       "16-bit key (bounded at 2^bits groups at ANY corpus size) and is " +
       "broadcast back. At 100 TB only (id, idx, hash) rows shuffle; " +

@@ -470,6 +470,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.frames.map(_.phash16) == b.frames.map(_.phash16))
   }
 
+  test("Avi index-seek decode matches the sequential walk frame for frame") {
+    // Parity across docs (covering both junk-chunk postures and every
+    // nf/geometry residue the corpus hits) and across steps.
+    val texts = Seq("hello avi world", "abcd", "the quick brown fox jumps",
+      "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")
+    for (text <- texts; step <- Seq(1, 2, 3)) {
+      val bytes = Multimodal.syntheticAvi(text.getBytes("UTF-8"))
+      assert(Avi.decodeIndexed(bytes, step) == Avi.decodeSampled(bytes, step),
+        s"'$text' step $step")
+    }
+  }
+
+  test("Avi index-seek decode accepts absolute offsets, rejects bad entries") {
+    def cc(b: Array[Byte], s: String, from: Int = 0): Int = {
+      val pat = s.getBytes("US-ASCII")
+      (from until b.length - 3).find(i =>
+        pat.indices.forall(k => b(i + k) == pat(k))).get
+    }
+    def putLE(b: Array[Byte], off: Int, v: Int): Unit =
+      (0 until 4).foreach(i => b(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    def getLE(b: Array[Byte], off: Int): Int =
+      (0 until 4).map(i => (b(off + i) & 0xff) << (8 * i)).sum
+    val good = Multimodal.syntheticAvi("hello avi world".getBytes("UTF-8"))
+    val expect = Avi.decodeSampled(good, 2)
+    // Rewrite every idx1 offset from movi-relative to absolute: the
+    // decoder's convention probe must detect and still land every frame.
+    val moviFourcc = cc(good, "movi")
+    val idx1 = cc(good, "idx1") + 8
+    val abs = good.clone()
+    (0 until expect.nFrames).foreach { i =>
+      putLE(abs, idx1 + 16 * i + 8, getLE(good, idx1 + 16 * i + 8) + moviFourcc)
+    }
+    assert(Avi.decodeIndexed(abs, 2) == expect)
+    // An entry pointing outside movi (into the headers) rejects loudly.
+    val bad = good.clone()
+    putLE(bad, idx1 + 8, 12 - moviFourcc) // resolves to the hdrl area
+    intercept[IllegalArgumentException](Avi.decodeIndexed(bad, 1))
+    // A non-frame entry id rejects.
+    val badId = good.clone(); badId(idx1 + 3) = 'c'
+    intercept[IllegalArgumentException](Avi.decodeIndexed(badId, 1))
+    // idx1 disagreeing with avih's frame count rejects (truncate one entry).
+    val short = good.clone()
+    putLE(short, cc(short, "idx1") + 4, 16 * (expect.nFrames - 1))
+    intercept[IllegalArgumentException](Avi.decodeIndexed(short, 1))
+  }
+
   test("videoFramePhashes is deterministic and census-consistent") {
     val a = Multimodal.videoFramePhashes(spark, docs, batchSize = 64)
       .collect().sortBy(r => (r._1, r._2))
