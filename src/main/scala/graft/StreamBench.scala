@@ -142,6 +142,8 @@ object StreamBench {
         Streams.cdcDedupStream(spark, in.toDS()).toDF()),
       run[DocEvent]("phash_dedup", docEvent(_, 800), heavy = true)(in =>
         Streams.phashDedupStream(spark, in.toDS()).toDF()),
+      run[DocEvent]("video_phash_dedup", docEvent(_, 800), heavy = true)(in =>
+        Streams.videoPhashDedupStream(spark, in.toDS()).toDF()),
       run[DocVersion]("upsert", docVersion)(in =>
         Streams.upsertStream(spark, in.toDS())),
       // S5 live-server face: 500 sequential clients over 64 RSM groups;

@@ -571,6 +571,76 @@ object Streams {
       }
   }
 
+  /** A frame-level visual dup: this (doc, frame) hashed identically to an
+    * earlier-seen owner frame (possibly another frame of the same video —
+    * stills repeat within one stream too, and the batch census counts
+    * them the same way).
+    */
+  case class VideoFrameDup(doc_id: Long, frame_idx: Long, fhash: Long,
+      owner_doc_id: Long, owner_frame_idx: Long)
+
+  /** Streaming VIDEO near-dup — the live face of `mm_video_phash`, and
+    * the frame-granular sibling of [[phashDedupStream]]: each arriving
+    * payload is decoded through the idx1 INDEX-SEEK path
+    * ([[graft.multimodal.Avi.decodeIndexed]], step 2 — identical hashes
+    * to the batch query by AviSpec's parity pin), every sampled frame's
+    * 16-bit blockhash becomes a key, and per hash the first-seen
+    * (doc, frame) owns the bucket; later frames with the same hash emit
+    * [[VideoFrameDup]] rows. State per hash is ONE (owner_doc,
+    * owner_frame) pair, bounded by the 2^bits hash space regardless of
+    * ingest volume, and event-time TTL'd ([[phashDedupStream]]'s
+    * eviction contract verbatim). Payload bytes never enter state — only
+    * fixed-width key/owner rows.
+    */
+  def videoPhashDedupStream(spark: SparkSession, docs: Dataset[DocEvent],
+      hashTtlSeconds: Long = 3600,
+      watermarkDelay: String = "1 hour"): Dataset[VideoFrameDup] = {
+    import spark.implicits._
+    docs.toDF()
+      .filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("ts"), col("text"))
+      .as[(Long, Timestamp, String)]
+      .mapPartitions(_.flatMap { case (id, ts, text) =>
+        graft.multimodal.Avi.decodeIndexed(
+          graft.multimodal.Multimodal.syntheticAvi(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 2)
+          .frames.map(f => (id, ts, f.frameIdx.toLong, f.phash16))
+      })
+      .toDF("doc_id", "ts", "frame_idx", "fhash")
+      // Watermark AFTER the typed map, as in phashDedupStream: the map's
+      // output columns are new attributes.
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp, Long, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[(Long, Long), VideoFrameDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (hash: Long, it: Iterator[(Long, Timestamp, Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val out = Seq.newBuilder[VideoFrameDup]
+            var owner = state.getOption
+            rows.map(r => (r._1, r._3)).sorted.foreach { df =>
+              owner match {
+                case Some(o) => if (df != o)
+                  out += VideoFrameDup(df._1, df._2, hash, o._1, o._2)
+                case None => owner = Some(df)
+              }
+            }
+            owner.foreach(state.update)
+            val maxTsMs = rows.map(r => micros(r._2) / 1000L).max
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1000,
+              maxTsMs + hashTtlSeconds * 1000))
+            out.result().iterator
+          }
+      }
+  }
+
   /** The full streaming dedup pipeline: [[lshDedupCandidates]] composed
     * with the SAME exact shingle-Jaccard verification the batch
     * `dedup_lsh_verified` query applies — candidates are joined (stateless

@@ -999,6 +999,73 @@ class StreamsSpec extends AnyFunSuite {
     assert(r1 == b1 && r2 == b2, "phashDedupStream diverges under RocksDB")
   }
 
+  test("streaming video phash dedup equals the batch mm_video_phash census") {
+    // Frame-granular parity: replay sf0.001 documents through
+    // videoPhashDedupStream in one micro-batch (within-batch ownership =
+    // lowest (doc_id, frame_idx), so batch truth derives exactly from the
+    // declared mm_video_phash census: every cohort member except its min
+    // flags against the min), then a cross-batch re-send proving frame
+    // ownership survives in state — under BOTH state-store providers.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Streams.{DocEvent, VideoFrameDup}
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val census = SparkEntry.queries("mm_video_phash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cohorts = census.groupBy(_._3).view
+      .mapValues(_.map(c => (c._1, c._2)).sorted)
+    val want = cohorts.flatMap { case (fh, frames) =>
+      frames.drop(1).map { case (d, fi) =>
+        VideoFrameDup(d, fi, fh, frames.head._1, frames.head._2)
+      }
+    }.toSet
+    def run(rocks: Boolean): (Set[VideoFrameDup], Set[VideoFrameDup]) = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      if (rocks) spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val input = MemoryStream[DocEvent]
+        val tag = if (rocks) "r" else "d"
+        val q = Streams.videoPhashDedupStream(spark, input.toDS())
+          .writeStream.format("memory").queryName(s"vphash_dedup_$tag")
+          .outputMode("append").start()
+        try {
+          input.addData(docs.map { case (id, t) => DocEvent(id, ts(0), t) }: _*)
+          q.processAllAvailable()
+          val batch1 = spark.table(s"vphash_dedup_$tag").as[VideoFrameDup]
+            .collect().toSet
+          // Batch 2: an existing doc's payload under a new id — every one
+          // of its sampled frames must flag against that frame cohort's
+          // batch-1 owner, out of deserialized state.
+          input.addData(DocEvent(999999L, ts(5), docs.head._2))
+          q.processAllAvailable()
+          val all = spark.table(s"vphash_dedup_$tag").as[VideoFrameDup]
+            .collect().toSet
+          (batch1, all -- batch1)
+        } finally q.stop()
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val (b1, b2) = run(rocks = false)
+    assert(b1 == want, s"stream frame dups != batch census truth " +
+      s"(missing ${(want -- b1).take(3)}, extra ${(b1 -- want).take(3)})")
+    val firstFrames = census.filter(_._1 == docs.head._1)
+    val wantB2 = firstFrames.map { case (_, fi, fh) =>
+      val owner = cohorts(fh).head
+      VideoFrameDup(999999L, fi, fh, owner._1, owner._2)
+    }.toSet
+    assert(b2 == wantB2, s"cross-batch frame ownership broke: $b2")
+    val (r1, r2) = run(rocks = true)
+    assert(r1 == b1 && r2 == b2,
+      "videoPhashDedupStream diverges under RocksDB")
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates keeps first per key") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
