@@ -404,7 +404,7 @@ object Dedup {
   }
 
   /** DuckDB mirror of [[simhash64]] as CTEs ending in `sig64`. */
-  private val Simhash64Sql = {
+  private[queries] val Simhash64Sql = {
     val sums = (0 until 64).map { b =>
       val h = if (b < 32) duckLane(99, 0, "word") else duckLane(99, 1, "word")
       s"sum(CASE WHEN ($h >> ${b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"

@@ -672,7 +672,68 @@ object MultimodalOps {
           col("n_same"))
     })
 
+  val crossModal = Q(
+    "dedup_cross_modal",
+    "CROSS-MODAL dup audit — the catch text dedup cannot make: pairs of " +
+      "documents whose IMAGE payloads collide on the production-width " +
+      "64-bit perceptual hash (same coarse visual layout) joined with " +
+      "their 64-bit text SimHash distance. text_missed marks pairs the " +
+      "text pipeline's Hamming<=3 gate (dedup_simhash_hamming) would NOT " +
+      "flag — re-encoded or re-captioned visual dups that survive " +
+      "text-only dedup. Candidates come from exact 64-bit hash cohorts " +
+      "(rare by construction; eligibility census count>1 AND <=cap, cap " +
+      "mirrored in the oracle, so a degenerate corpus cannot go " +
+      "quadratic), then the pair frame joins the simhash signature table " +
+      "on doc_id — equi joins only, ids+hashes on the wire, both decode " +
+      "and signature scans run ONCE. The modality composition is the " +
+      "point: phash64 comes from the real BMP decode, simhash64 from " +
+      "the token stream, and the query is a pure plan-level join of the " +
+      "two existing key streams.",
+    Some(s"""
+      WITH $Phash64Sql,
+           ${Dedup.Simhash64Sql},
+           okp AS (SELECT phash FROM ph GROUP BY phash
+                   HAVING count(*) > 1 AND count(*) <= ${Lsh.MaxBucket}),
+           vp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash
+                  FROM ph a
+                  JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id
+                  JOIN okp ON okp.phash = a.phash)
+      SELECT doc_a, doc_b, phash,
+             (bit_count(xor(sa.simhash_lo, sb.simhash_lo))
+            + bit_count(xor(sa.simhash_hi, sb.simhash_hi)))::BIGINT
+               AS text_hamming,
+             (bit_count(xor(sa.simhash_lo, sb.simhash_lo))
+            + bit_count(xor(sa.simhash_hi, sb.simhash_hi))) > 3
+               AS text_missed
+      FROM vp JOIN sig64 sa ON sa.doc_id = vp.doc_a
+              JOIN sig64 sb ON sb.doc_id = vp.doc_b""".stripMargin),
+    (spark, dir) => {
+      val ph = Q.materialize(
+        Multimodal.phashes64(spark, t(spark, dir, "documents"))
+          .toDF("doc_id", "phash"))
+      val ok = ph.groupBy(col("phash")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1 && col("n") <= Lsh.MaxBucket)
+        .select(col("phash"))
+      // Eligibility census: bounded by distinct colliding hashes —
+      // broadcast-sized at any corpus scale.
+      val eligible = ph.join(broadcast(ok), "phash")
+      val pairs = eligible.as("a").join(eligible.as("b"),
+          col("a.phash") === col("b.phash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.phash").as("phash"))
+      val sig = Q.materialize(Dedup.simhash64(spark, dir))
+      val ham =
+        bit_count(col("sa.simhash_lo").bitwiseXOR(col("sb.simhash_lo"))) +
+          bit_count(col("sa.simhash_hi").bitwiseXOR(col("sb.simhash_hi")))
+      pairs.join(sig.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sig.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("phash"),
+          ham.cast("long").as("text_hamming"),
+          (ham > 3).as("text_missed"))
+    })
+
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
     pngStats, gifStats, phash, phashHamming, wavStats, audioSpectrum,
-    audioHamming, videoStats, videoPhash)
+    audioHamming, videoStats, videoPhash, crossModal)
 }
