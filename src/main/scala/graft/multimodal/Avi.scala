@@ -98,7 +98,10 @@ object Avi {
     val idx1SizeL = frames.size.toLong * 16
     val riffSizeL = 4L + (8 + hdrlSize) + junkSize + (8 + moviSizeL) +
       (8 + idx1SizeL)
-    require(8 + riffSizeL <= Int.MaxValue,
+    // Int.MaxValue - 2 is the JVM max array length: a total 2 bytes past
+    // it would pass an Int.MaxValue bound and then die in the allocator
+    // (OutOfMemoryError) instead of this loud reject.
+    require(8 + riffSizeL <= Int.MaxValue - 2,
       s"video exceeds RIFF Int size fields (${8 + riffSizeL} bytes)")
     val moviSize = moviSizeL.toInt
     val idx1Size = idx1SizeL.toInt
@@ -199,7 +202,8 @@ object Avi {
     while (p + 8 <= end) {
       val id = fourcc(b, p)
       val size = getLE(b, p + 4, 4)
-      require(size >= 0 && p + 8 + size <= end, s"truncated '$id' chunk")
+      require(size >= 0 && p + 8 + size.toLong <= end,
+        s"truncated '$id' chunk")
       if (id == "avih") {
         require(size >= 40, s"avih payload $size too small")
         avih = Some((getLE(b, p + 8 + 32, 4), getLE(b, p + 8 + 36, 4),
@@ -210,7 +214,8 @@ object Avi {
         while (q + 8 <= qEnd) {
           val sid = fourcc(b, q)
           val ssz = getLE(b, q + 4, 4)
-          require(ssz >= 0 && q + 8 + ssz <= qEnd, s"truncated '$sid' chunk")
+          require(ssz >= 0 && q + 8 + ssz.toLong <= qEnd,
+            s"truncated '$sid' chunk")
           if (sid == "strh") {
             require(ssz >= 8, s"strh payload $ssz too small")
             val fccType = fourcc(b, q + 8)
@@ -285,15 +290,24 @@ object Avi {
     * pixel loops only for frame indices divisible by `step` — the
     * ingest-side economics of "sample every k-th frame".
     */
-  def decodeSampled(bytes: Array[Byte], step: Int): VideoStats = {
-    require(step >= 1, s"step $step")
+  /** Validate the RIFF/AVI preamble and return the payload end offset.
+    * All size comparisons here and in the walks are done in Long — a
+    * crafted u32 size near Int.MaxValue must hit a loud require, not
+    * wrap an Int sum and slip past into an out-of-bounds read.
+    */
+  private def riffAviEnd(bytes: Array[Byte]): Int = {
     require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF",
       "not RIFF: bad magic")
     val riffSize = getLE(bytes, 4, 4)
-    require(riffSize >= 4 && 8 + riffSize <= bytes.length,
+    require(riffSize >= 4 && 8L + riffSize <= bytes.length,
       "truncated RIFF payload")
     require(fourcc(bytes, 8) == "AVI ", "RIFF form is not 'AVI '")
-    val end = 8 + riffSize
+    8 + riffSize
+  }
+
+  def decodeSampled(bytes: Array[Byte], step: Int): VideoStats = {
+    require(step >= 1, s"step $step")
+    val end = riffAviEnd(bytes)
     var p = 12
     var header: Option[Header] = None
     val frames = Seq.newBuilder[FrameStats]
@@ -301,7 +315,8 @@ object Avi {
     while (p + 8 <= end) {
       val id = fourcc(bytes, p)
       val size = getLE(bytes, p + 4, 4)
-      require(size >= 0 && p + 8 + size <= end, s"truncated '$id' chunk")
+      require(size >= 0 && p + 8 + size.toLong <= end,
+        s"truncated '$id' chunk")
       if (id == "LIST") {
         require(size >= 4, s"LIST chunk size $size too small")
         fourcc(bytes, p + 8) match {
@@ -316,7 +331,7 @@ object Avi {
             while (q + 8 <= qEnd) {
               val fid = fourcc(bytes, q)
               val fsz = getLE(bytes, q + 4, 4)
-              require(fsz >= 0 && q + 8 + fsz <= qEnd,
+              require(fsz >= 0 && q + 8 + fsz.toLong <= qEnd,
                 s"truncated '$fid' chunk")
               if (fid == "00db" || fid == "00dc") {
                 require(fid == "00db", "compressed frame in BI_RGB stream")
@@ -344,30 +359,31 @@ object Avi {
   def decode(bytes: Array[Byte]): VideoStats = decodeSampled(bytes, 1)
 
   /** Index-SEEK decode: resolve sampled frames through the `idx1` index
-    * instead of walking every `movi` chunk header — O(sampled frames)
-    * instead of O(total frames), which is the ingest economics that
-    * matters when a "payload" is an hour of video and the sampler wants
-    * one frame a minute ([[decodeSampled]] still pays a header parse per
-    * frame because the container is sequential without the index).
+    * instead of walking every `movi` chunk header. The honest economics:
+    * O(total frames) in 16-byte INDEX entries — four integer reads per
+    * entry, sequential, allocation-free, needed to validate entry ids
+    * and offset monotonicity — but O(sampled frames) in frame-chunk
+    * validation and pixel work, which is where the cost lives when a
+    * "payload" is an hour of video and the sampler wants one frame a
+    * minute ([[decodeSampled]] pays a header parse AND bounds walk per
+    * frame chunk because the container is sequential without the index;
+    * an index entry is 16 bytes vs a frame chunk's megabytes).
     *
-    * Trust moves from the walk to the index, so every index entry used
-    * is validated against the bytes it points at: the target must carry
-    * a `'00db'` header whose size matches the strf geometry, and the
-    * whole entry list must agree with avih's declared frame count.
-    * Offsets in the wild are EITHER relative to the `'movi'` fourcc or
-    * absolute file offsets (the spec ambiguity every AVI reader ships a
-    * workaround for) — detected once on the first entry by probing both
-    * interpretations, then pinned for the rest of the file.
+    * Trust moves from the walk to the index, so the index itself is
+    * validated: every entry must carry the `'00db'` id, entry offsets
+    * must be STRICTLY INCREASING (a duplicate or reordered index — each
+    * entry individually plausible — would otherwise relabel one frame's
+    * pixels as many), the entry count must equal avih's declared frame
+    * count, and every entry USED must point at a `'00db'` header whose
+    * size matches the strf geometry, inside `movi`. Offsets in the wild
+    * are EITHER relative to the `'movi'` fourcc or absolute file offsets
+    * (the spec ambiguity every AVI reader ships a workaround for) —
+    * detected once on the first entry by probing both interpretations,
+    * then pinned for the rest of the file.
     */
   def decodeIndexed(bytes: Array[Byte], step: Int): VideoStats = {
     require(step >= 1, s"step $step")
-    require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF",
-      "not RIFF: bad magic")
-    val riffSize = getLE(bytes, 4, 4)
-    require(riffSize >= 4 && 8 + riffSize <= bytes.length,
-      "truncated RIFF payload")
-    require(fourcc(bytes, 8) == "AVI ", "RIFF form is not 'AVI '")
-    val end = 8 + riffSize
+    val end = riffAviEnd(bytes)
     var p = 12
     var header: Option[Header] = None
     var moviFourcc = -1 // absolute position of the 'movi' list-type fourcc
@@ -377,11 +393,16 @@ object Avi {
     while (p + 8 <= end) {
       val id = fourcc(bytes, p)
       val size = getLE(bytes, p + 4, 4)
-      require(size >= 0 && p + 8 + size <= end, s"truncated '$id' chunk")
-      if (id == "LIST" && size >= 4) fourcc(bytes, p + 8) match {
-        case "hdrl" => header = Some(parseHdrl(bytes, p + 12, p + 8 + size))
-        case "movi" => moviFourcc = p + 8; moviEnd = p + 8 + size
-        case _ => ()
+      require(size >= 0 && p + 8 + size.toLong <= end,
+        s"truncated '$id' chunk")
+      if (id == "LIST") {
+        require(size >= 4, s"LIST chunk size $size too small")
+        fourcc(bytes, p + 8) match {
+          case "hdrl" =>
+            header = Some(parseHdrl(bytes, p + 12, p + 8 + size))
+          case "movi" => moviFourcc = p + 8; moviEnd = p + 8 + size
+          case _ => ()
+        }
       } else if (id == "idx1") { idx1Off = p + 8; idx1Size = size }
       p += 8 + size + (size & 1)
     }
@@ -394,35 +415,44 @@ object Avi {
     require(nEntries == h.nFrames,
       s"idx1 carries $nEntries entries, avih declares ${h.nFrames}")
     val frameSize = stride(h.width).toLong * h.height
+    // '00db' id check without a String allocation per entry.
+    def isFrameId(at: Int): Boolean =
+      bytes(at) == '0' && bytes(at + 1) == '0' &&
+        bytes(at + 2) == 'd' && bytes(at + 3) == 'b'
     // A frame chunk resolved at `pos` must look like one, wherever the
-    // index pointed: inside movi, '00db' id, strf-consistent size.
-    def validFrameAt(pos: Int): Boolean =
-      pos >= moviFourcc + 4 && pos + 8 <= moviEnd &&
-        fourcc(bytes, pos) == "00db" &&
-        getLE(bytes, pos + 4, 4) == frameSize &&
-        pos + 8 + frameSize <= moviEnd
+    // index pointed: inside movi, '00db' id, strf-consistent size. All
+    // bounds in Long — a crafted offset near Int.MaxValue must fail a
+    // range check here, not wrap and index out of bounds.
+    def validFrameAt(pos: Long): Boolean =
+      pos >= moviFourcc + 4L && pos + 8 + frameSize <= moviEnd &&
+        isFrameId(pos.toInt) && getLE(bytes, pos.toInt + 4, 4) == frameSize
     // Offset-convention probe on entry 0 (movi-relative wins ties: the
     // two interpretations only coincide when moviFourcc == 0, impossible
     // inside a RIFF).
     val off0 = getLE(bytes, idx1Off + 8, 4)
     val relative =
-      if (validFrameAt(moviFourcc + off0)) true
-      else if (validFrameAt(off0)) false
+      if (validFrameAt(moviFourcc.toLong + off0)) true
+      else if (validFrameAt(off0.toLong)) false
       else throw new IllegalArgumentException(
         s"idx1 entry 0 offset $off0 resolves to no frame chunk under " +
           "either the movi-relative or absolute convention")
     val frames = Seq.newBuilder[FrameStats]
+    var lastPos = Long.MinValue
     var i = 0
     while (i < nEntries) {
       val e = idx1Off + 16 * i
-      require(fourcc(bytes, e) == "00db",
+      require(isFrameId(e),
         s"idx1 entry $i id '${fourcc(bytes, e)}' is not a video frame")
+      val off = getLE(bytes, e + 8, 4)
+      val pos = if (relative) moviFourcc.toLong + off else off.toLong
+      require(pos > lastPos,
+        s"idx1 entry $i offset $off not strictly increasing — duplicate " +
+          "or reordered index entries would relabel frames")
+      lastPos = pos
       if (i % step == 0) {
-        val off = getLE(bytes, e + 8, 4)
-        val pos = if (relative) moviFourcc + off else off
         require(validFrameAt(pos),
           s"idx1 entry $i offset $off resolves to no frame chunk")
-        frames += sumFrame(bytes, pos + 8, h, i)
+        frames += sumFrame(bytes, pos.toInt + 8, h, i)
       }
       i += 1
     }

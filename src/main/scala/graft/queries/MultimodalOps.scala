@@ -699,14 +699,16 @@ object MultimodalOps {
                   JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id
                   JOIN okp ON okp.phash = a.phash)
       SELECT doc_a, doc_b, phash,
-             (bit_count(xor(sa.simhash_lo, sb.simhash_lo))
-            + bit_count(xor(sa.simhash_hi, sb.simhash_hi)))::BIGINT
-               AS text_hamming,
-             (bit_count(xor(sa.simhash_lo, sb.simhash_lo))
-            + bit_count(xor(sa.simhash_hi, sb.simhash_hi))) > 3
+             (CASE WHEN sa.doc_id IS NULL OR sb.doc_id IS NULL THEN -1
+                   ELSE bit_count(xor(sa.simhash_lo, sb.simhash_lo))
+                      + bit_count(xor(sa.simhash_hi, sb.simhash_hi))
+              END)::BIGINT AS text_hamming,
+             (sa.doc_id IS NULL OR sb.doc_id IS NULL
+            OR bit_count(xor(sa.simhash_lo, sb.simhash_lo))
+             + bit_count(xor(sa.simhash_hi, sb.simhash_hi)) > 3)
                AS text_missed
-      FROM vp JOIN sig64 sa ON sa.doc_id = vp.doc_a
-              JOIN sig64 sb ON sb.doc_id = vp.doc_b""".stripMargin),
+      FROM vp LEFT JOIN sig64 sa ON sa.doc_id = vp.doc_a
+              LEFT JOIN sig64 sb ON sb.doc_id = vp.doc_b""".stripMargin),
     (spark, dir) => {
       val ph = Q.materialize(
         Multimodal.phashes64(spark, t(spark, dir, "documents"))
@@ -726,11 +728,17 @@ object MultimodalOps {
       val ham =
         bit_count(col("sa.simhash_lo").bitwiseXOR(col("sb.simhash_lo"))) +
           bit_count(col("sa.simhash_hi").bitwiseXOR(col("sb.simhash_hi")))
-      pairs.join(sig.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sig.as("sb"), col("sb.doc_id") === col("doc_b"))
+      // LEFT joins: a doc with no tokens has no simhash row, and a
+      // visual collision involving it is precisely a pair text dedup
+      // CANNOT catch — it must surface as text_missed (hamming -1), not
+      // silently vanish through an inner join.
+      val noSig = col("sa.doc_id").isNull || col("sb.doc_id").isNull
+      pairs.join(sig.as("sa"), col("sa.doc_id") === col("doc_a"), "left")
+        .join(sig.as("sb"), col("sb.doc_id") === col("doc_b"), "left")
         .select(col("doc_a"), col("doc_b"), col("phash"),
-          ham.cast("long").as("text_hamming"),
-          (ham > 3).as("text_missed"))
+          when(noSig, lit(-1L)).otherwise(ham.cast("long"))
+            .as("text_hamming"),
+          (noSig || ham > 3).as("text_missed"))
     })
 
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,

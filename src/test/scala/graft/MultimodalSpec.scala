@@ -514,6 +514,26 @@ class MultimodalSpec extends AnyFunSuite {
     val short = good.clone()
     putLE(short, cc(short, "idx1") + 4, 16 * (expect.nFrames - 1))
     intercept[IllegalArgumentException](Avi.decodeIndexed(short, 1))
+    // A duplicate index entry — individually valid, pointing at frame 0's
+    // chunk again — must reject on the strictly-increasing offset rule,
+    // not silently relabel frame 0's pixels as frame 1.
+    val dup = good.clone()
+    putLE(dup, idx1 + 16 + 8, getLE(good, idx1 + 8))
+    intercept[IllegalArgumentException](Avi.decodeIndexed(dup, 1))
+    // ...even when the duplicated entry itself is never sampled: the
+    // index must be coherent before it is trusted.
+    intercept[IllegalArgumentException](Avi.decodeIndexed(dup, 2))
+    // An oversized u32 offset must hit a loud range reject, not wrap Int
+    // arithmetic into an out-of-bounds read.
+    val huge = good.clone()
+    putLE(huge, idx1 + 8, 0x7ffffffb)
+    intercept[IllegalArgumentException](Avi.decodeIndexed(huge, 1))
+    // A LIST chunk with size < 4 rejects in BOTH decode postures (parity
+    // of the quarantine contract, not just of well-formed decodes).
+    val tinyList = good.clone()
+    putLE(tinyList, cc(tinyList, "LIST") + 4, 3)
+    intercept[IllegalArgumentException](Avi.decodeSampled(tinyList, 1))
+    intercept[IllegalArgumentException](Avi.decodeIndexed(tinyList, 1))
   }
 
   test("videoFramePhashes is deterministic and census-consistent") {
