@@ -378,6 +378,73 @@ object Multimodal {
       }
   }
 
+  /** Decoded-JPEG features from the real baseline decode ([[Jpeg]]):
+    * exact integer sums (the query layer owns the one rounding step) plus
+    * the block count the transform actually processed.
+    */
+  case class JpegFeatures(doc_id: Long, width: Long, height: Long,
+      n_px: Long, sum_gray: Long, top_row_sum: Long, n_blocks: Long)
+
+  /** Deterministic TRANSFORM-CODED image payload: a baseline grayscale
+    * JPEG whose 8×8 blocks are each CONSTANT — block b (row-major in the
+    * block grid) holds the document's byte `b mod len` — encoded with the
+    * unit quantization table. Block-constant + unit quantizer makes the
+    * lossy codec exact (every AC coefficient is exactly 0, the DC is
+    * exactly 8·(v−128); see [[Jpeg]]'s exactness contract), so the DuckDB
+    * closed form verifies the full entropy-decode + IDCT path
+    * bit-for-bit. Docs with `len % 3 == 0` additionally get restart
+    * markers every 2 MCUs, so a third of the corpus exercises RST
+    * resynchronization and DC-predictor resets on every run.
+    */
+  def syntheticJpeg(textBytes: Array[Byte]): Array[Byte] = {
+    val len = textBytes.length
+    require(len > 0, "empty payload")
+    val bw = 1 + (len % 7)
+    val bh = 1 + ((len / 7) % 5)
+    val w = 8 * bw
+    val h = 8 * bh
+    val gray = new Array[Byte](w * h)
+    var b = 0
+    while (b < bw * bh) {
+      val v = textBytes(b % len)
+      val y0 = 8 * (b / bw)
+      val x0 = 8 * (b % bw)
+      var y = 0
+      while (y < 8) {
+        java.util.Arrays.fill(gray, w * (y0 + y) + x0,
+          w * (y0 + y) + x0 + 8, v)
+        y += 1
+      }
+      b += 1
+    }
+    Jpeg.encode(w, h, gray, Jpeg.QuantUnit,
+      restartInterval = if (len % 3 == 0) 2 else 0)
+  }
+
+  /** The transform-codec twin of [[pixelStats]]: synthesize the JPEG
+    * payload, round-trip it through the real marker walk + Huffman
+    * entropy decode + dequantize + IDCT in partition-local batches.
+    * Payload bytes never shuffle; only fixed-width feature rows leave
+    * the scan stage.
+    */
+  def jpegStats(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[JpegFeatures] = {
+    import spark.implicits._
+    asciiPayloadDocs(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            val s = Jpeg.decode(syntheticJpeg(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            JpegFeatures(id, s.width, s.height, s.nPx, s.sumGray,
+              s.topRowSum, s.nBlocks)
+          }
+        }
+      }
+  }
+
   /** Per-frame features from a REAL video-container decode ([[Avi]]):
     * one row per SAMPLED frame, carrying the container-level truth
     * (geometry, declared total frame count) plus the frame's exact

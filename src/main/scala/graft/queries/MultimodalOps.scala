@@ -340,6 +340,53 @@ object MultimodalOps {
         .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
     })
 
+  val jpegStats = Q(
+    "mm_jpeg_stats",
+    "REAL TRANSFORM-CODEC decode — baseline JPEG, the production image " +
+      "format (graft.multimodal.Jpeg, zero dependencies): each " +
+      "document's bytes become an actual JFIF stream — FDCT'd, " +
+      "quantized, differential-DC + run/size-AC Huffman coded with the " +
+      "standard Annex K tables, 0xFF00 byte-stuffed, a third of the " +
+      "corpus carrying RST restart markers — and the decoder walks the " +
+      "marker segments, rebuilds canonical Huffman tables from the DHT " +
+      "wire form, entropy-decodes every block, dequantizes through the " +
+      "zigzag order and runs the separable IDCT. The synthesis is " +
+      "block-constant with a unit quantizer, which makes the lossy " +
+      "codec mathematically exact (AC exactly 0, DC exactly 8*(v-128) " +
+      "— Jpeg.scala's exactness contract), so the closed-form oracle " +
+      "verifies the FULL transform path bit-for-bit: a mis-built " +
+      "Huffman table, a broken EXTEND sign, a zigzag slip or an IDCT " +
+      "scale error each corrupt exact integer sums. General lossy " +
+      "streams and third-party (JDK ImageIO) streams are differential-" +
+      "tested in JpegSpec. ASCII contract as mm_pixel_stats. One scan, " +
+      "zero exchanges; payload bytes never shuffle.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           g AS (SELECT doc_id, text, len,
+                        1 + (len % 7) AS bw, 1 + ((len // 7) % 5) AS bh
+                 FROM d),
+           v AS (SELECT doc_id, bw, bh, b < bw AS top,
+                        ascii(substr(text, (b % len)::INT + 1, 1)) AS val
+                 FROM (SELECT doc_id, text, len, bw, bh,
+                              unnest(range(0, bw*bh)) AS b
+                       FROM g))
+      SELECT doc_id, (8*bw)::BIGINT AS width, (8*bh)::BIGINT AS height,
+             (64*bw*bh)::BIGINT AS n_px, (bw*bh)::BIGINT AS n_blocks,
+             round(sum(val)::DOUBLE / (bw*bh) + 1e-8, 4) AS mean_gray,
+             (8 * sum(CASE WHEN top THEN val ELSE 0 END))::BIGINT
+               AS top_row_sum
+      FROM v GROUP BY doc_id, bw, bh""".stripMargin),
+    (spark, dir) =>
+      Multimodal.jpegStats(spark, t(spark, dir, "documents"))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("n_blocks"),
+          Det.r4e(col("sum_gray").cast("double") / col("n_px")).as("mean_gray"),
+          col("top_row_sum")))
+
   val wavStats = Q(
     "mm_wav_stats",
     "REAL audio decode — the second dependency-free codec (RIFF/WAVE " +
@@ -742,6 +789,6 @@ object MultimodalOps {
     })
 
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
-    pngStats, gifStats, phash, phashHamming, wavStats, audioSpectrum,
-    audioHamming, videoStats, videoPhash, crossModal)
+    pngStats, gifStats, jpegStats, phash, phashHamming, wavStats,
+    audioSpectrum, audioHamming, videoStats, videoPhash, crossModal)
 }

@@ -36,6 +36,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("real-decode queries stay MAP-ONLY (zero exchanges)") {
+    // PLANS.md promises every per-payload codec query is one scan with
+    // zero exchanges — payload bytes never shuffle, only fixed-width
+    // feature rows leave the scan stage. Lock it mechanically: a stray
+    // repartition/groupBy slipped into a decode path fails here.
+    Seq("mm_pixel_stats", "mm_wav_stats", "mm_png_stats", "mm_gif_stats",
+      "mm_jpeg_stats", "mm_video_stats", "mm_audio_spectrum",
+      "mm_decode_stub", "src_warc_ingest").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q: the map-only decode plan grew an exchange:\n$p")
+    }
+  }
+
   test("global windows only ever run over bounded inputs") {
     // Four queries use a single-partition window deliberately — the
     // input is already bounded, so the window moves k rows, never the
