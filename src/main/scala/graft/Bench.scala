@@ -36,8 +36,8 @@ object Bench {
     "pipeline_sample_exact_k", "pipeline_quarantine", "pipeline_upsert",
     "pipeline_bpe_fit", "pipeline_quality_fit", "ta_zipf_fit",
     "pipeline_training_corpus", "mm_decode_stub", "mm_pixel_stats",
-    "mm_png_stats", "mm_gif_stats", "mm_jpeg_stats", "mm_phash",
-    "mm_phash_hamming",
+    "mm_png_stats", "mm_gif_stats", "mm_jpeg_stats", "mm_jpeg_color",
+    "mm_phash", "mm_phash_hamming",
     "mm_wav_stats", "mm_audio_spectrum", "mm_audio_hamming", "mm_video_stats",
     "mm_video_phash", "dedup_cross_modal",
     "graph_pagerank", "graph_triangles", "rsm_submit_replay", "ta_bm25",

@@ -445,6 +445,83 @@ object Multimodal {
       }
   }
 
+  /** Decoded color-JPEG features: exact per-plane sums (Y/Cb/Cr — color
+    * conversion is downstream's choice, [[Jpeg.yccToRgb]]).
+    */
+  case class JpegColorFeatures(doc_id: Long, width: Long, height: Long,
+      n_px: Long, sum_y: Long, sum_cb: Long, sum_cr: Long,
+      top_row_y_sum: Long)
+
+  /** Deterministic COLOR transform-coded payload: a 3-component 4:4:4
+    * baseline JPEG whose per-component 8×8 blocks are each constant —
+    * component `c` of block `b` holds the document's byte `(3b+c) mod
+    * len`, so the three planes differ and a component interleave slip or
+    * swapped DC predictor corrupts the per-plane sums. Unit quantizer →
+    * exact (the [[Jpeg]] contract); docs with `len % 5 == 0` also carry
+    * restart markers every 3 MCUs, exercising the COLOR restart path
+    * (all three predictors reset together).
+    */
+  def syntheticJpegColor(textBytes: Array[Byte]): Array[Byte] = {
+    val len = textBytes.length
+    require(len > 0, "empty payload")
+    val bw = 1 + (len % 6)
+    val bh = 1 + ((len / 6) % 4)
+    val w = 8 * bw
+    val h = 8 * bh
+    val ycc = new Array[Byte](3 * w * h)
+    var b = 0
+    while (b < bw * bh) {
+      val y0 = 8 * (b / bw)
+      val x0 = 8 * (b % bw)
+      var c = 0
+      while (c < 3) {
+        val v = textBytes((3 * b + c) % len)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            ycc(3 * (w * (y0 + y) + x0 + x) + c) = v
+            x += 1
+          }
+          y += 1
+        }
+        c += 1
+      }
+      b += 1
+    }
+    Jpeg.encodeColor(w, h, ycc, Jpeg.QuantUnit,
+      restartInterval = if (len % 5 == 0) 3 else 0)
+  }
+
+  /** The color twin of [[jpegStats]]: synthesize the 4:4:4 payload,
+    * round-trip it through the interleaved-MCU decode in partition-local
+    * batches. Payload bytes never shuffle.
+    */
+  def jpegColorStats(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[JpegColorFeatures] = {
+    import spark.implicits._
+    asciiPayloadDocs(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            val g = Jpeg.decodeYcc(syntheticJpegColor(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            var sy = 0L; var scb = 0L; var scr = 0L; var top = 0L
+            var i = 0
+            while (i < g.y.length) {
+              sy += g.y(i); scb += g.cb(i); scr += g.cr(i)
+              if (i < g.width) top += g.y(i)
+              i += 1
+            }
+            JpegColorFeatures(id, g.width.toLong, g.height.toLong,
+              g.width.toLong * g.height, sy, scb, scr, top)
+          }
+        }
+      }
+  }
+
   /** Per-frame features from a REAL video-container decode ([[Avi]]):
     * one row per SAMPLED frame, carrying the container-level truth
     * (geometry, declared total frame count) plus the frame's exact

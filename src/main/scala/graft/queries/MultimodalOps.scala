@@ -387,6 +387,57 @@ object MultimodalOps {
           Det.r4e(col("sum_gray").cast("double") / col("n_px")).as("mean_gray"),
           col("top_row_sum")))
 
+  val jpegColor = Q(
+    "mm_jpeg_color",
+    "COLOR transform-codec decode — the 3-component face of " +
+      "mm_jpeg_stats: a 4:4:4 baseline JPEG with interleaved MCUs (one " +
+      "block per component per MCU, per-component Huffman/quant table " +
+      "assignments and DC predictors — the wire form real 4:4:4 " +
+      "encoders produce; a fifth of the corpus also carries restart " +
+      "markers, resetting all three predictors together). The decoder " +
+      "returns full-resolution Y/Cb/Cr planes; color conversion is " +
+      "downstream's choice (Jpeg.yccToRgb = BT.601), which keeps the " +
+      "codec exactly invertible for the block-constant unit-quantizer " +
+      "synthesis — so the closed-form oracle verifies per-PLANE exact " +
+      "sums: a component interleave slip, a swapped predictor, or a " +
+      "chroma table mixup each corrupt mean_cb/mean_cr, not epsilons. " +
+      "Subsampled (4:2:0) streams reject loudly — JpegSpec pins that " +
+      "with a real ImageIO-written color file. ASCII contract as " +
+      "mm_pixel_stats. One scan, zero exchanges; payload never shuffles.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           g AS (SELECT doc_id, text, len,
+                        1 + (len % 6) AS bw, 1 + ((len // 6) % 4) AS bh
+                 FROM d),
+           v AS (SELECT doc_id, bw, bh, ch.c, b < bw AS top,
+                        ascii(substr(text, ((3*b + ch.c) % len)::INT + 1, 1))
+                          AS val
+                 FROM (SELECT doc_id, text, len, bw, bh,
+                              unnest(range(0, bw*bh)) AS b
+                       FROM g), (VALUES (0),(1),(2)) ch(c))
+      SELECT doc_id, (8*bw)::BIGINT AS width, (8*bh)::BIGINT AS height,
+             (64*bw*bh)::BIGINT AS n_px,
+             round(sum(CASE WHEN c=0 THEN val END)::DOUBLE / (bw*bh) + 1e-8, 4)
+               AS mean_y,
+             round(sum(CASE WHEN c=1 THEN val END)::DOUBLE / (bw*bh) + 1e-8, 4)
+               AS mean_cb,
+             round(sum(CASE WHEN c=2 THEN val END)::DOUBLE / (bw*bh) + 1e-8, 4)
+               AS mean_cr,
+             (8 * sum(CASE WHEN top AND c=0 THEN val ELSE 0 END))::BIGINT
+               AS top_row_y_sum
+      FROM v GROUP BY doc_id, bw, bh""".stripMargin),
+    (spark, dir) =>
+      Multimodal.jpegColorStats(spark, t(spark, dir, "documents"))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          Det.r4e(col("sum_y").cast("double") / col("n_px")).as("mean_y"),
+          Det.r4e(col("sum_cb").cast("double") / col("n_px")).as("mean_cb"),
+          Det.r4e(col("sum_cr").cast("double") / col("n_px")).as("mean_cr"),
+          col("top_row_y_sum")))
+
   val wavStats = Q(
     "mm_wav_stats",
     "REAL audio decode — the second dependency-free codec (RIFF/WAVE " +
@@ -789,6 +840,6 @@ object MultimodalOps {
     })
 
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
-    pngStats, gifStats, jpegStats, phash, phashHamming, wavStats,
+    pngStats, gifStats, jpegStats, jpegColor, phash, phashHamming, wavStats,
     audioSpectrum, audioHamming, videoStats, videoPhash, crossModal)
 }

@@ -159,6 +159,73 @@ class JpegSpec extends AnyFunSuite {
       s"unit-quantizer error max=${e2.max}")
   }
 
+  test("4:4:4 color: block-constant planes round-trip exactly (and with RSTs)") {
+    val bw = 3; val bh = 2
+    val w = 8 * bw; val h = 8 * bh
+    val vals = Array.tabulate(3 * bw * bh)(i => (i * 41 + 7) % 256)
+    val ycc = new Array[Byte](3 * w * h)
+    for (b <- 0 until bw * bh; c <- 0 until 3; y <- 0 until 8; x <- 0 until 8)
+      ycc(3 * (w * (8 * (b / bw) + y) + 8 * (b % bw) + x) + c) =
+        vals(3 * b + c).toByte
+    for (rst <- Seq(0, 2)) {
+      val bytes = Jpeg.encodeColor(w, h, ycc, Jpeg.QuantUnit, rst)
+      val g = Jpeg.decodeYcc(bytes)
+      assert(g.width == w && g.height == h)
+      for (b <- 0 until bw * bh; y <- 0 until 8; x <- 0 until 8) {
+        val i = w * (8 * (b / bw) + y) + 8 * (b % bw) + x
+        assert(g.y(i) == vals(3 * b) && g.cb(i) == vals(3 * b + 1) &&
+          g.cr(i) == vals(3 * b + 2), s"rst=$rst block $b px ($x,$y)")
+      }
+    }
+  }
+
+  test("ImageIO decodes this encoder's 4:4:4 color stream (BT.601 within 2)") {
+    val r = rng(11)
+    val w = 32; val h = 24
+    val ycc = Array.tabulate(3 * w * h) { _ => (40 + r.nextInt(176)).toByte }
+    // Block-constant per plane so the codec itself is exact and the only
+    // disagreement left is the two readers' color-conversion rounding.
+    val cst = new Array[Byte](3 * w * h)
+    for (by <- 0 until h / 8; bx <- 0 until w / 8; c <- 0 until 3) {
+      val v = ycc(3 * (8 * by * w + 8 * bx) + c)
+      for (y <- 0 until 8; x <- 0 until 8)
+        cst(3 * (w * (8 * by + y) + 8 * bx + x) + c) = v
+    }
+    val bytes = Jpeg.encodeColor(w, h, cst)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    val mine = Jpeg.decodeYcc(bytes)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val (mr, mg, mb) = Jpeg.yccToRgb(mine.y(w * y + x), mine.cb(w * y + x),
+        mine.cr(w * y + x))
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xff) - mr))
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 8) & 0xff) - mg))
+      maxDiff = math.max(maxDiff, math.abs((rgb & 0xff) - mb))
+    }
+    assert(maxDiff <= 2, s"color conversion disagreement $maxDiff > 2")
+  }
+
+  test("synthetic color payloads decode to the closed form") {
+    for (text <- Seq("a", "colorful", "y" * 20, "qwerty" * 9)) { // 20 hits RST
+      val tb = text.getBytes("US-ASCII")
+      val g = Jpeg.decodeYcc(Multimodal.syntheticJpegColor(tb))
+      val bw = 1 + (tb.length % 6)
+      val bh = 1 + ((tb.length / 6) % 4)
+      assert(g.width == 8 * bw && g.height == 8 * bh)
+      def planted(b: Int, c: Int) = tb((3 * b + c) % tb.length) & 0xff
+      var sy = 0L; var scb = 0L; var scr = 0L
+      for (b <- 0 until bw * bh) {
+        sy += 64L * planted(b, 0); scb += 64L * planted(b, 1)
+        scr += 64L * planted(b, 2)
+      }
+      assert(g.y.map(_.toLong).sum == sy, s"'$text' Y plane")
+      assert(g.cb.map(_.toLong).sum == scb, s"'$text' Cb plane")
+      assert(g.cr.map(_.toLong).sum == scr, s"'$text' Cr plane")
+    }
+  }
+
   test("synthetic corpus payloads decode to the closed form") {
     for (text <- Seq("a", "hello world", "x" * 21, "the quick brown fox",
         "abcdef" * 13)) { // 21 and 78 hit the restart-marker branch
@@ -200,13 +267,14 @@ class JpegSpec extends AnyFunSuite {
       (badQ(i) & 0xff) == 0xff && (badQ(i + 1) & 0xff) == 0xdb).get
     badQ(dqtAt + 5) = 0x00.toByte
     rejects(badQ, "zero quantizer")
-    // A 3-component stream (real ImageIO color JPEG) must reject, not
-    // decode wrong: the grayscale-only boundary is loud.
+    // A SUBSAMPLED color stream (ImageIO writes RGB as 4:2:0) must reject
+    // loudly, not decode wrong: only 4:4:4 MCU geometry is implemented.
     val img = new java.awt.image.BufferedImage(16, 16,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val bos = new java.io.ByteArrayOutputStream
     javax.imageio.ImageIO.write(img, "jpg", bos)
-    rejects(bos.toByteArray, "color stream")
+    rejects(bos.toByteArray, "subsampled color stream")
+    assertThrows[IllegalArgumentException](Jpeg.decodeYcc(bos.toByteArray))
   }
 
   test("restart-marker resynchronization rejects out-of-order RSTs") {

@@ -42,8 +42,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // feature rows leave the scan stage. Lock it mechanically: a stray
     // repartition/groupBy slipped into a decode path fails here.
     Seq("mm_pixel_stats", "mm_wav_stats", "mm_png_stats", "mm_gif_stats",
-      "mm_jpeg_stats", "mm_video_stats", "mm_audio_spectrum",
-      "mm_decode_stub", "src_warc_ingest").foreach { q =>
+      "mm_jpeg_stats", "mm_jpeg_color", "mm_video_stats",
+      "mm_audio_spectrum", "mm_decode_stub", "src_warc_ingest").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q: the map-only decode plan grew an exchange:\n$p")
