@@ -550,6 +550,80 @@ object CorpusOps {
           col("http_status"), col("body_bytes"), col("body_byte_sum"))
     })
 
+  val urlFilter = Q(
+    "src_url_filter",
+    "URL/DOMAIN FILTERING — the provenance gate every published web " +
+      "pipeline runs right after ingest (Gopher/RefinedWeb blocklists, " +
+      "C4's domain rules): each capture's URL is parsed with Spark's " +
+      "codegen parse_url (HOST + PATH), the registered domain and TLD " +
+      "are derived, path depth counted, and the doc is flagged against " +
+      "a DOMAIN BLOCKLIST via a broadcast LEFT join — the production " +
+      "shape: real blocklists are millions of rows, far beyond an IN " +
+      "literal but trivially broadcast-sized next to a 100 TB corpus, " +
+      "so the corpus never shuffles (its only exchange is the " +
+      "blocklist's BroadcastExchange) — plus a TLD policy rule. URLs " +
+      "are synthesized deterministically from doc attributes (the " +
+      "corpus carries no URL column; at production the WARC " +
+      "request record of src_warc_ingest supplies WARC-Target-URI). " +
+      "The oracle re-derives host/domain/TLD/depth with independent " +
+      "regex machinery and the blocklist as a VALUES anti-set — a " +
+      "parse_url quirk, a substring_index off-by-one, or a join-type " +
+      "slip (inner would DROP unblocked docs) shows up as row or " +
+      "value drift.",
+    Some("""
+      WITH u AS (SELECT doc_id,
+                        'https://h' || (doc_id % 50) || '.example' ||
+                        (doc_id % 7) || '.' ||
+                        ['com','org','net','io','edu'][(doc_id % 5)::INT + 1] ||
+                        '/' || repeat('p/', (doc_id % 4)::INT) ||
+                        'page' || (n_chars % 10) AS url
+                 FROM documents),
+           p AS (SELECT doc_id, url,
+                        regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                        regexp_extract(url, '^https://[^/]+(/.*)$', 1) AS path
+                 FROM u),
+           d AS (SELECT doc_id, host,
+                        regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS domain,
+                        regexp_extract(host, '([^.]+)$', 1) AS tld,
+                        len(list_filter(string_split(path, '/'),
+                                        x -> x <> ''))::BIGINT AS path_depth
+                 FROM p)
+      SELECT doc_id, host, domain, tld, path_depth,
+             (domain IN ('example1.com', 'example2.org', 'example4.io',
+                         'example6.net') OR tld = 'io') AS blocked
+      FROM d""".stripMargin),
+    (spark, dir) => {
+      val tlds = array(Seq("com", "org", "net", "io", "edu").map(lit): _*)
+      val u = t(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          concat(lit("https://h"), col("doc_id") % 50,
+            lit(".example"), col("doc_id") % 7, lit("."),
+            element_at(tlds, (col("doc_id") % 5).cast("int") + 1),
+            lit("/"),
+            expr("repeat('p/', cast(doc_id % 4 as int))"),
+            lit("page"), col("n_chars") % 10).as("url"))
+      val p = u.select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"))
+      val d = p.select(col("doc_id"), col("host"),
+        substring_index(col("host"), ".", -2).as("domain"),
+        substring_index(col("host"), ".", -1).as("tld"),
+        size(filter(split(col("path"), "/"), x => x =!= ""))
+          .cast("long").as("path_depth"))
+      // The domain blocklist: broadcast LEFT join — at production scale
+      // this is the multi-million-row list a literal IN cannot hold, and
+      // broadcast keeps the corpus side shuffle-free.
+      val blocklist = spark.createDataFrame(
+        Seq(Tuple1("example1.com"), Tuple1("example2.org"),
+          Tuple1("example4.io"), Tuple1("example6.net"))).toDF("domain")
+        .withColumn("hit", lit(true))
+      d.join(broadcast(blocklist), Seq("domain"), "left")
+        .select(col("doc_id"), col("host"), col("domain"), col("tld"),
+          col("path_depth"),
+          (coalesce(col("hit"), lit(false)) || col("tld") === "io")
+            .as("blocked"))
+    })
+
   val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup,
-    bloomIncremental, upsert, cmsTopk, warcIngest)
+    bloomIncremental, upsert, cmsTopk, warcIngest, urlFilter)
 }

@@ -401,8 +401,10 @@ object MultimodalOps {
       "synthesis — so the closed-form oracle verifies per-PLANE exact " +
       "sums: a component interleave slip, a swapped predictor, or a " +
       "chroma table mixup each corrupt mean_cb/mean_cr, not epsilons. " +
-      "Subsampled (4:2:0) streams reject loudly — JpegSpec pins that " +
-      "with a real ImageIO-written color file. ASCII contract as " +
+      "The decoder also handles the chroma-subsampled 4:2:0/4:2:2 " +
+      "geometries real encoders default to (4-luma+Cb+Cr MCUs, native-" +
+      "resolution chroma, box upsampling) — JpegSpec pins that against " +
+      "a REAL ImageIO-written 4:2:0 color file. ASCII contract as " +
       "mm_pixel_stats. One scan, zero exchanges; payload never shuffles.",
     Some("""
       WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len

@@ -207,6 +207,77 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"color conversion disagreement $maxDiff > 2")
   }
 
+  test("4:2:0: own-encoder streams decode exactly on constant-chroma content") {
+    // Y varies per 16x16-aligned region, Cb/Cr are globally constant: the
+    // 2x2 chroma downsample is lossless, every block (luma AND chroma) is
+    // constant, so the subsampled round-trip must be EXACT — and ImageIO's
+    // interpolating upsampler agrees with the box upsampler on constant
+    // planes, so its read must match within color-conversion rounding.
+    val w = 48; val h = 32
+    val yv = Array.tabulate((w / 16) * (h / 16))(i => (30 + i * 37) % 256)
+    val ycc = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      ycc(3 * (w * y + x)) = yv((w / 16) * (y / 16) + x / 16).toByte
+      ycc(3 * (w * y + x) + 1) = 90.toByte
+      ycc(3 * (w * y + x) + 2) = 170.toByte
+    }
+    val bytes = Jpeg.encodeColor420(w, h, ycc)
+    val g = Jpeg.decodeYcc(bytes)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = w * y + x
+      assert(g.y(i) == (ycc(3 * i) & 0xff), s"Y at ($x,$y)")
+      assert(g.cb(i) == 90 && g.cr(i) == 170, s"chroma at ($x,$y)")
+    }
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val (mr, mg, mb) = Jpeg.yccToRgb(g.y(w * y + x), 90, 170)
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xff) - mr)
+        .max(math.abs(((rgb >> 8) & 0xff) - mg))
+        .max(math.abs((rgb & 0xff) - mb)))
+    }
+    assert(maxDiff <= 2, s"ImageIO disagreement $maxDiff on 4:2:0 stream")
+  }
+
+  test("REAL ImageIO-written 4:2:0 color file decodes within tolerance") {
+    // Gray-valued 16x16 patches: R=G=B means Cb=Cr=128 globally, so the
+    // two readers' different chroma upsamplers see only constant planes
+    // and the comparison isolates THIS decoder's subsampled MCU walk.
+    val w = 64; val h = 48
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (25 + 41 * ((w / 16) * (y / 16) + x / 16)) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    // Prove the file really is subsampled (SOF0 luma factor 0x22), so
+    // this leg can't silently degrade to the 4:4:4 path.
+    val sof = bytes.indices.find(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0).get
+    assert((bytes(sof + 11) & 0xff) == 0x22, "ImageIO stream is not 4:2:0")
+    val mine = Jpeg.decodeYcc(bytes)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = back.getRGB(x, y)
+      val (mr, mg, mb) = Jpeg.yccToRgb(mine.y(w * y + x),
+        mine.cb(w * y + x), mine.cr(w * y + x))
+      val d = math.abs(((rgb >> 16) & 0xff) - mr)
+        .max(math.abs(((rgb >> 8) & 0xff) - mg))
+        .max(math.abs((rgb & 0xff) - mb))
+      maxDiff = math.max(maxDiff, d)
+      sumDiff += d
+    }
+    assert(maxDiff <= 2, s"real 4:2:0 file disagreement $maxDiff > 2")
+    assert(sumDiff.toDouble / (w * h) <= 0.5, "mean disagreement too high")
+  }
+
   test("synthetic color payloads decode to the closed form") {
     for (text <- Seq("a", "colorful", "y" * 20, "qwerty" * 9)) { // 20 hits RST
       val tb = text.getBytes("US-ASCII")
@@ -267,14 +338,13 @@ class JpegSpec extends AnyFunSuite {
       (badQ(i) & 0xff) == 0xff && (badQ(i + 1) & 0xff) == 0xdb).get
     badQ(dqtAt + 5) = 0x00.toByte
     rejects(badQ, "zero quantizer")
-    // A SUBSAMPLED color stream (ImageIO writes RGB as 4:2:0) must reject
-    // loudly, not decode wrong: only 4:4:4 MCU geometry is implemented.
+    // Grayscale API on a color stream (and vice versa) rejects.
     val img = new java.awt.image.BufferedImage(16, 16,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val bos = new java.io.ByteArrayOutputStream
     javax.imageio.ImageIO.write(img, "jpg", bos)
-    rejects(bos.toByteArray, "subsampled color stream")
-    assertThrows[IllegalArgumentException](Jpeg.decodeYcc(bos.toByteArray))
+    rejects(bos.toByteArray, "color stream through the grayscale API")
+    assertThrows[IllegalArgumentException](Jpeg.decodeYcc(good))
   }
 
   test("restart-marker resynchronization rejects out-of-order RSTs") {
