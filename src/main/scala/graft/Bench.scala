@@ -41,7 +41,7 @@ object Bench {
     "mm_wav_stats", "mm_audio_spectrum", "mm_audio_hamming", "mm_video_stats",
     "mm_video_phash", "dedup_cross_modal",
     "graph_pagerank", "graph_triangles", "rsm_submit_replay", "ta_bm25",
-    "src_warc_ingest", "src_url_filter")
+    "src_warc_ingest", "src_url_filter", "src_webdataset_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -624,6 +624,71 @@ object CorpusOps {
             .as("blocked"))
     })
 
+  /** Decoded WebDataset-shard features ([[graft.sources.Tar]]). */
+  private case class WdsFeatures(doc_id: Long, sample_key: String,
+      n_files: Long, txt_bytes: Long, txt_byte_sum: Long, meta_bytes: Long)
+
+  val webdatasetIngest = Q(
+    "src_webdataset_ingest",
+    "WEBDATASET SHARD INGEST — the tar-of-samples convention multimodal " +
+      "training data actually ships in (shards are .tar.gz archives " +
+      "whose member files group into samples by name stem: key.txt + " +
+      "key.json + key.jpg): each document's bytes become a real ustar " +
+      "archive ({doc}.txt body + {doc}.json metadata) wrapped as a gzip " +
+      "member, and graft.sources.Tar walks it all the way down — gzip " +
+      "member decode with CRC32/ISIZE verification (the Warc machinery), " +
+      "512-byte ustar headers with OCTAL size fields, 'ustar' magic, " +
+      "HEADER CHECKSUM validation (checksum bytes read as spaces — a " +
+      "flipped header byte rejects loudly instead of mis-sizing every " +
+      "later entry), 512-padded data runs, the two-zero-block trailer, " +
+      "then sample grouping by stem. The oracle verifies the body " +
+      "survives tar+gzip byte-for-byte (exact byte sum) and pins the " +
+      "metadata entry's exact serialized length; the structural columns " +
+      "pin the entry walk. ASCII contract as mm_pixel_stats. One scan, " +
+      "zero exchanges; shard bytes never shuffle — each executor walks " +
+      "its own shards, exactly how WebDataset readers scale.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, lang, n_chars,
+                        octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           s AS (SELECT doc_id, sum(ascii(substr(text, (i + 1)::INT, 1)))
+                          ::BIGINT AS bsum
+                 FROM (SELECT doc_id, text, unnest(range(0, len)) AS i
+                       FROM d)
+                 GROUP BY doc_id)
+      SELECT d.doc_id, 'doc' || d.doc_id AS sample_key, 2::BIGINT AS n_files,
+             len::BIGINT AS txt_bytes, s.bsum AS txt_byte_sum,
+             (22 + length(lang) + length(n_chars::VARCHAR))::BIGINT
+               AS meta_bytes
+      FROM d JOIN s ON s.doc_id = d.doc_id""".stripMargin),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .filter(length(col("text")) > 0 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .as[(Long, String, String, Long)]
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            batch.map { case (id, text, lang, nChars) =>
+              val ascii = java.nio.charset.StandardCharsets.US_ASCII
+              val shard = graft.sources.Tar.encodeSampleShard(s"doc$id",
+                text.getBytes(ascii),
+                s"""{"lang":"$lang","n_chars":$nChars}""".getBytes(ascii))
+              val smp = graft.sources.Tar.decodeSampleShard(shard)
+              WdsFeatures(id, smp.key, smp.nFiles.toLong, smp.txtBytes,
+                smp.txtByteSum, smp.metaBytes)
+            }
+          }
+        }
+        .toDF()
+        .select(col("doc_id"), col("sample_key"), col("n_files"),
+          col("txt_bytes"), col("txt_byte_sum"), col("meta_bytes"))
+    })
+
   val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup,
-    bloomIncremental, upsert, cmsTopk, warcIngest, urlFilter)
+    bloomIncremental, upsert, cmsTopk, warcIngest, urlFilter,
+    webdatasetIngest)
 }

@@ -43,7 +43,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // repartition/groupBy slipped into a decode path fails here.
     Seq("mm_pixel_stats", "mm_wav_stats", "mm_png_stats", "mm_gif_stats",
       "mm_jpeg_stats", "mm_jpeg_color", "mm_video_stats",
-      "mm_audio_spectrum", "mm_decode_stub", "src_warc_ingest").foreach { q =>
+      "mm_audio_spectrum", "mm_decode_stub", "src_warc_ingest",
+      "src_webdataset_ingest").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q: the map-only decode plan grew an exchange:\n$p")
