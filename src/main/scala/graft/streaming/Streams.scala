@@ -692,4 +692,79 @@ object Streams {
         col("jaccard"))
       .as[VerifiedDupPair]
   }
+
+  /** One WebDataset shard entry observed by a streaming shard scanner:
+    * sample stem, part suffix ("txt"/"json"), observation time, size.
+    */
+  case class ShardEntry(sample_key: String, part: String, ts: Timestamp,
+      n_bytes: Long)
+
+  /** An assembled (or abandoned) sample: `complete` marks whether both
+    * required parts arrived before the orphan TTL; incomplete rows carry
+    * the missing part list and -1 for absent sizes — the DLQ face.
+    */
+  case class AssembledSample(sample_key: String, complete: Boolean,
+      n_parts: Long, txt_bytes: Long, meta_bytes: Long, missing: String)
+
+  /** Streaming SAMPLE ASSEMBLY — the stateful face of
+    * `src_webdataset_ingest`: parallel shard scanners emit tar entries as
+    * they walk, so a sample's `.txt` and `.json` arrive in ANY order,
+    * possibly in different micro-batches (and retransmits duplicate
+    * them). One GroupState cell per sample stem accumulates the parts
+    * seen (first occurrence of a part wins — re-deliveries are ignored,
+    * so the emitted row is ARRIVAL-ORDER INDEPENDENT); the moment both
+    * required parts are present the assembled sample emits and the state
+    * drops. Orphans (a part never arrives) are evicted by the
+    * watermark-driven event-time TTL as an explicit `complete=false` row
+    * naming the missing part — the quarantine lane, never a silent drop.
+    * State is one small map per LIVE (incomplete) sample only — completed
+    * stems free their state immediately, so state size tracks the
+    * in-flight frontier, not the corpus. Idempotent-sink contract as
+    * upsertStream: a full re-delivery of an already-completed sample
+    * would re-assemble it, and the sink keyed by sample_key absorbs it.
+    */
+  def sampleAssemblyStream(spark: SparkSession, entries: Dataset[ShardEntry],
+      orphanTtlSeconds: Long = 3600,
+      watermarkDelay: String = "1 hour"): Dataset[AssembledSample] = {
+    import spark.implicits._
+    val required = Seq("txt", "json")
+    entries.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .as[ShardEntry]
+      .groupByKey(_.sample_key)
+      .flatMapGroupsWithState[Map[String, Long], AssembledSample](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[ShardEntry],
+            state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val parts = state.getOption.getOrElse(Map.empty[String, Long])
+            state.remove()
+            Iterator.single(AssembledSample(key, complete = false,
+              parts.size.toLong, parts.getOrElse("txt", -1L),
+              parts.getOrElse("json", -1L),
+              required.filterNot(parts.contains).mkString(",")))
+          } else {
+            var parts = state.getOption.getOrElse(Map.empty[String, Long])
+            val rows = it.toSeq
+            // Deterministic within a batch regardless of iterator order:
+            // the part sizes are a function of the part, and first-wins
+            // over an already-seen part changes nothing.
+            rows.foreach { e =>
+              if (!parts.contains(e.part)) parts += e.part -> e.n_bytes
+            }
+            if (required.forall(parts.contains)) {
+              state.remove()
+              Iterator.single(AssembledSample(key, complete = true,
+                parts.size.toLong, parts("txt"), parts("json"), ""))
+            } else {
+              state.update(parts)
+              val maxTsMs = rows.map(r => micros(r.ts) / 1000L).max
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1000,
+                maxTsMs + orphanTtlSeconds * 1000))
+              Iterator.empty
+            }
+          }
+      }
+  }
 }
