@@ -153,7 +153,14 @@ object StreamBench {
         val client = i % 500
         val seq = i / 500
         RsmKvLogRow(client % 64, i, client, seq, s"k$client", s"v$seq", seq)
-      }, mode = "update")(in => RsmStream.pipeline(spark, in.toDS()).toDF()))
+      }, mode = "update")(in => RsmStream.pipeline(spark, in.toDS()).toDF()),
+      // WebDataset assembly: the two parts of sample i arrive as rows 2i
+      // and 2i+1, so completed stems FREE their state within the batch —
+      // steady state tracks the in-flight frontier, not the corpus.
+      run[Streams.ShardEntry]("sample_assembly", { i =>
+        Streams.ShardEntry(s"s${i / 2}", if (i % 2 == 0) "txt" else "json",
+          ts(i), 100 + i % 400)
+      })(in => Streams.sampleAssemblyStream(spark, in.toDS()).toDF()))
 
     val qs = results.map { r =>
       val rps = if (r.secs > 0) r.rows / r.secs else 0.0
