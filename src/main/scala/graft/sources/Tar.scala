@@ -138,15 +138,27 @@ object Tar {
         var nameLen = 0
         while (nameLen < 100 && bytes(pos + nameLen) != 0) nameLen += 1
         require(nameLen > 0, "empty entry name")
-        val name = new String(bytes, pos, nameLen, US_ASCII)
+        // POSIX prefix field (offset 345): long paths split as
+        // prefix "/" name — silently ignoring it would TRUNCATE names.
+        var prefLen = 0
+        while (prefLen < 155 && bytes(pos + 345 + prefLen) != 0) prefLen += 1
+        val tail = new String(bytes, pos, nameLen, US_ASCII)
+        val name = if (prefLen == 0) tail
+          else new String(bytes, pos + 345, prefLen, US_ASCII) + "/" + tail
         val size = getOctal(bytes, pos + 124, 12)
         require(size <= Int.MaxValue - 64, s"entry too large: $size")
         val tf = bytes(pos + 156)
-        require(tf == '0' || tf == 0, s"unsupported typeflag '${tf.toChar}'")
+        // Regular files decode; directories are structural noise in real
+        // tars and are SKIPPED; anything else (links, devices, GNU
+        // longname extensions) rejects loudly rather than silently
+        // mis-reading the stream.
+        require(tf == '0' || tf == 0 || tf == '5',
+          s"unsupported typeflag '${tf.toChar}'")
         val dataOff = pos + BlockSize
         require(dataOff + size <= bytes.length, "truncated entry data")
-        out += Entry(name, java.util.Arrays.copyOfRange(bytes, dataOff,
-          dataOff + size.toInt))
+        if (tf != '5')
+          out += Entry(name, java.util.Arrays.copyOfRange(bytes, dataOff,
+            dataOff + size.toInt))
         val padded = (size + BlockSize - 1) / BlockSize * BlockSize
         pos = dataOff + padded.toInt
       }

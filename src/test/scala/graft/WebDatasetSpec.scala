@@ -63,6 +63,27 @@ class WebDatasetSpec extends AnyFunSuite {
     assert(entries.find(_.name == "y.bin").get.data.length == 600)
   }
 
+  test("GNU-tar long paths (prefix field) and directory entries decode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tar3")
+    // A path over 100 chars forces GNU tar's ustar writer to split it
+    // across prefix + name; a naive reader that ignores the prefix field
+    // silently truncates the path.
+    val deep = "d" * 60 + "/" + "e" * 60
+    java.nio.file.Files.createDirectories(dir.resolve(deep))
+    java.nio.file.Files.write(dir.resolve(deep).resolve("leaf.txt"),
+      ascii("deep content"))
+    import scala.sys.process._
+    val f = dir.resolve("deep.tar")
+    // Archive the directory recursively: the tar also carries DIRECTORY
+    // entries (typeflag 5), which must be skipped, not decoded or fatal.
+    assert(Seq("tar", "--format=ustar", "-cf", f.toString,
+      "-C", dir.toString, deep.split("/")(0)).! == 0)
+    val entries = Tar.decode(java.nio.file.Files.readAllBytes(f))
+    assert(entries.map(_.name) == Seq(s"$deep/leaf.txt"),
+      "prefix-joined long path expected")
+    assert(entries.head.data.toSeq == ascii("deep content").toSeq)
+  }
+
   test("corruption rejects loudly: checksum, magic, octal, truncation") {
     val good = Tar.encode(Seq("f.txt" -> ascii("data under test")))
     def rejects(bytes: Array[Byte]): Unit =
@@ -76,8 +97,9 @@ class WebDatasetSpec extends AnyFunSuite {
     val c3 = good.clone(); c3(124) = '9'.toByte; rejects(c3)
     rejects(good.dropRight(600)) // missing terminator blocks
     rejects(good.take(100)) // truncated header
-    // A directory typeflag is not a regular file: loud, not skipped.
-    val c4 = good.clone(); c4(156) = '5'.toByte
+    // A symlink typeflag is neither a file (decoded) nor a directory
+    // (skipped): loud reject, never a silent mis-read.
+    val c4 = good.clone(); c4(156) = '2'.toByte
     // re-fix checksum so ONLY the typeflag rule fires
     val sum = (0 until 512).map(i =>
       if (i >= 148 && i < 156) ' '.toInt else c4(i) & 0xff).sum
