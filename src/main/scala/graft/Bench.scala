@@ -22,6 +22,7 @@ object Bench {
     "ta_rolling_hash",
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_lsh_verified",
     "dedup_components", "dedup_simhash", "dedup_simhash_hamming",
+    "dedup_url_canonical",
     "sim_topk_bruteforce", "sim_kmeans_assign", "sim_kmeans_iter2",
     "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_pq_encode",
     "sim_topk_pq_adc", "sim_topk_ivfpq", "dedup_semantic", "dedup_embedding_cosine",
@@ -30,7 +31,8 @@ object Bench {
     "q_hll_portable", "q_hll_merge", "q_quantile_sketch", "q_quantile_merge",
     "q_full_outer_recon", "q_events_interval_join", "q_retention_cohorts",
     "q_events_gapfill", "q_large_orders_having",
-    "dedup_bloom_incremental", "ta_unigram_logprob", "sim_dim_stats",
+    "dedup_bloom_incremental", "ta_unigram_logprob", "ta_bigram_logprob",
+    "sim_dim_stats",
     "sim_power_iteration", "pipeline_corpus_clean", "pipeline_token_budget",
     "pipeline_modal_curation", "pipeline_dataset_card",
     "pipeline_sample_exact_k", "pipeline_quarantine", "pipeline_upsert",
@@ -41,7 +43,8 @@ object Bench {
     "mm_wav_stats", "mm_audio_spectrum", "mm_audio_hamming", "mm_video_stats",
     "mm_video_phash", "dedup_cross_modal",
     "graph_pagerank", "graph_triangles", "rsm_submit_replay", "ta_bm25",
-    "src_warc_ingest", "src_url_filter", "src_webdataset_ingest")
+    "src_warc_ingest", "src_url_filter", "src_webdataset_ingest",
+    "src_zip_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -688,7 +688,74 @@ object CorpusOps {
           col("txt_bytes"), col("txt_byte_sum"), col("meta_bytes"))
     })
 
+  /** Decoded zip-archive features ([[graft.sources.Zip]]). */
+  private case class ZipFeatures(doc_id: Long, sample_key: String,
+      n_files: Long, txt_bytes: Long, txt_byte_sum: Long, meta_bytes: Long)
+
+  val zipIngest = Q(
+    "src_zip_ingest",
+    "ZIP ARCHIVE INGEST — the third real archive family (after WARC/gzip " +
+      "and WebDataset/ustar), and the one public datasets are most often " +
+      "DISTRIBUTED in (Kaggle exports, HF dataset zips): each document " +
+      "becomes a real PKZIP archive ({doc}.txt DEFLATED + {doc}.json " +
+      "STORED — both methods in every archive), and graft.sources.Zip " +
+      "walks it the way ZIP is meant to be read: END-anchored — EOCD " +
+      "backward signature scan with the comment-length consistency check " +
+      "(a payload byte pattern cannot hijack the parse), central " +
+      "directory walk with count/size cross-checks against the EOCD " +
+      "totals, per-member LOCAL-header re-validation (signature + name " +
+      "must match the central record — a desynced offset rejects instead " +
+      "of decoding garbage), raw-Inflater deflate decode, CRC32 + " +
+      "uncompressed-size verification per member. The central-directory-" +
+      "first read is also the 100 TB story: an executor inventories a " +
+      "shard from its tail and fetches only wanted members. The oracle " +
+      "verifies the body survives deflate+zip byte-for-byte (exact byte " +
+      "sum) and pins the metadata entry's serialized length; ZipSpec " +
+      "differentials run both ways against the JDK's independent " +
+      "java.util.zip coder. ASCII contract as mm_pixel_stats. One scan, " +
+      "zero exchanges; archive bytes never shuffle.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, lang, n_chars,
+                        octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           s AS (SELECT doc_id, sum(ascii(substr(text, (i + 1)::INT, 1)))
+                          ::BIGINT AS bsum
+                 FROM (SELECT doc_id, text, unnest(range(0, len)) AS i
+                       FROM d)
+                 GROUP BY doc_id)
+      SELECT d.doc_id, 'doc' || d.doc_id AS sample_key, 2::BIGINT AS n_files,
+             len::BIGINT AS txt_bytes, s.bsum AS txt_byte_sum,
+             (22 + length(lang) + length(n_chars::VARCHAR))::BIGINT
+               AS meta_bytes
+      FROM d JOIN s ON s.doc_id = d.doc_id""".stripMargin),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .filter(length(col("text")) > 0 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .as[(Long, String, String, Long)]
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            batch.map { case (id, text, lang, nChars) =>
+              val ascii = java.nio.charset.StandardCharsets.US_ASCII
+              val shard = graft.sources.Zip.encodeSampleZip(s"doc$id",
+                text.getBytes(ascii),
+                s"""{"lang":"$lang","n_chars":$nChars}""".getBytes(ascii))
+              val smp = graft.sources.Zip.decodeSampleZip(shard)
+              ZipFeatures(id, smp.key, smp.nFiles.toLong, smp.txtBytes,
+                smp.txtByteSum, smp.metaBytes)
+            }
+          }
+        }
+        .toDF()
+        .select(col("doc_id"), col("sample_key"), col("n_files"),
+          col("txt_bytes"), col("txt_byte_sum"), col("meta_bytes"))
+    })
+
   val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup,
     bloomIncremental, upsert, cmsTopk, warcIngest, urlFilter,
-    webdatasetIngest)
+    webdatasetIngest, zipIngest)
 }

@@ -693,6 +693,115 @@ object Dedup {
             .as("prefix_dist"))
     })
 
+  val urlCanonical = Q(
+    "dedup_url_canonical",
+    "URL-CANONICALIZATION DEDUP — the FIRST dedup stage of published web " +
+      "pipelines (RefinedWeb/CCNet run it before any content hashing, " +
+      "because a crawler revisits the same page under cosmetically " +
+      "different URLs): scheme/host case, an explicit :443 default port, " +
+      "a trailing slash, '/./' dot-segments, #fragments, and utm_* " +
+      "tracking parameters all name ONE page. Each doc's URL is " +
+      "synthesized with a doc-dependent noise VARIANT (the corpus " +
+      "carries no URL column — src_url_filter's convention; at " +
+      "production WARC-Target-URI supplies it), canonicalized by pure " +
+      "string/regex normalization — lowercase scheme+host, strip :443, " +
+      "drop fragment, collapse '/./', delete utm_* params and any " +
+      "dangling '?'/'&', strip the trailing slash — and docs collapse " +
+      "by canonical URL. The output CARRIES the canonical string, so " +
+      "the oracle (independent RE2 machinery in DuckDB vs Java regex " +
+      "here) catches a normalization bug as value drift, not just a " +
+      "grouping bug. Scale: one projection + one hash aggregation by " +
+      "canon key — exactly dedup_exact's shuffle shape; the regex " +
+      "chain is per-row codegen'd string work. keep_doc = min doc_id, " +
+      "the keep-one convention of the exact dedup family.",
+    Some("""
+      WITH u AS (SELECT doc_id,
+                        doc_id % 100 AS pid,
+                        (doc_id % 100) % 20 AS h,
+                        doc_id % 6 AS v
+                 FROM documents),
+           raw AS (SELECT doc_id,
+                     CASE v
+                       WHEN 0 THEN 'https://Host' || h || '.Example.com/articles/' || pid
+                       WHEN 1 THEN 'HTTPS://host' || h || '.example.com/articles/' || pid || '/'
+                       WHEN 2 THEN 'https://host' || h || '.example.com:443/articles/' || pid || '?utm_source=feed'
+                       WHEN 3 THEN 'https://host' || h || '.example.com/articles/' || pid || '#section-2'
+                       WHEN 4 THEN 'https://host' || h || '.example.com/articles/' || pid || '?utm_campaign=x&utm_medium=y'
+                       ELSE 'https://host' || h || '.example.com/./articles/' || pid
+                     END AS url
+                   FROM u),
+           p AS (SELECT doc_id, url,
+                        lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                        regexp_replace(url, '^[A-Za-z]+://', '') AS rest
+                 FROM raw),
+           hp AS (SELECT doc_id, url, scheme,
+                         lower(regexp_extract(rest, '^([^/?#]+)', 1)) AS hostport,
+                         substr(rest, len(regexp_extract(rest, '^([^/?#]+)', 1)) + 1)
+                           AS pathq
+                  FROM p),
+           c AS (SELECT doc_id, url, scheme,
+                        regexp_replace(hostport, ':443$', '') AS host,
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(
+                              replace(regexp_replace(pathq, '#.*$', ''),
+                                      '/./', '/'),
+                              'utm_[^&#]*&?', '', 'g'),
+                            '[?&]+$', ''),
+                          '/$', '') AS path
+                 FROM hp)
+      SELECT scheme || '://' || host || path AS canon_url,
+             count(*)::BIGINT AS n_docs,
+             count(DISTINCT url)::BIGINT AS n_raw_forms,
+             min(doc_id) AS keep_doc
+      FROM c
+      GROUP BY 1""".stripMargin),
+    (spark, dir) => {
+      val u = t(spark, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 100).as("pid"),
+          ((col("doc_id") % 100) % 20).as("h"),
+          (col("doc_id") % 6).as("v"))
+      val base = concat(lit("https://host"), col("h"),
+        lit(".example.com/articles/"), col("pid"))
+      val raw = u.select(col("doc_id"),
+        when(col("v") === 0, concat(lit("https://Host"), col("h"),
+            lit(".Example.com/articles/"), col("pid")))
+          .when(col("v") === 1, concat(base, lit("/")))
+          .when(col("v") === 2, concat(lit("https://host"), col("h"),
+            lit(".example.com:443/articles/"), col("pid"),
+            lit("?utm_source=feed")))
+          .when(col("v") === 3, concat(base, lit("#section-2")))
+          .when(col("v") === 4,
+            concat(base, lit("?utm_campaign=x&utm_medium=y")))
+          .otherwise(concat(lit("https://host"), col("h"),
+            lit(".example.com/./articles/"), col("pid")))
+          .as("url"))
+      val c = raw
+        .withColumn("scheme",
+          lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+        .withColumn("rest", regexp_replace(col("url"), "^[A-Za-z]+://", ""))
+        .withColumn("hostport",
+          lower(regexp_extract(col("rest"), "^([^/?#]+)", 1)))
+        .withColumn("pathq",
+          expr("substr(rest, length(regexp_extract(rest, '^([^/?#]+)', 1)) + 1)"))
+        .withColumn("host", regexp_replace(col("hostport"), ":443$", ""))
+        .withColumn("path",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                expr("replace(regexp_replace(pathq, '#.*$', ''), '/./', '/')"),
+                "utm_[^&#]*&?", ""),
+              "[?&]+$", ""),
+            "/$", ""))
+      c.groupBy(concat(col("scheme"), lit("://"), col("host"), col("path"))
+          .as("canon_url"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw_forms"),
+          min(col("doc_id")).as("keep_doc"))
+    })
+
   val all: Seq[Q] = Seq(exact, minhashSig, minhashPairs, ngramJaccard,
-    simhash, simhashHamming, lshVerified, components, editDistance)
+    simhash, simhashHamming, lshVerified, components, editDistance,
+    urlCanonical)
 }

@@ -1180,9 +1180,81 @@ object TextOps {
         .select(col("doc_id"), col("bm25"))
     })
 
+  val bigramLogprob = Q(
+    "ta_bigram_logprob",
+    "Bigram cross-entropy per document — the order-2 step from " +
+      "ta_unigram_logprob toward the real CCNet/Wenzek KenLM perplexity " +
+      "filter: per doc, the mean negative log of the MLE bigram " +
+      "probability c(w1,w2)/c(w1·) over its adjacent-token pairs, plus " +
+      "the perplexity. Unlike the unigram score this catches WORD-ORDER " +
+      "degeneracy: shuffled or templated text keeps its unigram " +
+      "distribution but its bigrams go rare, so xent jumps. Scoring the " +
+      "training corpus itself makes MLE well-defined (every doc bigram " +
+      "is in the model) — no smoothing knob to disagree on between " +
+      "engines. ONE adjacency explosion (codegen transform over the " +
+      "token array — no self-join on position) builds the per-doc " +
+      "bigram counts; the bigram model c(w1,w2) AND the context " +
+      "marginal c(w1·) both derive from that frame (no second scan), " +
+      "and both join back BY KEY — at 100 TB a bigram vocabulary is " +
+      "quadratically farther from broadcastable than the unigram one, " +
+      "so the shuffle join here is not a fallback, it is the only " +
+      "correct shape. The 1-word context marginal rides the same " +
+      "shuffle (key w1). ln is libm on both engines over identical " +
+      "BIGINT inputs; sub-ulp noise is absorbed by the epsilon-shifted " +
+      "rounding.",
+    Some("""
+      WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                          x -> x <> '') AS tk
+                 FROM documents),
+           b AS (SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2
+                 FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 1)) AS i
+                       FROM w WHERE len(tk) >= 2)),
+           tf AS (SELECT doc_id, w1, w2, count(*) AS c
+                  FROM b GROUP BY doc_id, w1, w2),
+           c12 AS (SELECT w1, w2, sum(c)::BIGINT AS c12
+                   FROM tf GROUP BY w1, w2),
+           c1 AS (SELECT w1, sum(c)::BIGINT AS c1 FROM tf GROUP BY w1),
+           x AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+                        -sum(c * (ln(1.0 * c12) - ln(1.0 * c1))) AS nll
+                 FROM tf
+                 JOIN c12 ON c12.w1 = tf.w1 AND c12.w2 = tf.w2
+                 JOIN c1 ON c1.w1 = tf.w1
+                 GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+             round(nll / n_bigrams + 1e-8, 4) AS xent,
+             round(exp(nll / n_bigrams) + 1e-6, 2) AS ppl
+      FROM x""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val tf = Q.materialize(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), toks.as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(tk) - 2)," +
+              " i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c")))
+      val c12 = tf.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c")).cast("long").as("c12"))
+      val c1 = tf.groupBy(col("w1"))
+        .agg(sum(col("c")).cast("long").as("c1"))
+      tf.join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_bigrams"),
+          (-sum(col("c") * (log(col("c12").cast("double")) -
+            log(col("c1").cast("double"))))).as("nll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          Det.r4e(col("nll") / col("n_bigrams")).as("xent"),
+          Det.r2e(exp(col("nll") / col("n_bigrams"))).as("ppl"))
+    })
+
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
-    sampleExactK, unigramLogprob, tokenBudget, trainingCorpus, datasetCard,
-    quarantine, bpeFit, zipfFit, qualityFit, bm25)
+    sampleExactK, unigramLogprob, bigramLogprob, tokenBudget,
+    trainingCorpus, datasetCard, quarantine, bpeFit, zipfFit, qualityFit,
+    bm25)
 }
