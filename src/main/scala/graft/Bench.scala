@@ -22,7 +22,7 @@ object Bench {
     "ta_rolling_hash",
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_lsh_verified",
     "dedup_components", "dedup_simhash", "dedup_simhash_hamming",
-    "dedup_url_canonical",
+    "dedup_url_canonical", "dedup_containment", "ta_pii_redact",
     "sim_topk_bruteforce", "sim_kmeans_assign", "sim_kmeans_iter2",
     "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_pq_encode",
     "sim_topk_pq_adc", "sim_topk_ivfpq", "dedup_semantic", "dedup_embedding_cosine",

@@ -801,7 +801,66 @@ object Dedup {
           min(col("doc_id")).as("keep_doc"))
     })
 
+  val containment = Q(
+    "dedup_containment",
+    "CONTAINMENT dedup — the asymmetric overlap measure Jaccard is blind " +
+      "to: a short document quoted whole inside a long one (wire-service " +
+      "copy in a news page, a README embedded in a crawl of its repo) has " +
+      "LOW Jaccard (the union is dominated by the long doc) but " +
+      "containment |A∩B|/|A| ≈ 1 on the short side — the Broder (1997) " +
+      "distinction; production pipelines filter on max-containment " +
+      "exactly because subset-dups survive a Jaccard threshold. " +
+      "Candidates come from the SAME shared MinHash band machinery as " +
+      "dedup_lsh_verified (one shingle scan, bucketed equi joins, capped " +
+      "buckets — never a product; note honest at scale: Jaccard-LSH " +
+      "recall degrades for extreme size asymmetry, where a dedicated " +
+      "containment sketch would take over — same plan, different band " +
+      "key), then BOTH directed containments are computed exactly from " +
+      "the shingle sets and pairs kept at max-containment ≥ 0.5. All " +
+      "ratios are exact integer quotients — IEEE-identical across " +
+      "engines, no rounding needed.",
+    Some(s"""
+      WITH sh AS ($ShinglesSql),
+           sig AS ($SignaturesSql),$CandSql,
+           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           common AS (
+             SELECT c.doc_a, c.doc_b, count(*) AS n_common
+             FROM cand c
+             JOIN sh a ON a.doc_id = c.doc_a
+             JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+             GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_a, doc_b, n_common::BIGINT AS n_common,
+             n_common / sa.n AS contain_a,
+             n_common / sb.n AS contain_b,
+             greatest(n_common / sa.n, n_common / sb.n) AS containment
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE greatest(n_common / sa.n, n_common / sb.n) >= 0.5""".stripMargin),
+    (spark, dir) => {
+      val sh = Q.materialize(shingles(spark, dir))
+      val cand = candidatePairsFrom(signaturesFrom(sh))
+        .select(col("doc_a"), col("doc_b"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(sh.alias("a"), col("doc_a") === col("a.doc_id"))
+        .join(sh.alias("b"), col("doc_b") === col("b.doc_id") &&
+          col("b.shingle") === col("a.shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val ca = col("n_common") / col("sa.n")
+      val cb = col("n_common") / col("sb.n")
+      common
+        .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
+        .filter(greatest(ca, cb) >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          col("n_common").cast("long").as("n_common"),
+          ca.as("contain_a"), cb.as("contain_b"),
+          greatest(ca, cb).as("containment"))
+    })
+
   val all: Seq[Q] = Seq(exact, minhashSig, minhashPairs, ngramJaccard,
     simhash, simhashHamming, lshVerified, components, editDistance,
-    urlCanonical)
+    urlCanonical, containment)
 }

@@ -1251,10 +1251,89 @@ object TextOps {
           Det.r2e(exp(col("nll") / col("n_bigrams"))).as("ppl"))
     })
 
+  val piiRedact = Q(
+    "ta_pii_redact",
+    "PII REDACTION — the compliance pass every published pipeline runs " +
+      "before release (C4 strips lines with PII tokens; Dolma/BigScience " +
+      "mask emails/phones/IPs in place): deterministic PII spans are " +
+      "synthesized onto each doc (email for doc_id%3=0, +1-555 phone for " +
+      "%4=0, dotted-quad IP for %5=0 — the corpus carries none natively, " +
+      "same convention as the URL synthesis), then three regex passes " +
+      "count and MASK them with typed placeholders (<EMAIL>/<IP>/" +
+      "<PHONE>). The output carries the redacted text's length AND md5 " +
+      "fingerprint, so the oracle (RE2 in DuckDB vs Java regex here) " +
+      "verifies the exact byte-level rewrite, not just the counts — a " +
+      "greedy-match or replacement-order divergence shows as fingerprint " +
+      "drift. Scale: pure per-row codegen string work, zero exchanges " +
+      "beyond the scan; the patterns are anchored character classes " +
+      "(no catastrophic backtracking class).",
+    Some("""
+      WITH aug AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
+                 '@mail' || (doc_id % 7) || '.example.com now'
+               ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-' ||
+                 (1000 + doc_id % 9000) ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || (doc_id % 256) ||
+                 '.0.' || (doc_id % 100) ELSE '' END AS t
+        FROM documents),
+           red AS (
+        SELECT doc_id,
+               len(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                 AS n_emails,
+               len(regexp_extract_all(t,
+                 '\+1-555-[0-9]{4}'))::BIGINT AS n_phones,
+               len(regexp_extract_all(t,
+                 '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ips,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS r
+        FROM aug)
+      SELECT doc_id, n_emails, n_phones, n_ips,
+             length(r)::BIGINT AS red_len, md5(r) AS red_fp
+      FROM red""".stripMargin),
+    (spark, dir) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "\\+1-555-[0-9]{4}"
+      val ipPat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      val aug = t(spark, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@mail"),
+              col("doc_id") % 7, lit(".example.com now"))).otherwise(""),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" call +1-555-"), lit(1000) + col("doc_id") % 9000))
+            .otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" host 10."), col("doc_id") % 256, lit(".0."),
+              col("doc_id") % 100)).otherwise("")).as("t"))
+      aug.select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phonePat), lit(0)))
+            .cast("long").as("n_phones"),
+          size(regexp_extract_all(col("t"), lit(ipPat), lit(0)))
+            .cast("long").as("n_ips"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), emailPat, "<EMAIL>"),
+              ipPat, "<IP>"),
+            phonePat, "<PHONE>").as("r"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), length(col("r")).cast("long").as("red_len"),
+          md5(col("r").cast("binary")).as("red_fp"))
+    })
+
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
-    sampleExactK, unigramLogprob, bigramLogprob, tokenBudget,
+    sampleExactK, unigramLogprob, bigramLogprob, piiRedact, tokenBudget,
     trainingCorpus, datasetCard, quarantine, bpeFit, zipfFit, qualityFit,
     bm25)
 }
