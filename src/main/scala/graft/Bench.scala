@@ -23,9 +23,11 @@ object Bench {
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_lsh_verified",
     "dedup_components", "dedup_simhash", "dedup_simhash_hamming",
     "dedup_url_canonical", "dedup_containment", "ta_pii_redact",
+    "ta_encoding_fix",
     "sim_topk_bruteforce", "sim_kmeans_assign", "sim_kmeans_iter2",
     "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_pq_encode",
-    "sim_topk_pq_adc", "sim_topk_ivfpq", "dedup_semantic", "dedup_embedding_cosine",
+    "sim_topk_pq_adc", "sim_topk_ivfpq", "sim_topk_sq8",
+    "dedup_semantic", "dedup_embedding_cosine",
     "kv_cas_replay", "ta_tfidf", "ta_repetition", "dedup_span",
     "ta_decontaminate", "ta_cdc_chunks", "dedup_cdc", "ta_cms_topk",
     "q_hll_portable", "q_hll_merge", "q_quantile_sketch", "q_quantile_merge",
@@ -36,13 +38,15 @@ object Bench {
     "sim_power_iteration", "pipeline_corpus_clean", "pipeline_token_budget",
     "pipeline_modal_curation", "pipeline_dataset_card",
     "pipeline_sample_exact_k", "pipeline_quarantine", "pipeline_upsert",
-    "pipeline_bpe_fit", "pipeline_quality_fit", "ta_zipf_fit",
+    "pipeline_bpe_fit", "pipeline_quality_fit", "pipeline_dsir_select",
+    "ta_zipf_fit",
     "pipeline_training_corpus", "mm_decode_stub", "mm_pixel_stats",
     "mm_png_stats", "mm_gif_stats", "mm_jpeg_stats", "mm_jpeg_color",
     "mm_phash", "mm_phash_hamming",
     "mm_wav_stats", "mm_audio_spectrum", "mm_audio_hamming", "mm_video_stats",
     "mm_video_phash", "dedup_cross_modal",
-    "graph_pagerank", "graph_triangles", "rsm_submit_replay", "ta_bm25",
+    "graph_pagerank", "graph_triangles", "graph_label_prop",
+    "rsm_submit_replay", "ta_bm25",
     "src_warc_ingest", "src_url_filter", "src_webdataset_ingest",
     "src_zip_ingest")
 

@@ -755,7 +755,83 @@ object CorpusOps {
           col("txt_bytes"), col("txt_byte_sum"), col("meta_bytes"))
     })
 
+  val dsirSelect = Q(
+    "pipeline_dsir_select",
+    "Data Selection via Importance Resampling (DSIR, Xie et al. 2023) — " +
+      "the importance-weight data-selection pass: score every corpus doc " +
+      "by how much more likely its tokens are under a TARGET-domain " +
+      "unigram LM (here the lang='en' slice — production points this at " +
+      "a curated reference corpus) than under the raw-corpus LM, " +
+      "average log importance ratio per token with add-1 smoothing over " +
+      "the shared vocabulary, then keep the top-50 (rounded score desc, " +
+      "doc_id tie-break — TakeOrdered, never a global sort). ONE token " +
+      "explosion builds (doc, lang, word, c); BOTH distributions derive " +
+      "from that frame (no second corpus scan), the per-word log-ratio " +
+      "lexicon joins back by word — a genuine shuffle join, the " +
+      "vocabulary is not broadcastable at 100 TB (unigram_logprob's " +
+      "stance) — and the (N_tgt, N_raw, |V|) totals broadcast as a " +
+      "1-row aggregate. ln over identical exact-integer-derived doubles " +
+      "is libm-identical; summation-order noise is absorbed by the " +
+      "epsilon-shifted rounding the rank orders on.",
+    Some("""
+      WITH w AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents),
+           tf AS (SELECT doc_id, lang, word, count(*)::BIGINT AS c
+                  FROM w GROUP BY doc_id, lang, word),
+           lex AS (SELECT word, sum(c)::BIGINT AS craw,
+                          sum(CASE WHEN lang = 'en' THEN c ELSE 0 END)::BIGINT AS ctgt
+                   FROM tf GROUP BY word),
+           tot AS (SELECT sum(craw)::BIGINT AS nraw, sum(ctgt)::BIGINT AS ntgt,
+                          count(*)::BIGINT AS v
+                   FROM lex),
+           lr AS (SELECT word,
+                         ln(ctgt + 1.0) - ln(1.0 * (ntgt + v))
+                           - ln(craw + 1.0) + ln(1.0 * (nraw + v)) AS lr
+                  FROM lex, tot),
+           d AS (SELECT doc_id, lang, sum(c)::BIGINT AS n_tokens,
+                        sum(c * lr) AS s
+                 FROM tf JOIN lr ON lr.word = tf.word
+                 GROUP BY doc_id, lang)
+      SELECT doc_id, lang, n_tokens,
+             round(s / n_tokens + 1e-8, 4) AS dsir_score
+      FROM d
+      ORDER BY dsir_score DESC, doc_id ASC
+      LIMIT 50""".stripMargin),
+    (spark, dir) => {
+      val tf = Q.materialize(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), explode(toksCol).as("word"))
+          .groupBy(col("doc_id"), col("lang"), col("word"))
+          .agg(count(lit(1)).cast("long").as("c")))
+      // Both distributions in ONE vocabulary-sized aggregation: the
+      // target count is a conditional sum, not a second join.
+      val lex = Q.materialize(tf
+        .groupBy(col("word"))
+        .agg(sum(col("c")).cast("long").as("craw"),
+          sum(when(col("lang") === "en", col("c")).otherwise(0L))
+            .cast("long").as("ctgt")))
+      val tot = lex.agg(sum(col("craw")).cast("long").as("nraw"),
+        sum(col("ctgt")).cast("long").as("ntgt"),
+        count(lit(1)).cast("long").as("v"))
+      val lr = lex.crossJoin(broadcast(tot))
+        .select(col("word"),
+          (log(col("ctgt") + lit(1.0)) -
+            log((col("ntgt") + col("v")).cast("double")) -
+            log(col("craw") + lit(1.0)) +
+            log((col("nraw") + col("v")).cast("double"))).as("lr"))
+      tf.join(lr, "word")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          sum(col("c") * col("lr")).as("s"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          Det.r4e(col("s") / col("n_tokens")).as("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id").asc)
+        .limit(50)
+    })
+
   val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup,
     bloomIncremental, upsert, cmsTopk, warcIngest, urlFilter,
-    webdatasetIngest, zipIngest)
+    webdatasetIngest, zipIngest, dsirSelect)
 }

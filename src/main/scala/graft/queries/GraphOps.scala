@@ -216,5 +216,97 @@ object GraphOps {
         .limit(20)
     })
 
-  val all: Seq[Q] = Seq(pagerank, triangles)
+  val labelProp = Q(
+    "graph_label_prop",
+    "Synchronous label propagation (Raghavan et al. 2007) — community " +
+      "detection over the same symmetrized customer-supplier trading " +
+      "graph as graph_pagerank (components answers 'same entity', " +
+      "pagerank 'which nodes matter', LPA 'which nodes cluster' — e.g. " +
+      "grouping crawl domains into communities before per-community " +
+      "sampling caps). Labels start as node ids; each of 3 synchronous " +
+      "rounds reassigns every node the MODE of its neighbors' labels " +
+      "(count desc, label asc — a total order, so the classic LPA " +
+      "random tie-break is replaced by a deterministic one and the " +
+      "result is engine- and layout-independent; synchronous sweeps can " +
+      "oscillate on bipartite structure, which a fixed round count " +
+      "makes deterministic too). Per round: one |E|-scale equi join " +
+      "labels-onto-edges, a (node,label) count, then a per-node argmax " +
+      "as max(struct(count, -label)) — partial-aggregable map-side, no " +
+      "per-node window, nothing wider than (id, id, long) ever " +
+      "shuffles. Output: top-20 communities by size. The oracle " +
+      "unrolls the 3 rounds as CTEs with row_number argmax — same " +
+      "deterministic mode, different engine idiom.",
+    Some("""
+      WITH pairs AS (SELECT DISTINCT o_custkey::BIGINT AS c,
+                                     1000000 + l_suppkey::BIGINT AS s
+                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           edges AS (SELECT c AS src, s AS dst FROM pairs
+                     UNION ALL
+                     SELECT s AS src, c AS dst FROM pairs),
+           l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+           c1 AS (SELECT e.src AS node, l.lab, count(*) AS c
+                  FROM edges e JOIN l0 l ON l.node = e.dst
+                  GROUP BY e.src, l.lab),
+           l1 AS (SELECT node, lab
+                  FROM (SELECT node, lab, row_number() OVER (
+                          PARTITION BY node ORDER BY c DESC, lab) AS rk
+                        FROM c1)
+                  WHERE rk = 1),
+           c2 AS (SELECT e.src AS node, l.lab, count(*) AS c
+                  FROM edges e JOIN l1 l ON l.node = e.dst
+                  GROUP BY e.src, l.lab),
+           l2 AS (SELECT node, lab
+                  FROM (SELECT node, lab, row_number() OVER (
+                          PARTITION BY node ORDER BY c DESC, lab) AS rk
+                        FROM c2)
+                  WHERE rk = 1),
+           c3 AS (SELECT e.src AS node, l.lab, count(*) AS c
+                  FROM edges e JOIN l2 l ON l.node = e.dst
+                  GROUP BY e.src, l.lab),
+           l3 AS (SELECT node, lab
+                  FROM (SELECT node, lab, row_number() OVER (
+                          PARTITION BY node ORDER BY c DESC, lab) AS rk
+                        FROM c3)
+                  WHERE rk = 1)
+      SELECT lab AS community, count(*)::BIGINT AS n_nodes
+      FROM l3 GROUP BY lab
+      ORDER BY n_nodes DESC, community ASC
+      LIMIT 20""".stripMargin),
+    (spark, dir) => {
+      val pairs = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + lit(1000000L)).as("s"))
+        .distinct()
+      val edges = Q.materialize(
+        pairs.select(col("c").as("src"), col("s").as("dst"))
+          .union(pairs.select(col("s").as("src"), col("c").as("dst"))))
+      var labels = edges.select(col("src")).distinct()
+        .select(col("src").as("node"), col("src").as("lab"))
+      for (_ <- 1 to 3) {
+        val cnt = edges
+          .join(labels.select(col("node").as("dn"), col("lab")),
+            col("dst") === col("dn"))
+          .groupBy(col("src").as("node"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+        // Deterministic mode via max(struct(c, -lab)): struct compare is
+        // lexicographic, so max = highest count, then LOWEST label —
+        // an algebraic aggregate that partial-aggregates map-side
+        // (unlike a per-node rank window, which must co-locate each
+        // node's label candidates before ranking).
+        labels = Q.materializeLoop(cnt
+          .groupBy(col("node"))
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lab")))
+      }
+      labels.groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).cast("long").as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community").asc)
+        .limit(20)
+    })
+
+  val all: Seq[Q] = Seq(pagerank, triangles, labelProp)
 }

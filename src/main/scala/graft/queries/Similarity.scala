@@ -964,7 +964,92 @@ object Similarity {
       .select(col("pos"), round6(col("u") / col("nrm")).as("v"))
   }
 
+  val topkSq8 = Q(
+    "sim_topk_sq8",
+    "Scalar-quantized (SQ8) top-5 — the OTHER standard vector-index " +
+      "compression (FAISS SQ8 / Milvus IVF_SQ8, next to sim_pq_encode's " +
+      "product quantizer): each dimension is affinely mapped to an 8-bit " +
+      "code by the corpus per-dim min/max (64 rows — broadcast), and " +
+      "search ranks by squared L2 IN CODE SPACE, where every distance " +
+      "is an exact small integer (codes ≤ 255, 64 dims → d² ≤ 2^27, " +
+      "double-exact, cast BIGINT — order-free, hash-exact, the ADC " +
+      "micro-unit trick without even needing micro-units). The corpus " +
+      "scans once into the code table (4× smaller than floats — the " +
+      "index build a cluster persists); the 20-query code batch " +
+      "broadcasts; ranking is the rounded-measure window with id " +
+      "tie-break. Embeddings are unit-norm, so code-space L2 agrees " +
+      "with the cosine ranking up to quantization noise — " +
+      "Sq8RecallSpec commits the measured recall against " +
+      "sim_topk_bruteforce. Dims with mx = mn (constant) code to 0 on " +
+      "both engines instead of dividing by zero.",
+    Some(s"""
+      WITH n AS ($VecsSql),
+           ex AS (SELECT vec_id, i AS pos, e[i+1] AS x
+                  FROM (SELECT vec_id, e, unnest(range(0, len(e))) AS i
+                        FROM n)),
+           mm AS (SELECT pos, min(x) AS mn, max(x) AS mx
+                  FROM ex GROUP BY pos),
+           qx AS (SELECT vec_id, ex.pos,
+                         CASE WHEN mx = mn THEN 0.0
+                              ELSE least(255.0, greatest(0.0,
+                                floor((x - mn) / (mx - mn) * 255 + 1e-9)))
+                         END AS q
+                  FROM ex JOIN mm ON mm.pos = ex.pos),
+           codes AS (SELECT vec_id, list(q ORDER BY pos) AS qa
+                     FROM qx GROUP BY vec_id),
+           sq AS (SELECT vec_id, qa, list_dot_product(qa, qa) AS s2
+                  FROM codes),
+           scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                             (q.s2 + c.s2
+                               - 2 * list_dot_product(q.qa, c.qa))::BIGINT
+                               AS sq8_d2
+                      FROM sq q JOIN sq c
+                        ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+      SELECT query_id, neighbor_id, rank, sq8_d2
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY sq8_d2, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""".stripMargin),
+    (spark, dir) => {
+      val v = Q.materialize(vecs(spark, dir))
+      // One explosion feeds BOTH the per-dim range scan and the encode.
+      val ex = Q.materialize(
+        v.select(col("vec_id"), posexplode(col("e"))))
+      val mm = ex.groupBy(col("pos"))
+        .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      val qx = ex.join(broadcast(mm), "pos")
+        .select(col("vec_id"), col("pos"),
+          when(col("mx") === col("mn"), lit(0.0))
+            .otherwise(least(lit(255L), greatest(lit(0L),
+              floor((col("col") - col("mn")) / (col("mx") - col("mn"))
+                * 255 + 1e-9))).cast("double")).as("q"))
+      // Code-array rebuild: one (vec_id) shuffle — the index-build cost a
+      // cluster pays once and persists (codes are the index, 1 byte/dim).
+      val codes = Q.materialize(qx
+        .groupBy(col("vec_id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("q")))),
+          x => x.getField("q")).as("qa"))
+        .withColumn("s2", dot(col("qa"), col("qa"))))
+      val q = codes.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("qa").as("qq"),
+          col("s2").as("qs2"))
+      val scored = broadcast(q)
+        .join(codes.select(col("vec_id").as("neighbor_id"), col("qa"),
+          col("s2")), col("neighbor_id") =!= col("query_id"))
+        .withColumn("sq8_d2",
+          (col("qs2") + col("s2") - lit(2.0) * dot(col("qq"), col("qa")))
+            .cast("long"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sq8_d2"), col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("sq8_d2"))
+    })
+
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
     kmeansIter2, pqEncodeQ, topkPqAdc, topkIvfPq, semanticDedup, modalCuration,
-    nearDup, histogram, labelCentroid, dimStats, powerIteration)
+    nearDup, histogram, labelCentroid, dimStats, powerIteration, topkSq8)
 }

@@ -1330,10 +1330,80 @@ object TextOps {
           md5(col("r").cast("binary")).as("red_fp"))
     })
 
+  val encodingFix = Q(
+    "ta_encoding_fix",
+    "Mojibake detection + repair — the encoding-hygiene pass (ftfy; " +
+      "CCNet's fix_unicode) a web-scale pipeline runs before anything " +
+      "touches the text: UTF-8 bytes decoded as Latin-1 turn every " +
+      "accented char into a 'Ãx' digraph (é → Ã©, ö → Ã¶ …). The corpus " +
+      "is ASCII, so the operator synthesizes ground truth per doc " +
+      "(accent injection: 'er'→'ér' for doc_id%2=0, 'on'→'ön' for " +
+      "%3=0 — the URL/PII synthesis convention), corrupts it through " +
+      "the exact UTF-8→Latin-1 confusion, then repairs with a fixed " +
+      "digraph table (the ftfy core trick: the byte pairs mojibake " +
+      "produces are so improbable in real text that reversing them is " +
+      "safe). Output: mojibake digraph count (by length delta — " +
+      "char-count semantics agree across engines since every char is " +
+      "BMP) and the repaired text's length + md5, so the oracle " +
+      "verifies the exact rewrite AND that repair(corrupt(x)) == x " +
+      "round-trips (repair_ok — computed, not assumed). Scale: pure " +
+      "per-row codegen string chains, zero exchanges beyond the scan.",
+    Some("""
+      WITH orig AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN
+                 replace(CASE WHEN doc_id % 2 = 0
+                              THEN replace(text, 'er', 'ér') ELSE text END,
+                         'on', 'ön')
+                    WHEN doc_id % 2 = 0 THEN replace(text, 'er', 'ér')
+                    ELSE text END AS o
+        FROM documents),
+           corrupt AS (
+        SELECT doc_id, o,
+               replace(replace(o, 'é', 'Ã©'), 'ö', 'Ã¶') AS c
+        FROM orig),
+           fixed AS (
+        SELECT doc_id, o, c,
+               replace(replace(replace(replace(c,
+                 'Ã©', 'é'), 'Ã¶', 'ö'), 'Ã¼', 'ü'), 'Ã±', 'ñ') AS f
+        FROM corrupt)
+      SELECT doc_id,
+             (length(c) - length(f))::BIGINT AS n_moji,
+             (f = o) AS repair_ok,
+             length(f)::BIGINT AS fixed_len,
+             md5(f) AS fixed_fp
+      FROM fixed""".stripMargin),
+    (spark, dir) => {
+      // Literal (non-regex) replace chains — codegen StringReplace, the
+      // exact engine-level twin of the oracle's replace().
+      val o0 = when(col("doc_id") % 2 === 0,
+        expr("replace(text, 'er', 'ér')")).otherwise(col("text"))
+      val o = when(col("doc_id") % 3 === 0,
+        expr("replace(o0, 'on', 'ön')")).otherwise(col("o0"))
+      // The UTF-8-as-Latin-1 confusion, applied literally: each accented
+      // char becomes its two UTF-8 bytes read as Latin-1 chars.
+      t(spark, dir, "documents")
+        .select(col("doc_id"), o0.as("o0"))
+        .select(col("doc_id"), o.as("o"))
+        .withColumn("c",
+          expr("replace(replace(o, 'é', 'Ã©'), 'ö', 'Ã¶')"))
+        // Repair table: the four commonest Latin-1 mojibake digraphs; the
+        // last two ('Ã¼', 'Ã±') never fire here — they pin that both
+        // engines agree on NOT matching, the PiiRedactSpec trap.
+        .withColumn("f", expr(
+          "replace(replace(replace(replace(c, 'Ã©', 'é'), 'Ã¶', 'ö'), " +
+            "'Ã¼', 'ü'), 'Ã±', 'ñ')"))
+        .select(col("doc_id"),
+          (length(col("c")) - length(col("f"))).cast("long").as("n_moji"),
+          (col("f") === col("o")).as("repair_ok"),
+          length(col("f")).cast("long").as("fixed_len"),
+          md5(col("f").cast("binary")).as("fixed_fp"))
+    })
+
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
-    sampleExactK, unigramLogprob, bigramLogprob, piiRedact, tokenBudget,
-    trainingCorpus, datasetCard, quarantine, bpeFit, zipfFit, qualityFit,
-    bm25)
+    sampleExactK, unigramLogprob, bigramLogprob, piiRedact, encodingFix,
+    tokenBudget, trainingCorpus, datasetCard, quarantine, bpeFit, zipfFit,
+    qualityFit, bm25)
 }

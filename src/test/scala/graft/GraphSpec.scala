@@ -81,6 +81,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.head._2 > 0, "degenerate: no triangles at all")
   }
 
+  test("distributed 3-round label propagation matches the sequential reference") {
+    // Independent recomputation: synchronous LPA with the same
+    // deterministic mode (count desc, label asc) over plain Scala maps.
+    val nbrs = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lab = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = nbrs.map { case (n, ns) =>
+        val counts = ns.groupBy(lab).map { case (l, xs) => l -> xs.size }
+        n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val want = lab.values.groupBy(identity)
+      .map { case (l, xs) => l -> xs.size.toLong }
+      .toSeq.sortBy { case (l, c) => (-c, l) }.take(20)
+    val got = GraphOps.labelProp.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == want, s"top-20 communities differ\n got: $got\nwant: $want")
+    // Degenerate guard: propagation actually merged labels (some community
+    // holds more than one node).
+    assert(got.exists(_._2 > 1), "no community larger than a single node")
+  }
+
   test("rank mass is conserved (no dangling nodes in the symmetrized graph)") {
     for (it <- Seq(1, 3)) {
       val mass = referencePagerank(it).values.sum
