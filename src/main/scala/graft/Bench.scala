@@ -38,7 +38,8 @@ object Bench {
     "sim_power_iteration", "pipeline_corpus_clean", "pipeline_token_budget",
     "pipeline_modal_curation", "pipeline_dataset_card",
     "pipeline_sample_exact_k", "pipeline_quarantine", "pipeline_upsert",
-    "pipeline_bpe_fit", "pipeline_quality_fit", "pipeline_dsir_select",
+    "pipeline_bpe_fit", "pipeline_bpe_apply", "pipeline_quality_fit",
+    "pipeline_dsir_select",
     "ta_zipf_fit",
     "pipeline_training_corpus", "mm_decode_stub", "mm_pixel_stats",
     "mm_png_stats", "mm_gif_stats", "mm_jpeg_stats", "mm_jpeg_color",

@@ -160,7 +160,14 @@ object StreamBench {
       run[Streams.ShardEntry]("sample_assembly", { i =>
         Streams.ShardEntry(s"s${i / 2}", if (i % 2 == 0) "txt" else "json",
           ts(i), 100 + i % 400)
-      })(in => Streams.sampleAssemblyStream(spark, in.toDS()).toDF()))
+      })(in => Streams.sampleAssemblyStream(spark, in.toDS()).toDF()),
+      // Bottom-k sampler: 40 strata; state is pinned at ≤ k pairs per
+      // stratum no matter how many rows stream through — the one operator
+      // whose state bound is k·|strata|, independent of both input volume
+      // and watermark.
+      run[Streams.StratumDoc]("bottomk_sample", { i =>
+        Streams.StratumDoc(i, ts(i), s"src${i % 40}")
+      })(in => Streams.bottomKSampleStream(spark, in.toDS()).toDF()))
 
     val qs = results.map { r =>
       val rps = if (r.secs > 0) r.rows / r.secs else 0.0

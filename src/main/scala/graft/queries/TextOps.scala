@@ -787,6 +787,22 @@ object TextOps {
           Det.r2e(exp(col("nll") / col("n_tokens"))).as("ppl"))
     })
 
+  /** The BPE round primitive shared by [[bpeFit]] (learns the merge table)
+    * and [[bpeApply]] (tokenizes with it): most frequent adjacent symbol
+    * pair of a (s, c) word-frequency frame — count desc, pair asc, a total
+    * order. Single definition, no drift.
+    */
+  private def topMerge(sdf: org.apache.spark.sql.DataFrame) = sdf
+    .select(col("c"), split(col("s"), " ").as("a"))
+    .filter(size(col("a")) >= 2)
+    .select(col("c"), explode(expr(
+      "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i+1]))"))
+      .as("pair"))
+    .groupBy(col("pair")).agg(sum(col("c")).cast("long").as("cnt"))
+    .orderBy(col("cnt").desc, col("pair")).limit(1)
+    .select(col("pair"), expr("replace(pair, ' ', '')").as("merged"),
+      col("cnt"))
+
   val bpeFit = Q(
     "pipeline_bpe_fit",
     "BPE tokenizer TRAINING on-cluster — the first two merge rounds of " +
@@ -838,16 +854,6 @@ object TextOps {
           .select(explode(toks).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("c"))
           .select(array_join(split(col("word"), ""), " ").as("s"), col("c")))
-      def topMerge(sdf: org.apache.spark.sql.DataFrame) = sdf
-        .select(col("c"), split(col("s"), " ").as("a"))
-        .filter(size(col("a")) >= 2)
-        .select(col("c"), explode(expr(
-          "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i+1]))"))
-          .as("pair"))
-        .groupBy(col("pair")).agg(sum(col("c")).cast("long").as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .select(col("pair"), expr("replace(pair, ' ', '')").as("merged"),
-          col("cnt"))
       val m1 = topMerge(s0)
       val s1 = s0.crossJoin(broadcast(m1))
         .select(expr("replace(s, pair, merged)").as("s"), col("c"))
@@ -855,6 +861,98 @@ object TextOps {
       m1.select(lit(1L).as("rank"), col("pair"), col("merged"), col("cnt"))
         .union(m2.select(lit(2L).as("rank"), col("pair"), col("merged"),
           col("cnt")))
+    })
+
+  val bpeApply = Q(
+    "pipeline_bpe_apply",
+    "BPE tokenizer APPLICATION — closes the train→apply loop " +
+      "(pipeline_bpe_fit learns the merge table; this tokenizes the " +
+      "corpus with it and reports the per-doc true token budget, the " +
+      "number every 'how many tokens is this corpus' estimate is " +
+      "approximating): the two merges are re-learned from the same " +
+      "word-frequency table (identical total order — BpeApplySpec pins " +
+      "them equal to bpe_fit's), then applied per VOCABULARY WORD, not " +
+      "per corpus token: symbol counts join back to the (doc, word, " +
+      "count) frame by word — the vocabulary-sized-work property that " +
+      "makes corpus-scale tokenization one shuffle join, never a " +
+      "per-token loop. Merge 1 operates on single-char symbols, where " +
+      "plain replace is exact; merge 2's pair can contain a multi-char " +
+      "symbol, so it is applied in a space-doubled sentinel form " +
+      "(' x  y ' with boundary spaces) — a naive replace would false-" +
+      "match across a symbol boundary (pair 'h e' inside 'th e') and " +
+      "silently over-merge; left-to-right non-overlap semantics are " +
+      "identical in both engines and match true BPE (the 'a a a' case " +
+      "merges once). Output per doc: whitespace tokens, chars-in-words " +
+      "(symbols before merging), and BPE symbols after both merges — " +
+      "all exact BIGINTs.",
+    Some("""
+      WITH w AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+                 FROM documents),
+           tf AS (SELECT doc_id, word, count(*)::BIGINT AS c
+                  FROM w GROUP BY doc_id, word),
+           vocab AS (SELECT word, sum(c)::BIGINT AS c,
+                            array_to_string(list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i::INT, 1)), ' ') AS s
+                     FROM tf GROUP BY word),
+           p1 AS (SELECT a[i+1] || ' ' || a[i+2] AS pair, sum(c)::BIGINT AS cnt
+                  FROM (SELECT string_split(s, ' ') AS a, c,
+                               unnest(range(0, len(string_split(s, ' ')) - 1)) AS i
+                        FROM vocab)
+                  GROUP BY pair),
+           m1 AS (SELECT pair, replace(pair, ' ', '') AS merged
+                  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+           s1 AS (SELECT word, replace(s, m1.pair, m1.merged) AS s, c
+                  FROM vocab, m1),
+           p2 AS (SELECT a[i+1] || ' ' || a[i+2] AS pair, sum(c)::BIGINT AS cnt
+                  FROM (SELECT string_split(s, ' ') AS a, c,
+                               unnest(range(0, len(string_split(s, ' ')) - 1)) AS i
+                        FROM s1)
+                  GROUP BY pair),
+           m2 AS (SELECT pair, replace(pair, ' ', '') AS merged
+                  FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+           syms AS (SELECT word, length(word)::BIGINT AS n_chr,
+                           len(list_filter(string_split(
+                             replace(' ' || replace(s, ' ', '  ') || ' ',
+                                     ' ' || replace(m2.pair, ' ', '  ') || ' ',
+                                     ' ' || m2.merged || ' '),
+                             ' '), x -> x <> ''))::BIGINT AS n_sym
+                    FROM s1, m2)
+      SELECT tf.doc_id, sum(c)::BIGINT AS n_tokens,
+             sum(c * n_chr)::BIGINT AS n_chars,
+             sum(c * n_sym)::BIGINT AS n_bpe_symbols
+      FROM tf JOIN syms ON syms.word = tf.word
+      GROUP BY tf.doc_id""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val tf = Q.materialize(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).cast("long").as("c")))
+      val vocab = Q.materialize(tf
+        .groupBy(col("word")).agg(sum(col("c")).cast("long").as("c"))
+        .withColumn("s", array_join(split(col("word"), ""), " ")))
+      val m1 = topMerge(vocab.select(col("s"), col("c")))
+      // Plain replace is exact for merge 1: every symbol is one char, so
+      // any substring match IS an aligned adjacent pair (bpe_fit's
+      // argument); s1 must be built the same way so m2 matches bpe_fit.
+      val s1 = Q.materialize(vocab.crossJoin(broadcast(m1))
+        .select(col("word"), expr("replace(s, pair, merged)").as("s"),
+          col("c")))
+      val m2 = topMerge(s1.select(col("s"), col("c")))
+      val syms = s1.crossJoin(broadcast(m2))
+        .select(col("word"), length(col("word")).cast("long").as("n_chr"),
+          size(filter(split(expr(
+            "replace(concat(' ', replace(s, ' ', '  '), ' '), " +
+              "concat(' ', replace(pair, ' ', '  '), ' '), " +
+              "concat(' ', merged, ' '))"), " "),
+            x => x =!= "")).cast("long").as("n_sym"))
+      tf.join(syms, "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          sum(col("c") * col("n_chr")).cast("long").as("n_chars"),
+          sum(col("c") * col("n_sym")).cast("long").as("n_bpe_symbols"))
     })
 
   val zipfFit = Q(
@@ -1404,6 +1502,6 @@ object TextOps {
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
     sampleExactK, unigramLogprob, bigramLogprob, piiRedact, encodingFix,
-    tokenBudget, trainingCorpus, datasetCard, quarantine, bpeFit, zipfFit,
-    qualityFit, bm25)
+    tokenBudget, trainingCorpus, datasetCard, quarantine, bpeFit, bpeApply,
+    zipfFit, qualityFit, bm25)
 }

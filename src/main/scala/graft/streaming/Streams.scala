@@ -767,4 +767,75 @@ object Streams {
           }
       }
   }
+
+  /** One doc arriving for the streaming stratified sampler. */
+  case class StratumDoc(doc_id: Long, ts: Timestamp, source: String)
+
+  /** An admission to a stratum's current bottom-k sample: `doc_id` entered
+    * `source`'s k smallest (h, doc_id) set at arrival time.
+    */
+  case class SampleAdmit(source: String, doc_id: Long, h: String)
+
+  /** Streaming exact-k stratified sampling — the incremental face of
+    * `pipeline_sample_exact_k`, built on the bottom-k-by-hash sketch (the
+    * KMV construction): rank every doc by the SAME deterministic
+    * permutation as the batch query (md5 of "9:"+doc_id, doc_id
+    * tie-break) and keep, per source stratum, the k smallest. Bottom-k
+    * over a uniform hash is a MERGEABLE, arrival-order-invariant
+    * summary, which is the whole trick: the final sample equals the batch
+    * query's no matter how arrivals split, reorder, or duplicate across
+    * micro-batches.
+    *
+    * Emission contract (a stream cannot retract an Append row): each
+    * ADMISSION is emitted — a doc whose rank enters its stratum's current
+    * bottom-k. Any doc in the final sample was necessarily admitted on
+    * arrival (its rank is among the k smallest overall, hence among the k
+    * smallest so-far), so the consumer recovers the exact final sample by
+    * re-taking bottom-k per source over the admission log — expected
+    * O(k·ln n) admissions per stratum, the harmonic bound on running
+    * minima, so the log stays tiny. StreamsSpec pins parity against the
+    * batch query under split AND permuted arrivals, plus duplicate
+    * idempotence.
+    *
+    * State: exactly ≤ k (hash, id) pairs per stratum — bounded by
+    * k·|sources| with no watermark dependence, so NoTimeout is correct
+    * (an event-time TTL would silently drop strata from the sample;
+    * sampling state must outlive quiet periods). At 100 TB the stream
+    * shuffles only (source, id, hash) rows, one keyed exchange.
+    */
+  def bottomKSampleStream(spark: SparkSession, docs: Dataset[StratumDoc],
+      k: Int = 5): Dataset[SampleAdmit] = {
+    import spark.implicits._
+    docs.toDF()
+      .select(col("source"), col("doc_id"),
+        md5(concat(lit("9:"), col("doc_id").cast("string"))).as("h"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(String, Long)], SampleAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[(String, Long, String)],
+            state: GroupState[Vector[(String, Long)]]) =>
+          // Sorted ascending by (h, id); worst element last.
+          var cur = state.getOption.getOrElse(Vector.empty)
+          val admitted = Vector.newBuilder[SampleAdmit]
+          // Batch rows processed in rank order: within-batch admissions
+          // are deterministic regardless of iterator order (a doc that
+          // would be immediately evicted by a better same-batch doc is
+          // simply never admitted).
+          for ((_, id, h) <- it.toSeq.sortBy(r => (r._3, r._2))) {
+            val key = (h, id)
+            if (!cur.contains(key)) { // duplicate-delivery idempotence
+              if (cur.size < k) {
+                cur = (cur :+ key).sorted
+                admitted += SampleAdmit(src, id, h)
+              } else if (Ordering[(String, Long)].lt(key, cur.last)) {
+                cur = (cur.init :+ key).sorted
+                admitted += SampleAdmit(src, id, h)
+              }
+            }
+          }
+          state.update(cur)
+          admitted.result().iterator
+      }
+  }
 }

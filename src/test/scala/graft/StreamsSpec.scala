@@ -1127,4 +1127,54 @@ class StreamsSpec extends AnyFunSuite {
         s"watermark passed the first 50 fingerprints but $live state rows remain")
     } finally q.stop()
   }
+
+  test("streaming bottom-k sample reconstructs the batch exact-k sample " +
+      "under split, permuted, and duplicated arrivals") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    // (source, doc_id) for all 500 docs — big enough that admission/
+    // eviction actually happens (25 docs/stratum vs k=5).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = graft.queries.TextOps.sampleExactK.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    def runArrival(name: String, batches: Seq[Seq[(Long, String)]]): Set[(String, Long, Long)] = {
+      val input = MemoryStream[Streams.StratumDoc]
+      val q = Streams.bottomKSampleStream(spark, input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b =>
+          input.addData(b.zipWithIndex.map { case ((id, src), i) =>
+            Streams.StratumDoc(id, ts(i % 7), src)
+          }: _*)
+          q.processAllAvailable()
+        }
+        // Reconstruct the final sample from the admission log: bottom-k
+        // per source by (h, doc_id), re-ranked — the consumer contract.
+        spark.table(name)
+          .as[(String, Long, String)].collect().toSeq
+          .groupBy(_._1)
+          .flatMap { case (src, admits) =>
+            admits.map(a => (a._3, a._2)).distinct.sorted.take(5)
+              .zipWithIndex.map { case ((_, id), i) => (src, id, i + 1L) }
+          }.toSet
+      } finally q.stop()
+    }
+
+    // In-order split into 3 micro-batches.
+    val inOrder = runArrival("bk_inorder", docs.grouped(180).toSeq)
+    assert(inOrder == want, "in-order arrival diverges from batch sample")
+    // Reversed arrival, different split.
+    val reversed = runArrival("bk_reversed", docs.reverse.grouped(77).toSeq)
+    assert(reversed == want, "permuted arrival diverges from batch sample")
+    // Duplicate delivery: every batch re-sent once.
+    val dups = runArrival("bk_dups",
+      docs.grouped(180).toSeq.flatMap(b => Seq(b, b)))
+    assert(dups == want, "duplicate delivery changed the sample")
+  }
 }
