@@ -100,7 +100,16 @@ class PlanShapeSpec extends AnyFunSuite {
       // PLANS.md like every iterative body.
       "graph_pagerank",
       // 1-row corpus-stats (avgdl, n_docs) scalar cross (r7).
-      "ta_bm25")
+      "ta_bm25",
+      // 1-row learned-merge crosses (the bpe_fit pattern) applied to the
+      // vocabulary frame (r7).
+      "pipeline_bpe_apply",
+      // 1-row (N_tgt, N_raw, |V|) totals cross into the lexicon — the
+      // unigram_logprob pattern (r7).
+      "pipeline_dsir_select",
+      // 20-row query-code batch against the code table — the
+      // sim_topk_bruteforce pattern on 8-bit codes (r7).
+      "sim_topk_sq8")
     // The only queries allowed an UNPARTITIONED window (single-partition
     // shuffle) — each one's input bound is asserted above. This sweep is
     // what makes the session-wide WindowExec WARN suppression
