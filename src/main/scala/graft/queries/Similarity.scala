@@ -1049,7 +1049,93 @@ object Similarity {
           col("sq8_d2"))
     })
 
+  val topkMrl = Q(
+    "sim_topk_mrl",
+    "Matryoshka funnel retrieval (Kusupati et al. 2022 MRL; the " +
+      "shortlist-then-rerank deployment pattern): stage 1 scores every " +
+      "candidate with only the FIRST 16 dimensions (prefix cosine — " +
+      "MRL-trained embeddings pack coarse semantics into the prefix; a " +
+      "¼-width scan and ¼ the multiplies) and keeps a top-20 shortlist " +
+      "per query; stage 2 re-fetches ONLY the shortlist's full vectors " +
+      "by an equi join on id and reranks with the exact 64-dim cosine " +
+      "to the final top-5. At 100 TB the funnel is the plan: the " +
+      "corpus-wide pass touches a 16-float prefix column, full vectors " +
+      "leave storage only for Q×20 candidate rows, and both stages " +
+      "rank on rounded measures with id tie-breaks so shortlist " +
+      "MEMBERSHIP (not just order) is engine-exact. Recall vs the " +
+      "brute-force truth is committed in MrlRecallSpec — on these " +
+      "isotropic test vectors the prefix is a weak (but unbiased) " +
+      "filter, exactly the regime that makes the recall leg honest.",
+    Some(s"""
+      WITH n AS ($VecsSql),
+           pre AS (SELECT vec_id, e[1:16] AS p, e, nrm,
+                          sqrt(list_dot_product(e[1:16], e[1:16])) AS pn
+                   FROM n),
+           s1 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         list_dot_product(q.p, c.p) / (q.pn * c.pn) AS pcos
+                  FROM pre q JOIN pre c
+                    ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+           short AS (SELECT query_id, neighbor_id
+                     FROM (SELECT *, row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY round(pcos + 1e-9, 6) DESC,
+                                      neighbor_id) AS prk
+                           FROM s1)
+                     WHERE prk <= 20),
+           rer AS (SELECT s.query_id, s.neighbor_id,
+                          list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                            AS cos_raw
+                   FROM short s
+                   JOIN pre q ON q.vec_id = s.query_id
+                   JOIN pre c ON c.vec_id = s.neighbor_id)
+      SELECT query_id, neighbor_id, rank,
+             round(cos_raw + 1e-8, 4) AS cosine
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY round(cos_raw + 1e-9, 6) DESC, neighbor_id) AS rank
+            FROM rer)
+      WHERE rank <= 5""".stripMargin),
+    (spark, dir) => {
+      val v = Q.materialize(vecs(spark, dir)
+        .withColumn("p", slice(col("e"), 1, 16))
+        .withColumn("pn", sqrt(dot(col("p"), col("p")))))
+      val q = v.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("p").as("qp"),
+          col("pn").as("qpn"))
+      // Stage 1: prefix-only scoring — the corpus-wide pass reads 16
+      // dims; the shortlist cut ranks on the ROUNDED prefix cosine so
+      // membership is engine-exact.
+      val shortlist = broadcast(q)
+        .join(v.select(col("vec_id").as("neighbor_id"), col("p"),
+          col("pn")), col("neighbor_id") =!= col("query_id"))
+        .withColumn("pcos", dot(col("qp"), col("p")) / (col("qpn") * col("pn")))
+        .withColumn("prk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(round(col("pcos") + lit(1e-9), 6).desc,
+              col("neighbor_id"))))
+        .filter(col("prk") <= 20)
+        .select(col("query_id"), col("neighbor_id"))
+      // Stage 2: full vectors fetched by equi join for candidates ONLY,
+      // exact cosine rerank.
+      val full = v.select(col("vec_id"), col("e"), col("nrm"))
+      val rer = shortlist
+        .join(full.select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qn")), "query_id")
+        .join(full.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+          col("nrm").as("cn")), "neighbor_id")
+        .withColumn("cos_raw",
+          dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      rer.withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(round(col("cos_raw") + lit(1e-9), 6).desc,
+              col("neighbor_id"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          r4e(col("cos_raw")).as("cosine"))
+    })
+
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
     kmeansIter2, pqEncodeQ, topkPqAdc, topkIvfPq, semanticDedup, modalCuration,
-    nearDup, histogram, labelCentroid, dimStats, powerIteration, topkSq8)
+    nearDup, histogram, labelCentroid, dimStats, powerIteration, topkSq8,
+    topkMrl)
 }

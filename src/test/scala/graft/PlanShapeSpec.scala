@@ -109,7 +109,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "pipeline_dsir_select",
       // 20-row query-code batch against the code table — the
       // sim_topk_bruteforce pattern on 8-bit codes (r7).
-      "sim_topk_sq8")
+      "sim_topk_sq8",
+      // 20-row query-prefix batch in the funnel's stage-1 scan; stage 2
+      // is equi joins only (r7).
+      "sim_topk_mrl")
     // The only queries allowed an UNPARTITIONED window (single-partition
     // shuffle) — each one's input bound is asserted above. This sweep is
     // what makes the session-wide WindowExec WARN suppression
