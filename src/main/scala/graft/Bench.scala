@@ -21,7 +21,8 @@ object Bench {
     "mr_wordcount", "mr_inverted_index", "ta_quality_score",
     "ta_rolling_hash",
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_lsh_verified",
-    "dedup_components", "dedup_simhash", "dedup_simhash_hamming",
+    "dedup_components", "dedup_keep_best", "dedup_simhash",
+    "dedup_simhash_hamming",
     "dedup_url_canonical", "dedup_containment", "ta_pii_redact",
     "ta_encoding_fix",
     "sim_topk_bruteforce", "sim_kmeans_assign", "sim_kmeans_iter2",
@@ -39,7 +40,7 @@ object Bench {
     "pipeline_modal_curation", "pipeline_dataset_card",
     "pipeline_sample_exact_k", "pipeline_quarantine", "pipeline_upsert",
     "pipeline_bpe_fit", "pipeline_bpe_apply", "pipeline_quality_fit",
-    "pipeline_dsir_select",
+    "pipeline_quality_calibration", "pipeline_dsir_select",
     "ta_zipf_fit",
     "pipeline_training_corpus", "mm_decode_stub", "mm_pixel_stats",
     "mm_png_stats", "mm_gif_stats", "mm_jpeg_stats", "mm_jpeg_color",

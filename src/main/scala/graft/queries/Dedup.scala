@@ -584,7 +584,14 @@ object Dedup {
       SELECT node AS doc_id, min(m) AS canonical_id,
              (node <> min(m)) AS is_dup
       FROM reach GROUP BY node""".stripMargin),
-    (spark, dir) => {
+    (spark, dir) => componentAssignment(spark, dir))
+
+  /** The full cluster-assignment frame (doc_id, canonical_id, is_dup) —
+    * [[components]]' body, shared with [[keepBest]] so both queries run
+    * the identical iteration (single definition, no drift).
+    */
+  private[queries] def componentAssignment(
+      spark: SparkSession, dir: String): DataFrame = {
       val pairs = Q.materialize(
         verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
       val edges = pairs
@@ -659,7 +666,7 @@ object Dedup {
         .select(col("doc_id"),
           coalesce(col("label"), col("doc_id")).as("canonical_id"))
         .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
-    })
+  }
 
   val editDistance = Q(
     "dedup_edit_distance",
@@ -860,7 +867,77 @@ object Dedup {
           greatest(ca, cb).as("containment"))
     })
 
+  val keepBest = Q(
+    "dedup_keep_best",
+    "The KEEP decision a dedup pipeline actually executes — " +
+      "dedup_components says which docs are the same; this says which " +
+      "copy survives (published pipelines keep the best-quality member " +
+      "of each near-dup cluster rather than an arbitrary one): per " +
+      "cluster, the member with the highest composite quality score " +
+      "(the shared ta_quality_score expression, rounded to 6 decimals " +
+      "before comparison so the argmax is engine-exact), doc_id " +
+      "tie-break. Built on the SAME componentAssignment iteration as " +
+      "dedup_components (single definition) plus ONE further " +
+      "aggregation: argmax as max(struct(q6, -doc_id)) — " +
+      "partial-aggregable map-side, no per-cluster window — emitting " +
+      "per cluster the size, token volume, kept doc and its quality. " +
+      "At 100 TB this is components' cost plus one (canonical_id) " +
+      "shuffle of fixed-width rows.",
+    Some(s"""
+      WITH RECURSIVE $VerifiedCtes,
+           edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+                     UNION ALL SELECT doc_b, doc_a FROM verified),
+           reach(node, m) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b),
+           asg AS (SELECT node AS doc_id, min(m) AS canonical_id
+                   FROM reach GROUP BY node),
+           q AS (SELECT doc_id,
+                        len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+                        len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_distinct
+                 FROM documents),
+           qq AS (SELECT doc_id, n_tokens,
+                         round((${TextOps.QualitySql}) + 1e-9, 6) AS q6
+                  FROM q),
+           j AS (SELECT a.canonical_id, qq.doc_id, qq.n_tokens, qq.q6
+                 FROM asg a JOIN qq ON qq.doc_id = a.doc_id),
+           best AS (SELECT canonical_id, doc_id AS keep_doc_id,
+                           q6 AS keep_quality
+                    FROM (SELECT *, row_number() OVER (
+                            PARTITION BY canonical_id
+                            ORDER BY q6 DESC, doc_id) AS rk
+                          FROM j)
+                    WHERE rk = 1)
+      SELECT j.canonical_id, count(*)::BIGINT AS n_members,
+             sum(j.n_tokens)::BIGINT AS total_tokens,
+             max(b.keep_doc_id)::BIGINT AS keep_doc_id,
+             max(b.keep_quality) AS keep_quality
+      FROM j JOIN best b ON b.canonical_id = j.canonical_id
+      GROUP BY j.canonical_id""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val asg = componentAssignment(spark, dir)
+        .select(col("doc_id"), col("canonical_id"))
+      val qq = t(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(TextOps.qualityCol + lit(1e-9), 6).as("q6"))
+      // ONE aggregation: cluster census + deterministic argmax via
+      // max(struct(q6, -doc_id)) — highest quality, then lowest id.
+      asg.join(qq, "doc_id")
+        .groupBy(col("canonical_id"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          max(struct(col("q6"), (-col("doc_id")).as("nd"))).as("m"))
+        .select(col("canonical_id"), col("n_members"), col("total_tokens"),
+          (-col("m.nd")).cast("long").as("keep_doc_id"),
+          col("m.q6").as("keep_quality"))
+    })
+
   val all: Seq[Q] = Seq(exact, minhashSig, minhashPairs, ngramJaccard,
     simhash, simhashHamming, lshVerified, components, editDistance,
-    urlCanonical, containment)
+    urlCanonical, containment, keepBest)
 }

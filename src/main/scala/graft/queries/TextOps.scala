@@ -1102,29 +1102,11 @@ object TextOps {
           col("n_unique_texts"), col("dup_frac"))
     })
 
-  val qualityFit = Q(
-    "pipeline_quality_fit",
-    "Quality-classifier TRAINING on-cluster — two full-batch gradient " +
-      "steps of logistic regression distilling a labeling heuristic " +
-      "(n_words >= 60) into a cheap linear scorer over engine-exact " +
-      "features (clamped word/char counts, distinct-word ratio): the " +
-      "fastText-style quality-filter fit every LLM pipeline runs, and " +
-      "the repo's first SUPERVISED trainer (BPE learns a vocabulary, " +
-      "k-means/PCA are unsupervised). Per step: ONE corpus-scale " +
-      "aggregation builds the 4 gradient components (partial-aggregable " +
-      "sums — map-side combine, 4 doubles per partition leave), the " +
-      "1-row weight update broadcasts back (the bounded cross this " +
-      "family always uses), nothing else moves. Cross-row aggregates " +
-      "round to 6 decimals on both engines before reuse (the " +
-      "sim_power_iteration convention) so FP summation-order noise " +
-      "cannot compound across steps; accuracy predicts in z-space " +
-      "(margin > 1e-9, no sigmoid at the decision boundary). Step 1 " +
-      "closes sigmoid(0) = 0.5 analytically. Output: weights + training " +
-      "accuracy per step. At 100 TB each step is one scan + one 4-value " +
-      "reduce — the property that makes full-batch distillation " +
-      "feasible.",
-    Some("""
-      WITH f AS (SELECT doc_id,
+  /** The shared LR-training CTE chain (features → 2 rounded gradient
+    * steps → weights w1/w2) of [[qualityFit]] and [[qualityCalibration]] —
+    * single definition, no drift.
+    */
+  private val QfCtesSql = """f AS (SELECT doc_id,
                         CASE WHEN nw >= 60 THEN 1.0 ELSE 0.0 END AS y,
                         least(nw, 200) / 200.0 AS x1,
                         least(nc, 2000) / 2000.0 AS x2,
@@ -1152,7 +1134,80 @@ object TextOps {
                          round(w1.w1 - g2s.g1 / n + 1e-9, 6) AS w1,
                          round(w1.w2 - g2s.g2 / n + 1e-9, 6) AS w2,
                          round(w1.w3 - g2s.g3 / n + 1e-9, 6) AS w3
-                  FROM w1, g2s, n),
+                  FROM w1, g2s, n)"""
+
+  /** LR feature frame (y, x1..x3) — [[qualityFit]]'s scan, shared. */
+  private def qfFeatures(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    Q.materialize(
+      t(spark, dir, "documents").filter(length(col("text")) > 0)
+        .select(
+          when(size(toks) >= 60, 1.0).otherwise(0.0).as("y"),
+          (least(size(toks), lit(200)).cast("double") / 200.0).as("x1"),
+          (least(length(col("text")), lit(2000)).cast("double") / 2000.0)
+            .as("x2"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("x3")))
+  }
+
+  /** z = w·x as the SAME left-associated expression on both engines. */
+  private def qfZ: Column = col("w0") + col("w1") * col("x1") +
+    col("w2") * col("x2") + col("w3") * col("x3")
+
+  /** Two rounded full-batch gradient steps over a [[qfFeatures]] frame:
+    * (w1, w2), both materialized 1-row weight frames.
+    */
+  private def qfWeights(f: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    def r6(c: Column) = round(c + lit(1e-9), 6)
+    val nRow = f.agg(count(lit(1)).as("n"))
+    def grads(p: Column) = Seq(
+      r6(sum(p - col("y"))).as("g0"),
+      r6(sum((p - col("y")) * col("x1"))).as("g1"),
+      r6(sum((p - col("y")) * col("x2"))).as("g2"),
+      r6(sum((p - col("y")) * col("x3"))).as("g3"))
+    // step 1: w = 0, so sigmoid(z) = 0.5 for every row — closed form.
+    val g1 = f.agg(grads(lit(0.5)).head, grads(lit(0.5)).tail: _*)
+    val w1 = Q.materialize(g1.crossJoin(broadcast(nRow)).select(
+      r6(-col("g0") / col("n")).as("w0"), r6(-col("g1") / col("n")).as("w1"),
+      r6(-col("g2") / col("n")).as("w2"), r6(-col("g3") / col("n")).as("w3")))
+    val p = lit(1.0) / (lit(1.0) + exp(-qfZ))
+    val g2 = f.crossJoin(broadcast(w1))
+      .agg(grads(p).head, grads(p).tail: _*)
+    val w2 = Q.materialize(g2.crossJoin(broadcast(w1.select(
+      col("w0").as("pw0"), col("w1").as("pw1"),
+      col("w2").as("pw2"), col("w3").as("pw3"))))
+      .crossJoin(broadcast(nRow)).select(
+        r6(col("pw0") - col("g0") / col("n")).as("w0"),
+        r6(col("pw1") - col("g1") / col("n")).as("w1"),
+        r6(col("pw2") - col("g2") / col("n")).as("w2"),
+        r6(col("pw3") - col("g3") / col("n")).as("w3")))
+    (w1, w2)
+  }
+
+  val qualityFit = Q(
+    "pipeline_quality_fit",
+    "Quality-classifier TRAINING on-cluster — two full-batch gradient " +
+      "steps of logistic regression distilling a labeling heuristic " +
+      "(n_words >= 60) into a cheap linear scorer over engine-exact " +
+      "features (clamped word/char counts, distinct-word ratio): the " +
+      "fastText-style quality-filter fit every LLM pipeline runs, and " +
+      "the repo's first SUPERVISED trainer (BPE learns a vocabulary, " +
+      "k-means/PCA are unsupervised). Per step: ONE corpus-scale " +
+      "aggregation builds the 4 gradient components (partial-aggregable " +
+      "sums — map-side combine, 4 doubles per partition leave), the " +
+      "1-row weight update broadcasts back (the bounded cross this " +
+      "family always uses), nothing else moves. Cross-row aggregates " +
+      "round to 6 decimals on both engines before reuse (the " +
+      "sim_power_iteration convention) so FP summation-order noise " +
+      "cannot compound across steps; accuracy predicts in z-space " +
+      "(margin > 1e-9, no sigmoid at the decision boundary). Step 1 " +
+      "closes sigmoid(0) = 0.5 analytically. Output: weights + training " +
+      "accuracy per step. At 100 TB each step is one scan + one 4-value " +
+      "reduce — the property that makes full-batch distillation " +
+      "feasible.",
+    Some(s"""
+      WITH $QfCtesSql,
            a1 AS (SELECT round(avg(CASE WHEN (CASE WHEN w0 + w1*x1 + w2*x2 + w3*x3 > 1e-9
                                                THEN 1.0 ELSE 0.0 END) = y
                                    THEN 1.0 ELSE 0.0 END) + 1e-9, 4) AS accuracy
@@ -1165,44 +1220,10 @@ object TextOps {
       UNION ALL
       SELECT 2::BIGINT, w0, w1, w2, w3, accuracy FROM w2, a2""".stripMargin),
     (spark, dir) => {
-      def r6(c: Column) = round(c + lit(1e-9), 6)
-      val toks = filter(split(col("text"), " "), x => x =!= "")
-      val f = Q.materialize(
-        t(spark, dir, "documents").filter(length(col("text")) > 0)
-          .select(
-            when(size(toks) >= 60, 1.0).otherwise(0.0).as("y"),
-            (least(size(toks), lit(200)).cast("double") / 200.0).as("x1"),
-            (least(length(col("text")), lit(2000)).cast("double") / 2000.0)
-              .as("x2"),
-            (size(array_distinct(toks)).cast("double") / size(toks)).as("x3")))
-      val nRow = f.agg(count(lit(1)).as("n"))
-      def grads(p: Column) = Seq(
-        r6(sum(p - col("y"))).as("g0"),
-        r6(sum((p - col("y")) * col("x1"))).as("g1"),
-        r6(sum((p - col("y")) * col("x2"))).as("g2"),
-        r6(sum((p - col("y")) * col("x3"))).as("g3"))
-      // step 1: w = 0, so sigmoid(z) = 0.5 for every row — closed form.
-      val g1 = f.agg(grads(lit(0.5)).head, grads(lit(0.5)).tail: _*)
-      val w1 = Q.materialize(g1.crossJoin(broadcast(nRow)).select(
-        r6(-col("g0") / col("n")).as("w0"), r6(-col("g1") / col("n")).as("w1"),
-        r6(-col("g2") / col("n")).as("w2"), r6(-col("g3") / col("n")).as("w3")))
-      // z is the SAME left-associated expression on both engines, so the
-      // doubles agree bit-for-bit before the (rounded) aggregation.
-      val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
-        col("w3") * col("x3")
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
-      val g2 = f.crossJoin(broadcast(w1))
-        .agg(grads(p).head, grads(p).tail: _*)
-      val w2 = Q.materialize(g2.crossJoin(broadcast(w1.select(
-        col("w0").as("pw0"), col("w1").as("pw1"),
-        col("w2").as("pw2"), col("w3").as("pw3"))))
-        .crossJoin(broadcast(nRow)).select(
-          r6(col("pw0") - col("g0") / col("n")).as("w0"),
-          r6(col("pw1") - col("g1") / col("n")).as("w1"),
-          r6(col("pw2") - col("g2") / col("n")).as("w2"),
-          r6(col("pw3") - col("g3") / col("n")).as("w3")))
+      val f = qfFeatures(spark, dir)
+      val (w1, w2) = qfWeights(f)
       def accOf(w: org.apache.spark.sql.DataFrame) = {
-        val pred = when(z > 1e-9, 1.0).otherwise(0.0)
+        val pred = when(qfZ > 1e-9, 1.0).otherwise(0.0)
         f.crossJoin(broadcast(w))
           .agg(round(avg(when(pred === col("y"), 1.0).otherwise(0.0))
             + lit(1e-9), 4).as("accuracy"))
@@ -1212,6 +1233,51 @@ object TextOps {
           .select(lit(iter.toLong).as("iter"), col("w0"), col("w1"),
             col("w2"), col("w3"), col("accuracy"))
       row(1, w1).union(row(2, w2))
+    })
+
+  val qualityCalibration = Q(
+    "pipeline_quality_calibration",
+    "Classifier CALIBRATION on-cluster — the evaluation a pipeline runs " +
+      "before trusting a trained filter (the reliability diagram: does " +
+      "predicted probability 0.8 actually mean 80% positive?): score " +
+      "every doc with the step-2 weights of pipeline_quality_fit's LR " +
+      "(IDENTICAL shared training builders — single definition, no " +
+      "drift), bucket the predicted probability into 100 fixed equal-width " +
+      "bins (finer than the classic 10 because a 2-step model's " +
+      "probabilities concentrate near 0.5; only OCCUPIED bins emit, so " +
+      "the census stays <= 100 rows), and " +
+      "report per bin the doc count, mean predicted probability, and " +
+      "observed positive fraction. A well-calibrated bin has mean_pred " +
+      "≈ frac_pos; the gap IS the calibration error (ECE's per-bin " +
+      "term). Plan: the training scans (one per gradient step) plus ONE " +
+      "more pass — the 1-row weight frame broadcasts back, the binned " +
+      "aggregation partial-aggregates map-side; ≤10 rows leave. The " +
+      "sigmoid over bit-identical doubles is libm-identical, and the " +
+      "bin edge uses the shared epsilon shift, so bin MEMBERSHIP is " +
+      "engine-exact.",
+    Some(s"""
+      WITH $QfCtesSql,
+           scored AS (
+             SELECT y, 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) AS p
+             FROM f, w2),
+           b AS (SELECT least(99, floor(p * 100 + 1e-9))::BIGINT AS bin, y, p
+                 FROM scored)
+      SELECT bin, count(*)::BIGINT AS n_docs,
+             round(avg(p) + 1e-8, 4) AS mean_pred,
+             round(avg(y) + 1e-8, 4) AS frac_pos
+      FROM b GROUP BY bin""".stripMargin),
+    (spark, dir) => {
+      val f = qfFeatures(spark, dir)
+      val w2 = qfWeights(f)._2
+      f.crossJoin(broadcast(w2))
+        .select(col("y"),
+          (lit(1.0) / (lit(1.0) + exp(-qfZ))).as("p"))
+        .withColumn("bin",
+          least(lit(99L), floor(col("p") * 100 + lit(1e-9))).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          Det.r4e(avg(col("p"))).as("mean_pred"),
+          Det.r4e(avg(col("y"))).as("frac_pos"))
     })
 
   val bm25 = Q(
@@ -1503,5 +1569,5 @@ object TextOps {
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
     sampleExactK, unigramLogprob, bigramLogprob, piiRedact, encodingFix,
     tokenBudget, trainingCorpus, datasetCard, quarantine, bpeFit, bpeApply,
-    zipfFit, qualityFit, bm25)
+    zipfFit, qualityFit, qualityCalibration, bm25)
 }

@@ -112,7 +112,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_topk_sq8",
       // 20-row query-prefix batch in the funnel's stage-1 scan; stage 2
       // is equi joins only (r7).
-      "sim_topk_mrl")
+      "sim_topk_mrl",
+      // quality_fit's 1-row weight crosses, reused by the calibration
+      // census (r7).
+      "pipeline_quality_calibration")
     // The only queries allowed an UNPARTITIONED window (single-partition
     // shuffle) — each one's input bound is asserted above. This sweep is
     // what makes the session-wide WindowExec WARN suppression
