@@ -38,8 +38,10 @@ class MaterializeSpec extends AnyFunSuite {
     // The convergence loop routes through materializeLoop (always
     // lineage-cutting): under `persist`/`none` the self-join would
     // otherwise re-double the logical plan every round. This pins both
-    // the fallback's correctness and strategy-equivalence for the one
-    // iterative query in the inventory.
+    // the fallback's correctness and strategy-equivalence for the
+    // data-dependent-round-count iterative query (pagerank/label_prop
+    // iterate too, but over a fixed round count — the full Verify
+    // posture sweeps cover them end to end).
     val baseline = runUnder("none", Dedup.components)
     assert(baseline.nonEmpty)
     assert(runUnder("localCheckpoint", Dedup.components) == baseline)
