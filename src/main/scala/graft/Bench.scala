@@ -38,7 +38,8 @@ object Bench {
     "sim_dim_stats",
     "sim_power_iteration", "pipeline_corpus_clean", "pipeline_token_budget",
     "pipeline_modal_curation", "pipeline_dataset_card",
-    "pipeline_sample_exact_k", "pipeline_quarantine", "pipeline_upsert",
+    "pipeline_sample_exact_k", "pipeline_pack_sequences",
+    "pipeline_quarantine", "pipeline_upsert",
     "pipeline_bpe_fit", "pipeline_bpe_apply", "pipeline_quality_fit",
     "pipeline_quality_calibration", "pipeline_dsir_select",
     "ta_zipf_fit",

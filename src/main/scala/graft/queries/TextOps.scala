@@ -736,6 +736,59 @@ object TextOps {
         .filter(col("rk") <= 5)
         .select(col("source"), col("doc_id"), col("rk")))
 
+  val packSequences = Q(
+    "pipeline_pack_sequences",
+    "Sequence PACKING — the concat-and-chunk step every pretraining data " +
+      "loader runs after tokenization (GPT-style: concatenate docs in a " +
+      "deterministic order, cut into fixed 512-token training " +
+      "sequences; only the final sequence of each shard pads): docs are " +
+      "laid out per SOURCE shard in doc_id order, each doc's start " +
+      "offset is a running token sum (a window partitioned by source — " +
+      "the shard is the packing unit, so the cumsum never needs a " +
+      "global ordering and parallelizes across shards at any corpus " +
+      "size), and the census reports per shard the sequence count, " +
+      "padding waste, and how many docs straddle a sequence boundary " +
+      "(the attention-fragmentation number packing papers report). All " +
+      "integer arithmetic — offsets, integer division, exact BIGINTs; " +
+      "the oracle mirrors with SQL window cumsum and // division.",
+    Some("""
+      WITH d AS (SELECT source, doc_id,
+                        len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n
+                 FROM documents),
+           o AS (SELECT source, doc_id, n,
+                        coalesce(sum(n) OVER (
+                          PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0)::BIGINT AS off
+                 FROM d)
+      SELECT source, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+             ((sum(n) + 511) // 512)::BIGINT AS n_sequences,
+             (((sum(n) + 511) // 512) * 512 - sum(n))::BIGINT AS pad_tokens,
+             sum(CASE WHEN n > 0 AND (off // 512) <> ((off + n - 1) // 512)
+                      THEN 1 ELSE 0 END)::BIGINT AS n_boundary_docs
+      FROM o GROUP BY source""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      // Shard-local running offset: the window partitions by source, so
+      // packing is embarrassingly parallel across shards — no global sort.
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(spark, dir, "documents")
+        .select(col("source"), col("doc_id"), size(toks).cast("long").as("n"))
+        .withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("crosses",
+          col("n") > 0 &&
+            expr("off div 512") =!= expr("(off + n - 1) div 512"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n")).cast("long").as("total_tokens"),
+          expr("(sum(n) + 511) div 512").cast("long").as("n_sequences"),
+          (expr("(sum(n) + 511) div 512") * 512 - sum(col("n")))
+            .cast("long").as("pad_tokens"),
+          sum(when(col("crosses"), 1L).otherwise(0L)).cast("long")
+            .as("n_boundary_docs"))
+    })
+
   val unigramLogprob = Q(
     "ta_unigram_logprob",
     "Unigram cross-entropy per document — the perplexity-proxy quality " +
@@ -1567,7 +1620,7 @@ object TextOps {
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
-    sampleExactK, unigramLogprob, bigramLogprob, piiRedact, encodingFix,
+    sampleExactK, packSequences, unigramLogprob, bigramLogprob, piiRedact, encodingFix,
     tokenBudget, trainingCorpus, datasetCard, quarantine, bpeFit, bpeApply,
     zipfFit, qualityFit, qualityCalibration, bm25)
 }
