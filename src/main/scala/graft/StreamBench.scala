@@ -167,7 +167,12 @@ object StreamBench {
       // and watermark.
       run[Streams.StratumDoc]("bottomk_sample", { i =>
         Streams.StratumDoc(i, ts(i), s"src${i % 40}")
-      })(in => Streams.bottomKSampleStream(spark, in.toDS()).toDF()))
+      })(in => Streams.bottomKSampleStream(spark, in.toDS()).toDF()),
+      // Streaming packer: 40 shards; state is two longs per shard (next
+      // offset + monotone doc_id guard) no matter the input volume.
+      run[Streams.ShardDoc]("pack_sequences", { i =>
+        Streams.ShardDoc(i, ts(i), s"src${i % 40}", text(i, 200))
+      })(in => Streams.packSequencesStream(spark, in.toDS()).toDF()))
 
     val qs = results.map { r =>
       val rps = if (r.secs > 0) r.rows / r.secs else 0.0

@@ -838,4 +838,61 @@ object Streams {
           admitted.result().iterator
       }
   }
+
+  /** A doc arriving for the streaming packer: shard key + text. */
+  case class ShardDoc(doc_id: Long, ts: Timestamp, source: String,
+      text: String)
+
+  /** One doc's assigned slot in the packed training-sequence layout. */
+  case class PackedSlot(source: String, doc_id: Long, seq_id: Long,
+      start_pos: Long)
+
+  /** Streaming sequence packing — the incremental face of
+    * `pipeline_pack_sequences`: docs stream in per source shard and each
+    * is assigned its slot in the concat-and-chunk layout (seq_id = which
+    * fixed-length training sequence its first token lands in, start_pos
+    * = the offset within it) the moment it arrives — the data loader can
+    * start consuming sequence k as soon as the packer's offset passes
+    * (k+1)·L, instead of waiting for a batch layout job.
+    *
+    * Semantics, stated honestly: a packer is ORDER-DEFINED — the layout
+    * is a fold over arrival order, so stream==batch parity holds for
+    * in-order arrival (StreamsSpec pins it under any batch SPLIT of the
+    * in-order stream, plus within-batch shuffling, which the doc_id sort
+    * below absorbs). Replay safety is the monotone guard: state carries
+    * the highest doc_id packed per shard and drops arrivals at or below
+    * it, so Spark's whole-batch replays (always in original order)
+    * cannot double-count a shard's offset.
+    *
+    * State: exactly TWO longs per source shard (next offset, last
+    * doc_id) — bounded by |shards|, watermark-free by design like the
+    * bottom-k sampler (an idle shard's offset must survive quiet
+    * periods). At 100 TB: one (source)-keyed exchange of (id, n) pairs.
+    */
+  def packSequencesStream(spark: SparkSession, docs: Dataset[ShardDoc],
+      seqLen: Long = 512L): Dataset[PackedSlot] = {
+    import spark.implicits._
+    docs.toDF()
+      .select(col("source"), col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("n"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), PackedSlot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[(String, Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          var (off, lastId) = state.getOption.getOrElse((0L, Long.MinValue))
+          val out = Vector.newBuilder[PackedSlot]
+          for ((_, id, n) <- it.toSeq.sortBy(_._2)) {
+            if (id > lastId) { // monotone replay guard
+              out += PackedSlot(src, id, off / seqLen, off % seqLen)
+              off += n
+              lastId = id
+            }
+          }
+          state.update((off, lastId))
+          out.result().iterator
+      }
+  }
 }

@@ -1177,4 +1177,54 @@ class StreamsSpec extends AnyFunSuite {
       docs.grouped(180).toSeq.flatMap(b => Seq(b, b)))
     assert(dups == want, "duplicate delivery changed the sample")
   }
+
+  test("streaming packer assigns the batch layout under splits, " +
+      "within-batch shuffles, and whole-batch replays") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    // Reference layout: per-source cumsum in doc_id order, L=512.
+    val want = docs.groupBy(_._2).flatMap { case (src, ds) =>
+      var off = 0L
+      ds.sortBy(_._1).map { case (id, _, text) =>
+        val slot = (src, id, off / 512, off % 512)
+        off += text.split(" ").count(_.nonEmpty)
+        slot
+      }
+    }.toSet
+
+    def run(name: String, batches: Seq[Seq[(Long, String, String)]]): Set[(String, Long, Long, Long)] = {
+      val input = MemoryStream[Streams.ShardDoc]
+      val q = Streams.packSequencesStream(spark, input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b =>
+          input.addData(b.map { case (id, src, text) =>
+            Streams.ShardDoc(id, ts(0), src, text)
+          }: _*)
+          q.processAllAvailable()
+        }
+        spark.table(name).as[(String, Long, Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+
+    // In-order split; within each batch the rows are shuffled (the
+    // per-batch doc_id sort absorbs iterator order).
+    val rnd = new scala.util.Random(7)
+    val got = run("pack_inorder",
+      docs.grouped(120).map(b => rnd.shuffle(b)).toSeq)
+    assert(got == want, "streamed layout diverges from the batch layout")
+    // Whole-batch replay: each batch delivered twice — the monotone
+    // doc_id guard must drop the replay without double-counting offsets.
+    val replayed = run("pack_replay",
+      docs.grouped(120).toSeq.flatMap(b => Seq(b, b)))
+    assert(replayed == want, "batch replay corrupted the packing offsets")
+  }
 }
