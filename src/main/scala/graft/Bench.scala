@@ -42,6 +42,7 @@ object Bench {
     "pipeline_quarantine", "pipeline_upsert",
     "pipeline_bpe_fit", "pipeline_bpe_apply", "pipeline_quality_fit",
     "pipeline_quality_calibration", "pipeline_dsir_select",
+    "pipeline_fasttext_fit",
     "ta_zipf_fit",
     "pipeline_training_corpus", "mm_decode_stub", "mm_pixel_stats",
     "mm_png_stats", "mm_gif_stats", "mm_jpeg_stats", "mm_jpeg_color",

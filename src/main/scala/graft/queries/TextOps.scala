@@ -1333,6 +1333,152 @@ object TextOps {
           Det.r4e(avg(col("y"))).as("frac_pos"))
     })
 
+  /** Feature-hash bucket count for [[fasttextFit]] — 256 here so the spec
+    * can reason about occupancy; production uses 2^21, same plan (the
+    * bucket id is data, never a structure).
+    */
+  private val FtB = 256
+
+  val fasttextFit = Q(
+    "pipeline_fasttext_fit",
+    "fastText-style quality/domain classifier TRAINING (Joulin et al. " +
+      "2016) — logistic regression over HASHED bag-of-words features " +
+      "(Weinberger et al. 2009 hashing trick: term -> md5 bucket mod " +
+      s"$FtB; production uses 2^21 buckets, identical plan), the " +
+      "classifier CCNet/LLaMA-style pipelines actually deploy for " +
+      "document filtering. The scale story is what distinguishes this " +
+      "from pipeline_quality_fit's 4 fixed features: the model lives in " +
+      "FEATURE space, so each gradient step is a feature-KEYED " +
+      "aggregation (explode once into a materialized (doc, bucket, " +
+      "tf/|doc|) frame; gradient = sum over docs per bucket — shuffled " +
+      "by bucket key, partial-aggregable map-side) and the weight table " +
+      "joins back BY KEY, not broadcast (a 2M-bucket model is the " +
+      "ta_unigram_logprob vocabulary shape, quadratically past the " +
+      "4-double broadcast of quality_fit). Label: the content heuristic " +
+      "count('spark') >= 2 — a marker the bag-of-words CAN learn, and " +
+      "measurably does: the marker's bucket surfaces as the TOP-ranked, " +
+      "dominant, strengthening weight (FasttextFitSpec pins it; " +
+      "two conservative full-batch steps still predict the majority " +
+      "class, so accuracy reads the class prior — the weight VECTOR is " +
+      "where 2-step learning is visible, exactly as in quality_fit). " +
+      "Two full-batch steps; every cross-row sum rounds to 6 " +
+      "decimals on both engines before reuse (the power-iteration " +
+      "convention), margins threshold in z-space, step 1 closes " +
+      "sigmoid(0) = 0.5 analytically. Output: top-20 buckets by " +
+      "|step-2 weight| (rounded measure, bucket tie-break) with both " +
+      "steps' weights and both training accuracies. At 100 TB: one " +
+      "token explosion + per step one bucket-keyed reduce, one " +
+      "doc-keyed margin sum, one weight join — no corpus re-scan.",
+    Some(s"""
+      WITH d AS (SELECT * FROM (
+              SELECT doc_id,
+                     CASE WHEN len(list_filter(string_split(text, ' '), t -> t = 'spark')) >= 2
+                          THEN 1.0 ELSE 0.0 END AS y,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents WHERE length(text) > 0)
+            WHERE len(toks) > 0),
+           n AS (SELECT count(*)::BIGINT AS n FROM d),
+           f AS (SELECT doc_id, y, bucket, count(*)::DOUBLE / nw AS x
+                 FROM (SELECT doc_id, y, len(toks) AS nw,
+                              ('0x' || substr(md5('ft:' || unnest(toks)), 1, 8))::BIGINT % $FtB AS bucket
+                       FROM d)
+                 GROUP BY doc_id, y, nw, bucket),
+           g1 AS (SELECT bucket, round(sum((0.5 - y) * x) + 1e-9, 6) AS g
+                  FROM f GROUP BY bucket),
+           w1t AS (SELECT bucket, round(-g / n + 1e-9, 6) AS w FROM g1 CROSS JOIN n),
+           b1g AS (SELECT round(sum(0.5 - y) + 1e-9, 6) AS g FROM d),
+           b1 AS (SELECT round(-g / n + 1e-9, 6) AS w0 FROM b1g CROSS JOIN n),
+           m1 AS (SELECT f.doc_id, f.y, round(sum(w1t.w * f.x) + 1e-9, 6) AS s
+                  FROM f JOIN w1t USING (bucket) GROUP BY f.doc_id, f.y),
+           z1 AS (SELECT doc_id, y, s + w0 AS z FROM m1 CROSS JOIN b1),
+           a1 AS (SELECT round(avg(CASE WHEN (CASE WHEN z > 1e-9 THEN 1.0 ELSE 0.0 END) = y
+                                   THEN 1.0 ELSE 0.0 END) + 1e-8, 4) AS acc1 FROM z1),
+           p AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-z)) AS p FROM z1),
+           g2 AS (SELECT bucket, round(sum((p.p - p.y) * f.x) + 1e-9, 6) AS g
+                  FROM f JOIN p USING (doc_id) GROUP BY bucket),
+           w2t AS (SELECT bucket, round(w1t.w - g2.g / n + 1e-9, 6) AS w
+                   FROM w1t JOIN g2 USING (bucket) CROSS JOIN n),
+           b2g AS (SELECT round(sum(p - y) + 1e-9, 6) AS g FROM p),
+           b2 AS (SELECT round(b1.w0 - g / n + 1e-9, 6) AS w0 FROM b1 CROSS JOIN b2g CROSS JOIN n),
+           m2 AS (SELECT f.doc_id, f.y, round(sum(w2t.w * f.x) + 1e-9, 6) AS s
+                  FROM f JOIN w2t USING (bucket) GROUP BY f.doc_id, f.y),
+           z2 AS (SELECT doc_id, y, s + w0 AS z FROM m2 CROSS JOIN b2),
+           a2 AS (SELECT round(avg(CASE WHEN (CASE WHEN z > 1e-9 THEN 1.0 ELSE 0.0 END) = y
+                                   THEN 1.0 ELSE 0.0 END) + 1e-8, 4) AS acc2 FROM z2)
+      SELECT w1t.bucket, w1t.w AS w1, w2t.w AS w2, a1.acc1, a2.acc2
+      FROM w1t JOIN w2t USING (bucket) CROSS JOIN a1 CROSS JOIN a2
+      ORDER BY abs(w2t.w) DESC, bucket LIMIT 20""".stripMargin),
+    (spark, dir) => {
+      def r6(c: Column) = round(c + lit(1e-9), 6)
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      // One scan: (doc_id, y, nw, toks), materialized, feeds everything.
+      val base = Q.materialize(
+        t(spark, dir, "documents").filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            when(size(filter(toks, t => t === "spark")) >= 2, 1.0)
+              .otherwise(0.0).as("y"),
+            toks.as("toks"))
+          .filter(size(col("toks")) > 0)
+          .withColumn("nw", size(col("toks")).cast("long")))
+      val docs = base.select(col("doc_id"), col("y"))
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      // Hashed feature frame: x = tf / |doc| (fastText's mean pooling for
+      // the linear case). Bucket ids match the oracle's md5 arithmetic.
+      val f = Q.materialize(base
+        .select(col("doc_id"), col("y"), col("nw"),
+          explode(col("toks")).as("term"))
+        .withColumn("bucket", expr("cast(conv(substring(md5(concat('ft:', " +
+          s"term)), 1, 8), 16, 10) as bigint) % $FtB"))
+        .groupBy(col("doc_id"), col("y"), col("nw"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("y"), col("bucket"),
+          (col("c").cast("double") / col("nw")).as("x")))
+      // Step 1: w = 0 ⇒ sigmoid = 0.5 closed form; gradient keyed by bucket.
+      val g1 = f.groupBy(col("bucket"))
+        .agg(r6(sum((lit(0.5) - col("y")) * col("x"))).as("g"))
+      val w1t = Q.materialize(g1.crossJoin(broadcast(nRow))
+        .select(col("bucket"), r6(-col("g") / col("n")).as("w")))
+      val b1 = Q.materialize(
+        docs.agg(r6(sum(lit(0.5) - col("y"))).as("g"))
+          .crossJoin(broadcast(nRow))
+          .select(r6(-col("g") / col("n")).as("w0")))
+      // Margins: weight table joined back BY KEY (the vocabulary shape).
+      def margins(wt: org.apache.spark.sql.DataFrame,
+          bias: org.apache.spark.sql.DataFrame) =
+        f.join(wt, "bucket")
+          .groupBy(col("doc_id"), col("y"))
+          .agg(r6(sum(col("w") * col("x"))).as("s"))
+          .crossJoin(broadcast(bias))
+          .select(col("doc_id"), col("y"), (col("s") + col("w0")).as("z"))
+      val z1 = Q.materialize(margins(w1t, b1))
+      def accOf(z: org.apache.spark.sql.DataFrame, name: String) =
+        z.agg(Det.r4e(avg(
+          when((when(col("z") > 1e-9, 1.0).otherwise(0.0)) === col("y"), 1.0)
+            .otherwise(0.0))).as(name))
+      // Step 2: real sigmoid over the rounded margins.
+      val p = z1.select(col("doc_id"), col("y"),
+        (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
+      val g2 = f.join(p.select(col("doc_id"), col("p")), "doc_id")
+        .groupBy(col("bucket"))
+        .agg(r6(sum((col("p") - col("y")) * col("x"))).as("g"))
+      val w2t = Q.materialize(
+        w1t.select(col("bucket"), col("w").as("pw"))
+          .join(g2, "bucket").crossJoin(broadcast(nRow))
+          .select(col("bucket"), r6(col("pw") - col("g") / col("n")).as("w")))
+      val b2 = Q.materialize(
+        p.agg(r6(sum(col("p") - col("y"))).as("g"))
+          .crossJoin(broadcast(b1)).crossJoin(broadcast(nRow))
+          .select(r6(col("w0") - col("g") / col("n")).as("w0")))
+      val z2 = margins(w2t, b2)
+      w1t.select(col("bucket"), col("w").as("w1"))
+        .join(w2t.select(col("bucket"), col("w").as("w2")), "bucket")
+        .orderBy(abs(col("w2")).desc, col("bucket").asc)
+        .limit(20)
+        .crossJoin(broadcast(accOf(z1, "acc1")))
+        .crossJoin(broadcast(accOf(z2, "acc2")))
+        .select(col("bucket"), col("w1"), col("w2"), col("acc1"), col("acc2"))
+    })
+
   val bm25 = Q(
     "ta_bm25",
     "BM25 document ranking (Robertson-Sparck Jones idf, k1=1.2, b=0.75) " +
@@ -1622,5 +1768,5 @@ object TextOps {
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
     sampleExactK, packSequences, unigramLogprob, bigramLogprob, piiRedact, encodingFix,
     tokenBudget, trainingCorpus, datasetCard, quarantine, bpeFit, bpeApply,
-    zipfFit, qualityFit, qualityCalibration, bm25)
+    zipfFit, qualityFit, qualityCalibration, fasttextFit, bm25)
 }

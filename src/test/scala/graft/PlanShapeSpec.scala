@@ -115,7 +115,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_topk_mrl",
       // quality_fit's 1-row weight crosses, reused by the calibration
       // census (r7).
-      "pipeline_quality_calibration")
+      "pipeline_quality_calibration",
+      // 1-row n/bias/accuracy crosses around the hashed-LR trainer; the
+      // weight TABLE itself joins by bucket key, never crosses (r7).
+      "pipeline_fasttext_fit")
     // The only queries allowed an UNPARTITIONED window (single-partition
     // shuffle) — each one's input bound is asserted above. This sweep is
     // what makes the session-wide WindowExec WARN suppression
