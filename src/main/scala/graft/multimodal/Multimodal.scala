@@ -174,6 +174,49 @@ object Multimodal {
       }
   }
 
+  /** Deterministic COMPANDED audio payload for a document: an 8 kHz mono
+    * G.711 mu-law WAV (format tag 7) whose code stream alternates wire
+    * polarity — even positions carry the UTF-8 byte as-is (ASCII range →
+    * sign-bit-clear wire codes → NEGATIVE expanded samples), odd positions
+    * carry `b + 128` (sign-bit-set → positive) — so every payload expands
+    * through both sign branches and exponent segments 0–5 of the
+    * logarithmic table. The junk LIST chunk rides along as in
+    * [[syntheticWav]], exercising the chunk walk on every file.
+    */
+  def syntheticMulawWav(textBytes: Array[Byte]): Array[Byte] = {
+    require(textBytes.length > 0, "empty payload")
+    val codes = new Array[Byte](textBytes.length)
+    var i = 0
+    while (i < codes.length) {
+      val b = textBytes(i) & 0xff
+      codes(i) = (if (i % 2 == 1) (b + 128) & 0xff else b).toByte
+      i += 1
+    }
+    Wav.encodeMulaw(8000, codes, junkChunk = true)
+  }
+
+  /** The companding twin of [[audioStats]]: synthesize the mu-law WAV,
+    * round-trip it through the real chunk walk + G.711 expansion in
+    * partition-local batches. Payload bytes never shuffle.
+    */
+  def mulawStats(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    asciiPayloadDocs(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            val s = Wav.decodeMulaw(syntheticMulawWav(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            AudioFeatures(id, s.nSamples, s.sampleRate, s.sumAmp, s.sumSq,
+              s.peak)
+          }
+        }
+      }
+  }
+
   /** Walsh-spectrum features over the decoded analysis window: exact
     * integer coefficients (see [[Walsh]]), so dominance and energy are
     * engine-reproducible with no rounding step at all.

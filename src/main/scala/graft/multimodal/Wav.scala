@@ -82,10 +82,12 @@ object Wav {
   }
 
   /** The shared chunk walk: validates RIFF/WAVE magic, locates `fmt ` and
-    * `data`, validates the PCM16-mono format. Returns
+    * `data`, validates the mono format against the caller's expected
+    * format tag + bit depth (1/16 = PCM16, 7/8 = G.711 mu-law). Returns
     * `(sampleRate, dataOff, dataLen)`.
     */
-  private def walkChunks(bytes: Array[Byte]): (Int, Int, Int) = {
+  private def walkChunks(bytes: Array[Byte], wantFormat: Int = 1,
+      wantBits: Int = 16): (Int, Int, Int) = {
     require(bytes.length >= 44 && ascii(bytes, 0) == "RIFF" &&
       ascii(bytes, 8) == "WAVE", "not a WAV: bad RIFF/WAVE magic")
     var off = 12
@@ -103,14 +105,17 @@ object Wav {
           val format = getLE(bytes, off + 8, 2)
           val channels = getLE(bytes, off + 10, 2)
           val bits = getLE(bytes, off + 22, 2)
-          require(format == 1, s"unsupported audio format $format (PCM only)")
+          require(format == wantFormat,
+            s"unsupported audio format $format (want $wantFormat)")
           require(channels == 1, s"unsupported channel count $channels")
-          require(bits == 16, s"unsupported bit depth $bits")
+          require(bits == wantBits,
+            s"unsupported bit depth $bits (want $wantBits)")
           sampleRate = getLE(bytes, off + 12, 4)
           require(sampleRate > 0, s"bad sample rate $sampleRate")
         case "data" =>
           require(sampleRate > 0, "data chunk before fmt")
-          require(size % 2 == 0, s"odd PCM16 data size $size")
+          require(size % (wantBits / 8) == 0,
+            s"data size $size not a multiple of the sample width")
           dataOff = off + 8
           dataLen = size
         case _ => // LIST/INFO/fact/...: skip
@@ -156,5 +161,89 @@ object Wav {
     var i = 0
     while (i < n) { out(i) = sampleAt(bytes, dataOff + 2 * i); i += 1 }
     (sampleRate, out)
+  }
+
+  // --- G.711 mu-law (the COMPANDING codec class: logarithmic 8-bit
+  // telephony samples; ITU-T G.711, the format tag-7 WAVE profile).
+  // Expansion/compression follow the classic public-domain formulation
+  // (Sun g711.c): BIAS 0x84 = 132, 4-bit mantissa, 3-bit exponent,
+  // one's-complement wire form.
+
+  /** Expand one 8-bit mu-law code (wire form) to its linear PCM16 value. */
+  def ulaw2linear(code: Int): Int = {
+    val u = (~code) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Compress one linear PCM16 value to its 8-bit mu-law wire code —
+    * the encode direction, used by round-trip tests and the synthetic
+    * payload builder's differential legs.
+    */
+  def linear2ulaw(pcm: Int): Int = {
+    require(pcm >= -32768 && pcm <= 32767, s"PCM16 out of range: $pcm")
+    val sign = if (pcm < 0) 0x80 else 0
+    var mag = math.min(if (pcm < 0) -pcm else pcm, 32635) + 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (mag & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (mag >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mant)) & 0xff
+  }
+
+  /** Encode mono mu-law codes as a RIFF/WAVE file (format tag 7, 8-bit
+    * samples, blockAlign 1). Same junk-chunk knob as [[encode]].
+    */
+  def encodeMulaw(sampleRate: Int, codes: Array[Byte],
+      junkChunk: Boolean = false): Array[Byte] = {
+    require(codes.length <= Int.MaxValue - 100,
+      s"sample count ${codes.length} exceeds RIFF Int size fields")
+    val junkPayload = 7
+    val junkSize = if (junkChunk) 8 + junkPayload + 1 else 0
+    val riffSize = 4 + 24 + junkSize + 8 + codes.length
+    val out = new Array[Byte](8 + riffSize)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putLE(out, 4, riffSize, 4)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putLE(out, 16, 16, 4)            // fmt payload size
+    putLE(out, 20, 7, 2)             // audio format 7 = mu-law
+    putLE(out, 22, 1, 2)             // channels = 1
+    putLE(out, 24, sampleRate, 4)
+    putLE(out, 28, sampleRate, 4)    // byte rate (1 byte/sample)
+    putLE(out, 32, 1, 2)             // block align
+    putLE(out, 34, 8, 2)             // bits per sample
+    var off = 36
+    if (junkChunk) {
+      out(off) = 'L'; out(off + 1) = 'I'; out(off + 2) = 'S'; out(off + 3) = 'T'
+      putLE(out, off + 4, junkPayload, 4)
+      var i = 0
+      while (i < junkPayload) { out(off + 8 + i) = (0x5a + i).toByte; i += 1 }
+      off += 8 + junkPayload + 1
+    }
+    out(off) = 'd'; out(off + 1) = 'a'; out(off + 2) = 't'; out(off + 3) = 'a'
+    putLE(out, off + 4, codes.length, 4)
+    System.arraycopy(codes, 0, out, off + 8, codes.length)
+    out
+  }
+
+  /** Decode a mu-law mono RIFF/WAVE file to amplitude statistics over the
+    * EXPANDED linear samples — same chunk walk and loud-reject contract
+    * as [[decode]], different sample profile (format 7, 8-bit).
+    */
+  def decodeMulaw(bytes: Array[Byte]): AudioStats = {
+    val (sampleRate, dataOff, dataLen) =
+      walkChunks(bytes, wantFormat = 7, wantBits = 8)
+    var sumAmp = 0L; var sumSq = 0L; var peak = 0
+    var i = 0
+    while (i < dataLen) {
+      val s = ulaw2linear(bytes(dataOff + i) & 0xff)
+      sumAmp += s
+      sumSq += s.toLong * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      i += 1
+    }
+    AudioStats(dataLen.toLong, sampleRate, sumAmp, sumSq, peak)
   }
 }

@@ -480,6 +480,56 @@ object MultimodalOps {
           Det.r4e(sqrt(col("sum_sq").cast("double") / col("n_samples")))
             .as("rms")))
 
+  val ulawStats = Q(
+    "mm_ulaw_stats",
+    "REAL COMPANDED audio decode — the logarithmic-quantization codec " +
+      "class (ITU-T G.711 mu-law, the WAVE format-tag-7 profile 8 kHz " +
+      "telephony audio actually ships in): each document's bytes become " +
+      "a mu-law WAV whose wire codes alternate polarity by position, so " +
+      "every payload expands through BOTH sign branches and exponent " +
+      "segments 0-5 of the logarithmic table; the junk LIST chunk rides " +
+      "along so every file exercises the chunk walk. graft.multimodal." +
+      "Wav walks the chunks, validates the format-7/8-bit profile, and " +
+      "expands each one's-complement code through the classic " +
+      "BIAS-132/4-bit-mantissa formulation to exact linear PCM16 sums. " +
+      "MulawSpec pins the expansion table sample-for-sample against the " +
+      "JDK's OWN independent javax.sound G.711 decoder and round-trips " +
+      "compression. Oracle: the expansion arithmetic in SQL over the " +
+      "same bytes (ASCII contract as mm_pixel_stats). One scan, zero " +
+      "exchanges; payload never shuffles.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           u AS (SELECT doc_id, len,
+                        255 - CASE WHEN i % 2 = 1
+                                   THEN (ascii(substr(text, (i + 1)::INT, 1)) + 128) % 256
+                                   ELSE ascii(substr(text, (i + 1)::INT, 1)) END AS uc
+                 FROM (SELECT doc_id, text, len, unnest(range(0, len)) AS i
+                       FROM d)),
+           s AS (SELECT doc_id, len,
+                        CASE WHEN uc >= 128 THEN 132 - t ELSE t - 132 END AS amp
+                 FROM (SELECT doc_id, len, uc,
+                              ((uc % 16) * 8 + 132) << ((uc // 16) % 8) AS t
+                       FROM u))
+      SELECT doc_id, len::BIGINT AS n_samples, 8000::BIGINT AS sample_rate,
+             (len * 1000 // 8000)::BIGINT AS duration_ms,
+             max(abs(amp))::BIGINT AS peak,
+             round(sum(amp)::DOUBLE / len + 1e-8, 4) AS mean_amp,
+             round(sqrt(sum(amp::BIGINT * amp)::DOUBLE / len) + 1e-8, 4) AS rms
+      FROM s GROUP BY doc_id, len""".stripMargin),
+    (spark, dir) =>
+      Multimodal.mulawStats(spark, t(spark, dir, "documents"))
+        .toDF()
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          expr("n_samples * 1000L div sample_rate").as("duration_ms"),
+          col("peak"),
+          Det.r4e(col("sum_amp").cast("double") / col("n_samples"))
+            .as("mean_amp"),
+          Det.r4e(sqrt(col("sum_sq").cast("double") / col("n_samples")))
+            .as("rms")))
+
   val gifStats = Q(
     "mm_gif_stats",
     "REAL DICTIONARY-CODED image decode — the second entropy coder " +
@@ -843,5 +893,6 @@ object MultimodalOps {
 
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
     pngStats, gifStats, jpegStats, jpegColor, phash, phashHamming, wavStats,
-    audioSpectrum, audioHamming, videoStats, videoPhash, crossModal)
+    ulawStats, audioSpectrum, audioHamming, videoStats, videoPhash,
+    crossModal)
 }
