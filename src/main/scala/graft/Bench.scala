@@ -47,7 +47,7 @@ object Bench {
     "pipeline_training_corpus", "mm_decode_stub", "mm_pixel_stats",
     "mm_png_stats", "mm_gif_stats", "mm_jpeg_stats", "mm_jpeg_color",
     "mm_phash", "mm_phash_hamming",
-    "mm_wav_stats", "mm_ulaw_stats",
+    "mm_wav_stats", "mm_ulaw_stats", "mm_adpcm_stats",
     "mm_audio_spectrum", "mm_audio_hamming", "mm_video_stats",
     "mm_video_phash", "dedup_cross_modal",
     "graph_pagerank", "graph_triangles", "graph_label_prop",

@@ -217,6 +217,49 @@ object Multimodal {
       }
   }
 
+  /** Deterministic PREDICTIVE-CODED audio payload for a document: an IMA
+    * ADPCM WAV whose 4-bit code stream is `(byte_i + i) mod 16` — every
+    * nibble value (both signs, all magnitude bits) appears across a
+    * payload, so the adaptive step walks up AND down. Block headers are
+    * predictor 0 / index 0 (an encoder's prerogative; the decoder reads
+    * whatever the header says), blockAlign 8 → 9 samples per block, and
+    * the `fact` chunk carries the true count so the final block's
+    * padding nibbles are never decoded.
+    */
+  def syntheticAdpcmWav(textBytes: Array[Byte]): Array[Byte] = {
+    require(textBytes.length > 0, "empty payload")
+    val nibbles = new Array[Byte](textBytes.length)
+    var i = 0
+    while (i < nibbles.length) {
+      nibbles(i) = (((textBytes(i) & 0xff) + i) % 16).toByte
+      i += 1
+    }
+    Adpcm.encodeNibbles(8000, nibbles)
+  }
+
+  /** The predictive twin of [[audioStats]]/[[mulawStats]]: synthesize the
+    * ADPCM WAV, round-trip it through the real extended-fmt/fact/block
+    * walk + adaptive prediction loop in partition-local batches. Payload
+    * bytes never shuffle.
+    */
+  def adpcmStats(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    asciiPayloadDocs(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            val s = Adpcm.decode(syntheticAdpcmWav(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            AudioFeatures(id, s.nSamples, s.sampleRate, s.sumAmp, s.sumSq,
+              s.peak)
+          }
+        }
+      }
+  }
+
   /** Walsh-spectrum features over the decoded analysis window: exact
     * integer coefficients (see [[Walsh]]), so dominance and energy are
     * engine-reproducible with no rounding step at all.

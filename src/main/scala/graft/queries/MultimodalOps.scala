@@ -530,6 +530,88 @@ object MultimodalOps {
           Det.r4e(sqrt(col("sum_sq").cast("double") / col("n_samples")))
             .as("rms")))
 
+  /** IMA step/index tables as DuckDB list literals for the ADPCM oracle's
+    * stateful list_reduce recursion — same values as
+    * [[graft.multimodal.Adpcm.StepTable]]/[[graft.multimodal.Adpcm.IndexTable]].
+    */
+  private val AdpcmStSql = graft.multimodal.Adpcm.StepTable
+    .mkString("[", ",", "]::BIGINT[]")
+  private val AdpcmItSql = graft.multimodal.Adpcm.IndexTable
+    .mkString("[", ",", "]::BIGINT[]")
+
+  /** The reconstructed-sample expression of the ADPCM oracle lambda:
+    * clamp(pred ± (step/8 [+step][+step/2][+step/4])). Appears twice in
+    * the reduce (new state head + appended sample) because SQL lambdas
+    * cannot bind locals.
+    */
+  private val AdpcmPredSql = """greatest(-32768, least(32767,
+      a[1] + (CASE WHEN x[1] >= 8 THEN -1 ELSE 1 END) *
+        (st[(a[2]+1)::INT] // 8
+         + CASE WHEN (x[1] // 4) % 2 = 1 THEN st[(a[2]+1)::INT] ELSE 0 END
+         + CASE WHEN (x[1] // 2) % 2 = 1 THEN st[(a[2]+1)::INT] // 2 ELSE 0 END
+         + CASE WHEN x[1] % 2 = 1 THEN st[(a[2]+1)::INT] // 4 ELSE 0 END)))"""
+
+  val adpcmStats = Q(
+    "mm_adpcm_stats",
+    "REAL PREDICTIVE audio decode — IMA/DVI ADPCM (WAVE format tag " +
+      "0x11), the adaptive differential codec class (each 4-bit code is " +
+      "a quantized PREDICTION ERROR; the decoder carries per-block " +
+      "(predictor, step-index) state through the standard 89-entry " +
+      "adaptive step table, so one mis-decoded nibble corrupts every " +
+      "later sample of its block — exactly what makes the stats oracle-" +
+      "sensitive). The container is the canonical mono profile: " +
+      "EXTENDED fmt chunk (cbSize + samplesPerBlock, cross-validated " +
+      "against blockAlign), a fact chunk carrying the true sample count " +
+      "(the real mechanism that keeps final-block padding nibbles " +
+      "undecoded), 8-byte blocks of [predictor i16, index u8, reserved, " +
+      "nibbles low-first]. Synthesis: nibble i = (byte_i + i) mod 16 — " +
+      "all 16 code values appear, the step walks up AND down. Oracle: " +
+      "the full stateful recursion in SQL via list_reduce with a " +
+      "growing accumulator (state head + decoded-sample tail) — the " +
+      "repo's first sequentially-recursive oracle. AdpcmSpec adds the " +
+      "real encoder (encoder-embeds-decoder state tracking) with a " +
+      "committed round-trip error bound. One scan, zero exchanges; " +
+      "payload never shuffles.",
+    Some(s"""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                 FROM documents
+                 WHERE length(text) > 0
+                   AND octet_length(encode(text)) = length(text)),
+           tabs AS (SELECT $AdpcmStSql AS st, $AdpcmItSql AS it),
+           nib AS (SELECT doc_id, len, i // 8 AS blk, i % 8 AS pos,
+                          ((ascii(substr(text, (i+1)::INT, 1)) + i) % 16)::BIGINT AS n
+                   FROM (SELECT doc_id, text, len, unnest(range(0, len)) AS i
+                         FROM d)),
+           blk AS (SELECT doc_id, len, blk,
+                          list_prepend([0::BIGINT, 0], list([n] ORDER BY pos)) AS lst
+                   FROM nib GROUP BY doc_id, len, blk),
+           r AS (SELECT doc_id, len,
+                        list_reduce(lst, (a, x) ->
+                          list_append(
+                            [$AdpcmPredSql,
+                             greatest(0, least(88, a[2] + it[(x[1]+1)::INT]))] ||
+                            a[3:],
+                            $AdpcmPredSql)) AS res
+                 FROM blk CROSS JOIN tabs),
+           s AS (SELECT doc_id, len, unnest(res[3:]) AS amp FROM r)
+      SELECT doc_id, (len + (len + 7) // 8)::BIGINT AS n_samples,
+             8000::BIGINT AS sample_rate,
+             ((len + (len + 7) // 8) * 1000 // 8000)::BIGINT AS duration_ms,
+             max(abs(amp))::BIGINT AS peak,
+             round(sum(amp)::DOUBLE / (len + (len + 7) // 8) + 1e-8, 4) AS mean_amp,
+             round(sqrt(sum(amp*amp)::DOUBLE / (len + (len + 7) // 8)) + 1e-8, 4) AS rms
+      FROM s GROUP BY doc_id, len""".stripMargin),
+    (spark, dir) =>
+      Multimodal.adpcmStats(spark, t(spark, dir, "documents"))
+        .toDF()
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          expr("n_samples * 1000L div sample_rate").as("duration_ms"),
+          col("peak"),
+          Det.r4e(col("sum_amp").cast("double") / col("n_samples"))
+            .as("mean_amp"),
+          Det.r4e(sqrt(col("sum_sq").cast("double") / col("n_samples")))
+            .as("rms")))
+
   val gifStats = Q(
     "mm_gif_stats",
     "REAL DICTIONARY-CODED image decode — the second entropy coder " +
@@ -893,6 +975,6 @@ object MultimodalOps {
 
   val all: Seq[Q] = Seq(decodeStub, frameSample, byteEntropy, pixelStats,
     pngStats, gifStats, jpegStats, jpegColor, phash, phashHamming, wavStats,
-    ulawStats, audioSpectrum, audioHamming, videoStats, videoPhash,
-    crossModal)
+    ulawStats, adpcmStats, audioSpectrum, audioHamming, videoStats,
+    videoPhash, crossModal)
 }
