@@ -937,7 +937,106 @@ object Dedup {
           col("m.q6").as("keep_quality"))
     })
 
+  /** Character-level LCP of `a` with neighbor column `nb`, capped at the
+    * stored suffix width: first-mismatch position over a generated index
+    * sequence — the identical textual form runs in DuckDB (array_position
+    * and list_position both return 0 on miss, so the nullif/coalesce
+    * closure is engine-identical).
+    */
+  private def lcpSql(a: String, nb: String): String =
+    s"""coalesce(nullif(array_position(transform(
+       |  sequence(1, cast(least(length($a), length($nb)) as int)),
+       |  j -> substring($a, j, 1) = substring($nb, j, 1)), false), 0) - 1,
+       |  least(length($a), length($nb)))""".stripMargin
+
+  val substringDup = Q(
+    "dedup_substring",
+    "EXACT-SUBSTRING dedup census (Lee et al. 2022, 'Deduplicating " +
+      "Training Data Makes Language Models Better' — the suffix-array " +
+      "method, at character granularity): for every suffix position in " +
+      "every doc, does its 20-char prefix occur in ANOTHER doc, and what " +
+      "is the longest cross-doc shared substring (capped at the stored " +
+      "64-char suffix width)? Mechanics are the suffix-array adjacency " +
+      "theorem made distributed: suffixes sharing >= 20 chars " +
+      "necessarily share their 20-char BLOCK key, so blocking replaces " +
+      "the global suffix sort with per-block sorted runs — the max " +
+      "cross-doc LCP is attained at an ADJACENT pair (one side in the " +
+      "doc) of the block-local order, by the standard min-over-path " +
+      "argument, so lead/lag over a blk-PARTITIONED window finds it " +
+      "without any all-pairs compare. Cross-doc existence per block is " +
+      "min(doc)!=max(doc) — one window pass, one shuffle, no " +
+      "countDistinct. At 100 TB the suffix explosion is ~L rows per doc " +
+      "(the dedup_span shape at every position instead of stride 8) " +
+      "keyed by fixed 20-byte blocks; skewed hot blocks are bounded " +
+      "sorted runs, and the LCP compare is capped at 64 chars per " +
+      "adjacent pair. Output per doc: duplicated-position count + " +
+      "longest cross-doc shared length.",
+    Some(s"""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+           suf AS (SELECT doc_id, i AS pos,
+                          substr(text, (i+1)::INT, 64) AS s64,
+                          substr(text, (i+1)::INT, 20) AS blk
+                   FROM (SELECT doc_id, text, unnest(range(0, length(text) - 19)) AS i
+                         FROM d)),
+           w AS (SELECT doc_id, pos, s64,
+                        min(doc_id) OVER (PARTITION BY blk) AS mind,
+                        max(doc_id) OVER (PARTITION BY blk) AS maxd,
+                        lead(s64) OVER ord AS nxt,
+                        lead(doc_id) OVER ord AS nxtd,
+                        lag(s64) OVER ord AS prv,
+                        lag(doc_id) OVER ord AS prvd
+                 FROM suf
+                 WINDOW ord AS (PARTITION BY blk ORDER BY s64, doc_id, pos)),
+           p AS (SELECT doc_id,
+                        CASE WHEN nxtd IS NOT NULL AND nxtd <> doc_id THEN
+                          coalesce(nullif(list_position(list_transform(
+                            range(1, least(length(s64), length(nxt))::BIGINT + 1),
+                            j -> substr(s64, j::INT, 1) = substr(nxt, j::INT, 1)), false), 0) - 1,
+                            least(length(s64), length(nxt)))
+                        END AS lcp_n,
+                        CASE WHEN prvd IS NOT NULL AND prvd <> doc_id THEN
+                          coalesce(nullif(list_position(list_transform(
+                            range(1, least(length(s64), length(prv))::BIGINT + 1),
+                            j -> substr(s64, j::INT, 1) = substr(prv, j::INT, 1)), false), 0) - 1,
+                            least(length(s64), length(prv)))
+                        END AS lcp_p
+                 FROM w WHERE mind <> maxd)
+      SELECT doc_id, count(*)::BIGINT AS n_dup_pos,
+             greatest(max(lcp_n), max(lcp_p))::BIGINT AS max_shared
+      FROM p GROUP BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val suf = t(spark, dir, "documents")
+        .filter(length(col("text")) >= 20)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), length(col("text")) - 20)).as("pos"),
+          col("text"))
+        .select(col("doc_id"), col("pos"),
+          expr("substring(text, pos + 1, 64)").as("s64"),
+          expr("substring(text, pos + 1, 20)").as("blk"))
+      val wAll = Window.partitionBy(col("blk"))
+      val wOrd = Window.partitionBy(col("blk"))
+        .orderBy(col("s64"), col("doc_id"), col("pos"))
+      suf
+        .withColumn("mind", min(col("doc_id")).over(wAll))
+        .withColumn("maxd", max(col("doc_id")).over(wAll))
+        .withColumn("nxt", lead(col("s64"), 1).over(wOrd))
+        .withColumn("nxtd", lead(col("doc_id"), 1).over(wOrd))
+        .withColumn("prv", lag(col("s64"), 1).over(wOrd))
+        .withColumn("prvd", lag(col("doc_id"), 1).over(wOrd))
+        .filter(col("mind") =!= col("maxd"))
+        .withColumn("lcp_n",
+          when(col("nxtd").isNotNull && col("nxtd") =!= col("doc_id"),
+            expr(lcpSql("s64", "nxt"))).otherwise(lit(null)))
+        .withColumn("lcp_p",
+          when(col("prvd").isNotNull && col("prvd") =!= col("doc_id"),
+            expr(lcpSql("s64", "prv"))).otherwise(lit(null)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_dup_pos"),
+          greatest(max(col("lcp_n")), max(col("lcp_p"))).cast("long")
+            .as("max_shared"))
+    })
+
   val all: Seq[Q] = Seq(exact, minhashSig, minhashPairs, ngramJaccard,
     simhash, simhashHamming, lshVerified, components, editDistance,
-    urlCanonical, containment, keepBest)
+    urlCanonical, containment, keepBest, substringDup)
 }

@@ -52,7 +52,8 @@ class DeterminismSpec extends AnyFunSuite {
     "pipeline_dsir_select" -> sfCaps, // rounded-score top-50 with ties (r7)
     "sim_topk_sq8" -> sfSmoke,        // integer-distance ANN ranking ties (r7)
     "pipeline_bpe_apply" -> sfSmoke,  // merge tie-breaks + sentinel apply (r7)
-    "pipeline_fasttext_fit" -> sfSmoke) // rounded gradient sums + |w2| top-20 ties (r7)
+    "pipeline_fasttext_fit" -> sfSmoke, // rounded gradient sums + |w2| top-20 ties (r7)
+    "dedup_substring" -> sfSmoke)     // block-partitioned window adjacency (r7)
 
   private def runAt(name: String, dir: String, partitions: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
