@@ -35,6 +35,7 @@ object Bench {
     "q_full_outer_recon", "q_events_interval_join", "q_retention_cohorts",
     "q_events_gapfill", "q_large_orders_having",
     "dedup_bloom_incremental", "ta_unigram_logprob", "ta_bigram_logprob",
+    "ta_kn_logprob",
     "sim_dim_stats",
     "sim_power_iteration", "pipeline_corpus_clean", "pipeline_token_budget",
     "pipeline_modal_curation", "pipeline_dataset_card",

@@ -1614,6 +1614,91 @@ object TextOps {
           Det.r2e(exp(col("nll") / col("n_bigrams"))).as("ppl"))
     })
 
+  val knLogprob = Q(
+    "ta_kn_logprob",
+    "Interpolated KNESER-NEY bigram cross-entropy per document — the " +
+      "actual smoothing family KenLM implements, i.e. the real " +
+      "CCNet/Wenzek perplexity filter rather than ta_bigram_logprob's " +
+      "MLE: P(w2|w1) = (max(c12 - D, 0) + D * N1+(w1.) * Pcont(w2)) / " +
+      "c1 with D = 0.75 and the CONTINUATION distribution Pcont(w2) = " +
+      "N1+(.w2) / N1+(..) — the insight that 'Francisco' is frequent " +
+      "but only ever follows 'San', so its smoothed unigram weight " +
+      "should be its distinct-context count, not its raw frequency. " +
+      "All four model statistics derive from ONE bigram-type frame " +
+      "(the same single adjacency explosion as the MLE query): per-" +
+      "context totals + type counts group by w1, continuation counts " +
+      "group by w2, the type total is a 1-row broadcast cross; model " +
+      "tables join back BY KEY (the bigram-vocabulary shuffle shape — " +
+      "never broadcastable at 100 TB). The probability expression is " +
+      "spelled identically in both engines over identical BIGINT " +
+      "counts (IEEE-deterministic), ln is libm-identical, and the " +
+      "per-doc sum rounds with the epsilon shift. KnSmoothingSpec pins " +
+      "the smoothing LAW itself: sum over w2 of P(w2|w1) == 1 for " +
+      "every context, plus a sequential differential of the full " +
+      "census.",
+    Some("""
+      WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                          x -> x <> '') AS tk
+                 FROM documents),
+           b AS (SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2
+                 FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 1)) AS i
+                       FROM w WHERE len(tk) >= 2)),
+           tf AS (SELECT doc_id, w1, w2, count(*) AS c
+                  FROM b GROUP BY doc_id, w1, w2),
+           c12 AS (SELECT w1, w2, sum(c)::BIGINT AS c12
+                   FROM tf GROUP BY w1, w2),
+           ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1f
+                   FROM c12 GROUP BY w1),
+           cont AS (SELECT w2, count(*)::BIGINT AS n1b FROM c12 GROUP BY w2),
+           tot AS (SELECT count(*)::BIGINT AS nall FROM c12),
+           x AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+                        -sum(c * ln((greatest(c12 - 0.75, 0.0)
+                              + 0.75 * n1f * (n1b / nall)) / c1)) AS nll
+                 FROM tf
+                 JOIN c12 ON c12.w1 = tf.w1 AND c12.w2 = tf.w2
+                 JOIN ctx ON ctx.w1 = tf.w1
+                 JOIN cont ON cont.w2 = tf.w2
+                 CROSS JOIN tot
+                 GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+             round(nll / n_bigrams + 1e-8, 4) AS xent,
+             round(exp(nll / n_bigrams) + 1e-6, 2) AS ppl
+      FROM x""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val tf = Q.materialize(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), toks.as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(tk) - 2)," +
+              " i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c")))
+      val c12 = Q.materialize(tf.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c")).cast("long").as("c12")))
+      val ctx = c12.groupBy(col("w1"))
+        .agg(sum(col("c12")).cast("long").as("c1"),
+          count(lit(1)).cast("long").as("n1f"))
+      val cont = c12.groupBy(col("w2"))
+        .agg(count(lit(1)).cast("long").as("n1b"))
+      val tot = c12.agg(count(lit(1)).cast("long").as("nall"))
+      tf.join(c12, Seq("w1", "w2"))
+        .join(ctx, Seq("w1"))
+        .join(cont, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_bigrams"),
+          (-sum(col("c") * log(
+            (greatest(col("c12") - 0.75, lit(0.0))
+              + lit(0.75) * col("n1f") * (col("n1b") / col("nall")))
+              / col("c1")))).as("nll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          Det.r4e(col("nll") / col("n_bigrams")).as("xent"),
+          Det.r2e(exp(col("nll") / col("n_bigrams"))).as("ppl"))
+    })
+
   val piiRedact = Q(
     "ta_pii_redact",
     "PII REDACTION — the compliance pass every published pipeline runs " +
@@ -1766,7 +1851,7 @@ object TextOps {
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
-    sampleExactK, packSequences, unigramLogprob, bigramLogprob, piiRedact, encodingFix,
+    sampleExactK, packSequences, unigramLogprob, bigramLogprob, knLogprob, piiRedact, encodingFix,
     tokenBudget, trainingCorpus, datasetCard, quarantine, bpeFit, bpeApply,
     zipfFit, qualityFit, qualityCalibration, fasttextFit, bm25)
 }

@@ -118,7 +118,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "pipeline_quality_calibration",
       // 1-row n/bias/accuracy crosses around the hashed-LR trainer; the
       // weight TABLE itself joins by bucket key, never crosses (r7).
-      "pipeline_fasttext_fit")
+      "pipeline_fasttext_fit",
+      // 1-row bigram-type-total cross in the Kneser-Ney continuation
+      // term; all model tables join by key (r7).
+      "ta_kn_logprob")
     // The only queries allowed an UNPARTITIONED window (single-partition
     // shuffle) — each one's input bound is asserted above. This sweep is
     // what makes the session-wide WindowExec WARN suppression
