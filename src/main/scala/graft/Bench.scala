@@ -23,7 +23,8 @@ object Bench {
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_lsh_verified",
     "dedup_components", "dedup_keep_best", "dedup_simhash",
     "dedup_simhash_hamming",
-    "dedup_url_canonical", "dedup_containment", "dedup_substring", "ta_pii_redact",
+    "dedup_url_canonical", "dedup_containment", "dedup_substring",
+    "dedup_lines", "ta_pii_redact",
     "ta_encoding_fix",
     "sim_topk_bruteforce", "sim_kmeans_assign", "sim_kmeans_iter2",
     "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_pq_encode",
@@ -43,7 +44,7 @@ object Bench {
     "pipeline_quarantine", "pipeline_upsert",
     "pipeline_bpe_fit", "pipeline_bpe_apply", "pipeline_quality_fit",
     "pipeline_quality_calibration", "pipeline_dsir_select",
-    "pipeline_fasttext_fit",
+    "pipeline_fasttext_fit", "pipeline_domain_cap", "pipeline_lang_mixture",
     "ta_zipf_fit",
     "pipeline_training_corpus", "mm_decode_stub", "mm_pixel_stats",
     "mm_png_stats", "mm_gif_stats", "mm_jpeg_stats", "mm_jpeg_color",
@@ -54,7 +55,7 @@ object Bench {
     "graph_pagerank", "graph_triangles", "graph_label_prop",
     "rsm_submit_replay", "ta_bm25",
     "src_warc_ingest", "src_url_filter", "src_webdataset_ingest",
-    "src_zip_ingest")
+    "src_zip_ingest", "src_zorder_layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

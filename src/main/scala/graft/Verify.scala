@@ -33,8 +33,17 @@ object Verify {
         !spark.conf.getOption("spark.graft.checkpointDir").isDefined)
       spark.conf.set("spark.graft.checkpointDir", s"$outDir/_checkpoints")
     new java.io.File(outDir).mkdirs()
+    // Dev-only iteration knob: SPARK_GRAFT_VERIFY_ONLY=a,b,c restricts the
+    // sweep (and the dumped oracle_sql.json) to the named queries. The
+    // driver never sets it, so the official gate always sweeps everything.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None        => SparkEntry.queries
+    }
     var failed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -45,7 +54,7 @@ object Verify {
     }
     // Loud summary so a partial sweep can't pass for a complete one (the
     // exit code stays 0 — the driver's gate reads the per-query outputs).
-    println(s"[verify] ${SparkEntry.queries.size - failed} ok, $failed failed")
+    println(s"[verify] ${selected.size - failed} ok, $failed failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -58,7 +67,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val dumpedSql = only match {
+      case Some(names) => SparkEntry.oracleSql.filter(kv => names(kv._1))
+      case None        => SparkEntry.oracleSql
+    }
+    val json = dumpedSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Under the checkpoint posture the defaulted _checkpoints dir holds

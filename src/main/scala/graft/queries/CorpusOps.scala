@@ -550,6 +550,73 @@ object CorpusOps {
           col("http_status"), col("body_bytes"), col("body_byte_sum"))
     })
 
+  val zorderLayout = Q(
+    "src_zorder_layout",
+    "Z-ORDER (Morton-curve) layout assignment — the two-dimensional " +
+      "clustering step every lakehouse runs when readers filter on TWO " +
+      "columns: sources/Compaction's range layout makes parquet footer " +
+      "min/max selective on ONE key and useless on the rest, while " +
+      "interleaving the bits of two 16-bit-normalized keys makes any " +
+      "contiguous Morton range a small RECTANGLE in (a, b) space. The " +
+      "census PROVES the locality law on real data: per 4096-ary curve " +
+      "region (top 12 Morton bits = top 6 bits of each dimension), the " +
+      "row count and each dimension's min/max — every region's span is " +
+      "necessarily <= 1023 on BOTH dims (each holds its top 6 of 16 " +
+      "bits fixed), i.e. 1/64th of each key range at once, which is " +
+      "exactly the file-skipping guarantee Z-ordered files give a " +
+      "two-predicate reader. The spread is the classic magic-mask bit " +
+      "interleave — pure codegen shifts/masks/ors (graft.sources." +
+      "ZOrder, no UDF), spelled with identical integer semantics in " +
+      "the DuckDB oracle; dims are user_id and event_id min/max-SCALED " +
+      "into the full 16-bit range (the order-preserving normalization " +
+      "production Z-order applies — raw user ids fill 9 of 16 bits, " +
+      "which would starve one dimension's high bits and collapse the " +
+      "curve to a 1-D sort; the 1-row min/max frame is a whitelisted " +
+      "broadcast cross, all integer arithmetic). One scan + the 1-row " +
+      "stats pass, one region-keyed partial-aggregable exchange. " +
+      "ZOrderSpec adds the LAYOUT leg: compactToZ files bound BOTH " +
+      "dims' per-file spans while single-key range compaction leaves " +
+      "the second dimension unclustered.",
+    Some("""
+      WITH raw AS (SELECT user_id AS ua, event_id AS eb FROM events),
+           mm AS (SELECT min(ua) AS ua0, max(ua) AS ua1,
+                         min(eb) AS eb0, max(eb) AS eb1 FROM raw),
+           e AS (SELECT (ua - ua0) * 65535 // greatest(ua1 - ua0, 1) AS a,
+                        (eb - eb0) * 65535 // greatest(eb1 - eb0, 1) AS b
+                 FROM raw CROSS JOIN mm),
+           s1 AS (SELECT a, b, (a | (a << 8)) & 16711935 AS a1,
+                         (b | (b << 8)) & 16711935 AS b1 FROM e),
+           s2 AS (SELECT a, b, (a1 | (a1 << 4)) & 252645135 AS a2,
+                         (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+           s3 AS (SELECT a, b, (a2 | (a2 << 2)) & 858993459 AS a3,
+                         (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+           s4 AS (SELECT a, b,
+                         ((a3 | (a3 << 1)) & 1431655765) |
+                         (((b3 | (b3 << 1)) & 1431655765) << 1) AS z
+                  FROM s3)
+      SELECT (z >> 20)::BIGINT AS region, count(*)::BIGINT AS n_events,
+             min(a)::BIGINT AS a_min, max(a)::BIGINT AS a_max,
+             min(b)::BIGINT AS b_min, max(b)::BIGINT AS b_max
+      FROM s4 GROUP BY region""".stripMargin),
+    (spark, dir) => {
+      val raw = Tables.events(spark, dir)
+        .select(col("user_id").as("ua"), col("event_id").as("eb"))
+      val mm = raw.agg(min(col("ua")).as("ua0"), max(col("ua")).as("ua1"),
+        min(col("eb")).as("eb0"), max(col("eb")).as("eb1"))
+      val e = raw.crossJoin(broadcast(mm))
+        .select(
+          expr("(ua - ua0) * 65535 div greatest(ua1 - ua0, 1)").as("a"),
+          expr("(eb - eb0) * 65535 div greatest(eb1 - eb0, 1)").as("b"))
+      e.withColumn("region",
+        shiftright(graft.sources.ZOrder.morton2(col("a"), col("b")), 20))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          min(col("a")).cast("long").as("a_min"),
+          max(col("a")).cast("long").as("a_max"),
+          min(col("b")).cast("long").as("b_min"),
+          max(col("b")).cast("long").as("b_max"))
+    })
+
   val urlFilter = Q(
     "src_url_filter",
     "URL/DOMAIN FILTERING — the provenance gate every published web " +
@@ -833,5 +900,5 @@ object CorpusOps {
 
   val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup,
     bloomIncremental, upsert, cmsTopk, warcIngest, urlFilter,
-    webdatasetIngest, zipIngest, dsirSelect)
+    webdatasetIngest, zipIngest, dsirSelect, zorderLayout)
 }

@@ -1013,9 +1013,12 @@ object Dedup {
         .select(col("doc_id"), col("pos"),
           expr("substring(text, pos + 1, 64)").as("s64"),
           expr("substring(text, pos + 1, 20)").as("blk"))
-      val wAll = Window.partitionBy(col("blk"))
       val wOrd = Window.partitionBy(col("blk"))
         .orderBy(col("s64"), col("doc_id"), col("pos"))
+      // min/max ride the SAME ordered spec with a full-partition frame —
+      // a second unordered window spec would re-sort the explosion.
+      val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
       suf
         .withColumn("mind", min(col("doc_id")).over(wAll))
         .withColumn("maxd", max(col("doc_id")).over(wAll))
@@ -1036,7 +1039,73 @@ object Dedup {
             .as("max_shared"))
     })
 
+  val lineDedup = Q(
+    "dedup_lines",
+    "LINE-LEVEL boilerplate dedup — the CCNet/RefinedWeb preprocessing " +
+      "step that runs BEFORE document-level dedup: lines repeated across " +
+      "many documents (nav menus, cookie banners, footers) are removed " +
+      "from every document, by corpus-wide line frequency — a different " +
+      "shape from dedup_span (pairwise shared spans) or dedup_exact " +
+      "(whole-doc): the unit is the sub-document segment and the signal " +
+      "is its DOCUMENT FREQUENCY. This corpus carries no newlines, so " +
+      "the segmentation parameter is non-overlapping 3-word chunks " +
+      "(production splits on '\\n'; the census is segmentation-agnostic). " +
+      "Plan: one split (map-side — segments come from array slicing, NO " +
+      "reassembly shuffle), segments keyed by md5 digest so the text " +
+      "itself never shuffles (the dedup_exact rule), ONE digest-keyed " +
+      "census with countDistinct(doc) — partial-aggregable — a HAVING " +
+      "df >= 3 boilerplate set joined back BY KEY (at 100 TB the " +
+      "frequent-line set is corpus-sized/threshold — NOT broadcastable; " +
+      "the equi join is the honest shape), and a per-doc removal count " +
+      "folded onto the doc frame by left join. Output is all-integer " +
+      "(no rounding law needed): per doc, words, full segments, removed " +
+      "segments, retained words.",
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           base AS (SELECT doc_id, len(ws)::BIGINT AS n_words, ws FROM d),
+           seg AS (SELECT doc_id,
+                          md5(array_to_string(
+                            list_slice(ws, (i*3+1)::INT, (i*3+3)::INT), ' ')) AS seg
+                   FROM (SELECT doc_id, ws, unnest(range(0, len(ws)//3)) AS i
+                         FROM base WHERE len(ws) >= 3)),
+           boiler AS (SELECT seg FROM seg GROUP BY seg
+                      HAVING count(DISTINCT doc_id) >= 3),
+           rem AS (SELECT doc_id, count(*)::BIGINT AS n_removed
+                   FROM seg JOIN boiler USING (seg) GROUP BY doc_id)
+      SELECT b.doc_id, b.n_words, (b.n_words // 3)::BIGINT AS n_segs,
+             coalesce(r.n_removed, 0)::BIGINT AS n_removed,
+             (b.n_words - 3 * coalesce(r.n_removed, 0))::BIGINT AS n_words_retained
+      FROM base b LEFT JOIN rem r USING (doc_id)""".stripMargin),
+    (spark, dir) => {
+      val base = t(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          size(col("ws")).cast("long").as("n_words"))
+      // Map-side segmentation: slice the word array per segment index —
+      // no (doc, seg_id) reassembly shuffle. Referenced twice (census +
+      // removal count) -> materialized per the repo convention.
+      val seg = Q.materialize(base.filter(col("n_words") >= 3)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(0, int(n_words div 3) - 1), " +
+            "i -> md5(concat_ws(' ', slice(ws, int(i*3+1), 3))))")).as("seg")))
+      val boiler = seg.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 3)
+        .select(col("seg"))
+      val removed = seg.join(boiler, "seg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_removed"))
+      base.select(col("doc_id"), col("n_words"))
+        .join(removed, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_removed"))
+        .select(col("doc_id"), col("n_words"),
+          expr("n_words div 3").cast("long").as("n_segs"),
+          col("n_removed"),
+          (col("n_words") - lit(3) * col("n_removed")).cast("long")
+            .as("n_words_retained"))
+    })
+
   val all: Seq[Q] = Seq(exact, minhashSig, minhashPairs, ngramJaccard,
     simhash, simhashHamming, lshVerified, components, editDistance,
-    urlCanonical, containment, keepBest, substringDup)
+    urlCanonical, containment, keepBest, substringDup, lineDedup)
 }

@@ -1848,10 +1848,121 @@ object TextOps {
           md5(col("f").cast("binary")).as("fixed_fp"))
     })
 
+  val domainCap = Q(
+    "pipeline_domain_cap",
+    "PER-DOMAIN CAP — the anti-domination gate RefinedWeb/C4 apply after " +
+      "URL filtering: no single domain may contribute more than K " +
+      "documents to the corpus (content farms and mirror hosts would " +
+      "otherwise dominate any frequency-based signal downstream). Keep " +
+      "the K=15 BEST documents per source by the shared composite " +
+      "quality score (ta_quality_score's expression, rounded to 6 " +
+      "decimals so the ranking is engine-exact, doc_id tie-break — the " +
+      "dedup_keep_best determinism rule), emit the per-source census: " +
+      "volumes kept/dropped and the quality CUTOFF the cap induced (the " +
+      "15th-best score — the number a curation report actually quotes). " +
+      "Plan: one scan computing token stats map-side, a source-keyed " +
+      "ranking window (the partition is a single domain's documents — " +
+      "production domain caps run exactly this shape; a pathological " +
+      "mega-domain is bounded by the same AQE skew handling as every " +
+      "keyed exchange), ONE partial-aggregable census on the same key — " +
+      "the window exchange is REUSED by the groupBy (same partitioning), " +
+      "so the plan carries a single source-keyed shuffle.",
+    Some(s"""
+      WITH q AS (SELECT doc_id, source,
+                        len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+                        len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_distinct
+                 FROM documents),
+           qq AS (SELECT doc_id, source, n_tokens,
+                         round(($QualitySql) + 1e-9, 6) AS q6
+                  FROM q),
+           r AS (SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY q6 DESC, doc_id) AS rk
+                 FROM qq)
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             sum(CASE WHEN rk > 15 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+             sum(CASE WHEN rk <= 15 THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens,
+             min(CASE WHEN rk <= 15 THEN q6 END) AS cutoff_q6
+      FROM r GROUP BY source""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val qq = t(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          round(qualityCol + lit(1e-9), 6).as("q6"))
+      val ranked = qq.withColumn("rk",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("q6").desc, col("doc_id"))))
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("rk") <= 15, 1L).otherwise(0L)).cast("long")
+            .as("n_kept"),
+          sum(when(col("rk") > 15, 1L).otherwise(0L)).cast("long")
+            .as("n_dropped"),
+          sum(when(col("rk") <= 15, col("n_tokens")).otherwise(0L))
+            .cast("long").as("kept_tokens"),
+          min(when(col("rk") <= 15, col("q6"))).as("cutoff_q6"))
+    })
+
+  val langMixture = Q(
+    "pipeline_lang_mixture",
+    "LANGUAGE-TEMPERATURE MIXTURE — the multilingual sampling law every " +
+      "multilingual LLM uses (XLM-R/mT5: alpha = 0.3): raw language " +
+      "shares p_l are exponentiated p_l^alpha and renormalized, " +
+      "upweighting minority languages so they are not drowned by the " +
+      "head language, then a 10k-document budget is allocated from the " +
+      "tempered shares. Plan: ONE corpus scan to a per-language " +
+      "aggregate (5 rows), a 1-row token-total broadcast cross, the " +
+      "pow/renormalize arithmetic on the 5-row frame with a second " +
+      "1-row weight-sum broadcast cross — at 100 TB the corpus is " +
+      "touched exactly once and everything after is constant-size. " +
+      "Determinism: raw shares are single BIGINT/BIGINT divisions " +
+      "(IEEE-exact), pow is libm-identical, and the renormalized shares " +
+      "round through the repo's 4-decimal epsilon convention before the " +
+      "integer budget is derived FROM THE ROUNDED share — so both " +
+      "engines allocate identical budgets.",
+    Some("""
+      WITH l AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                        sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_tokens
+                 FROM documents GROUP BY lang),
+           tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM l),
+           w AS (SELECT lang, n_docs, n_tokens,
+                        n_tokens / (t::DOUBLE) AS p_raw,
+                        pow(n_tokens / (t::DOUBLE), 0.3) AS wgt
+                 FROM l CROSS JOIN tot),
+           z AS (SELECT sum(wgt) AS sw FROM w)
+      SELECT lang, n_docs, n_tokens,
+             round(p_raw + 1e-8, 4) AS p_raw4,
+             round(wgt / sw + 1e-8, 4) AS p_temp4,
+             CAST(round(round(wgt / sw + 1e-8, 4) * 10000, 0) AS BIGINT) AS budget_docs
+      FROM w CROSS JOIN z""".stripMargin),
+    (spark, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val l = t(spark, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(toks)).cast("long").as("n_tokens"))
+      val tot = l.agg(sum(col("n_tokens")).cast("long").as("t"))
+      val w = l.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens") / col("t")).as("p_raw"),
+          pow(col("n_tokens") / col("t"), lit(0.3)).as("wgt"))
+      val z = w.agg(sum(col("wgt")).as("sw"))
+      w.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("p_raw") + lit(1e-8), 4).as("p_raw4"),
+          round(col("wgt") / col("sw") + lit(1e-8), 4).as("p_temp4"),
+          round(round(col("wgt") / col("sw") + lit(1e-8), 4) * lit(10000), 0)
+            .cast("long").as("budget_docs"))
+    })
+
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
     sampleExactK, packSequences, unigramLogprob, bigramLogprob, knLogprob, piiRedact, encodingFix,
     tokenBudget, trainingCorpus, datasetCard, quarantine, bpeFit, bpeApply,
-    zipfFit, qualityFit, qualityCalibration, fasttextFit, bm25)
+    zipfFit, qualityFit, qualityCalibration, fasttextFit, bm25,
+    domainCap, langMixture)
 }

@@ -30,7 +30,10 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("single-exchange shapes stay single-exchange") {
     Seq("mr_inverted_index", "kv_cas_replay", "q_events_sessions",
-      "shard_route_fnv", "mr_wordcount").foreach { q =>
+      "shard_route_fnv", "mr_wordcount",
+      // domain cap: the ranking window's source-keyed exchange is REUSED
+      // by the census groupBy — the whole operator is one shuffle (r7).
+      "pipeline_domain_cap").foreach { q =>
       val shuffles = "Exchange hashpartitioning".r.findAllIn(plan(q)).length
       assert(shuffles == 1, s"$q: expected exactly 1 shuffle, got $shuffles")
     }
@@ -121,7 +124,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "pipeline_fasttext_fit",
       // 1-row bigram-type-total cross in the Kneser-Ney continuation
       // term; all model tables join by key (r7).
-      "ta_kn_logprob")
+      "ta_kn_logprob",
+      // 1-row min/max normalization stats cross feeding the Morton
+      // interleave (r7).
+      "src_zorder_layout",
+      // 1-row token-total and weight-sum crosses around the 5-row
+      // language frame (r7).
+      "pipeline_lang_mixture")
     // The only queries allowed an UNPARTITIONED window (single-partition
     // shuffle) — each one's input bound is asserted above. This sweep is
     // what makes the session-wide WindowExec WARN suppression
