@@ -19,7 +19,7 @@ object Bench {
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "q_top_customers_per_nation", "q_events_sessions",
     "mr_wordcount", "mr_inverted_index", "ta_quality_score",
-    "ta_rolling_hash",
+    "ta_rolling_hash", "ta_winnow",
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_lsh_verified",
     "dedup_components", "dedup_keep_best", "dedup_simhash",
     "dedup_simhash_hamming",

@@ -1848,6 +1848,79 @@ object TextOps {
           md5(col("f").cast("binary")).as("fixed_fp"))
     })
 
+  val winnow = Q(
+    "ta_winnow",
+    "WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken 2003 — " +
+      "the MOSS algorithm): from every window of w=4 consecutive k-gram " +
+      "hashes (k=5 chars), select the MINIMUM, rightmost on ties — the " +
+      "guarantee-bearing sparsification under every fingerprint-based " +
+      "near-dup/plagiarism system (any shared substring of length " +
+      "k+w-1 = 8 is caught by a shared selected fingerprint; expected " +
+      "density 2/(w+1)). The rightmost-min argmax is encoded as ONE " +
+      "BIGINT key = hash * 2^32 + (2^32-1 - pos) — min(key) IS " +
+      "(min hash, rightmost pos), exactly filling int64 for a 31-bit " +
+      "hash — so the per-window selection is a plain min() over a " +
+      "4-row running frame, pure codegen, engine-identical. Plan: one " +
+      "scan, the L-row k-gram explosion (the gram-family bound), a " +
+      "doc-keyed ordered window, and the census groupBy ON THE SAME " +
+      "KEY — the window's exchange is reused, the whole operator is " +
+      "one doc-keyed shuffle. Census per doc: k-grams, windows, " +
+      "selected positions, achieved density (vs the 2/(w+1) law, " +
+      "asserted in WinnowSpec), and the md5 sketch over the sorted " +
+      "distinct selected hashes — the doc's winnowing fingerprint set.",
+    Some("""
+      WITH d AS (SELECT doc_id, text, (length(text) - 4)::BIGINT AS n_kgrams
+                 FROM documents WHERE length(text) >= 8),
+           h AS (SELECT doc_id, n_kgrams, p AS pos,
+                        list_reduce(list_prepend(0::BIGINT,
+                          list_transform(range(0, 5),
+                            j -> ord(substr(text, (p + j)::INT, 1))::BIGINT)),
+                          (acc, c) -> (acc * 31 + c) & 2147483647) AS kh
+                 FROM (SELECT doc_id, n_kgrams, text,
+                              unnest(range(1, n_kgrams + 1)) AS p FROM d)),
+           sel AS (SELECT doc_id, n_kgrams, pos,
+                          min(kh * 4294967296 + (4294967295 - pos)) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey
+                   FROM h),
+           v AS (SELECT * FROM sel WHERE pos <= n_kgrams - 3)
+      SELECT doc_id, n_kgrams, (n_kgrams - 3)::BIGINT AS n_windows,
+             count(DISTINCT skey)::BIGINT AS n_selected,
+             round(count(DISTINCT skey) / ((n_kgrams - 3)::DOUBLE) + 1e-8, 4)
+               AS density4,
+             md5(array_to_string(
+               list_sort(list(DISTINCT skey // 4294967296)), ',')) AS sketch_fp
+      FROM v GROUP BY doc_id, n_kgrams""".stripMargin),
+    (spark, dir) => {
+      val d = t(spark, dir, "documents")
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("text"),
+          (length(col("text")) - 4).cast("long").as("n_kgrams"))
+      val h = d.select(col("doc_id"), col("n_kgrams"),
+        posexplode(expr("transform(sequence(1, n_kgrams), p -> " +
+          "aggregate(transform(sequence(0, 4), " +
+          "j -> bigint(ascii(substring(text, int(p + j), 1)))), " +
+          "bigint(0), (acc, c) -> (acc * 31 + c) & 2147483647))")))
+        .select(col("doc_id"), col("n_kgrams"),
+          (col("pos") + 1).cast("long").as("pos"), col("col").as("kh"))
+      val sel = h.withColumn("skey",
+        min(col("kh") * lit(4294967296L) + (lit(4294967295L) - col("pos")))
+          .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+            .rowsBetween(0, 3)))
+        .filter(col("pos") <= col("n_kgrams") - 3)
+      sel.groupBy(col("doc_id"), col("n_kgrams"))
+        .agg(countDistinct(col("skey")).as("n_selected"),
+          expr("md5(concat_ws(',', transform(" +
+            "array_sort(collect_set(skey div 4294967296)), " +
+            "x -> cast(x as string))))").as("sketch_fp"))
+        .select(col("doc_id"), col("n_kgrams"),
+          (col("n_kgrams") - 3).cast("long").as("n_windows"),
+          col("n_selected").cast("long").as("n_selected"),
+          round(col("n_selected") / (col("n_kgrams") - 3).cast("double")
+            + lit(1e-8), 4).as("density4"),
+          col("sketch_fp"))
+    })
+
   val domainCap = Q(
     "pipeline_domain_cap",
     "PER-DOMAIN CAP — the anti-domination gate RefinedWeb/C4 apply after " +
@@ -1964,5 +2037,5 @@ object TextOps {
     sampleExactK, packSequences, unigramLogprob, bigramLogprob, knLogprob, piiRedact, encodingFix,
     tokenBudget, trainingCorpus, datasetCard, quarantine, bpeFit, bpeApply,
     zipfFit, qualityFit, qualityCalibration, fasttextFit, bm25,
-    domainCap, langMixture)
+    domainCap, langMixture, winnow)
 }
