@@ -276,6 +276,69 @@ object EventsOps {
           coalesce(col("n"), lit(0L)).cast("long").as("n_events"))
     })
 
+  val scd2 = Q(
+    "q_events_scd2",
+    "SCD TYPE-2 HISTORY BUILD — the slowly-changing-dimension operator " +
+      "every lakehouse dimension table is maintained with: from a " +
+      "user's event stream, CHANGE DETECTION (an event opens a new " +
+      "version iff its event_type differs from the previous event's) " +
+      "followed by validity intervals — valid_from = the change event, " +
+      "valid_to = the NEXT change (null while current). Three stages, " +
+      "ONE user-keyed exchange reused by all of them: an ordered " +
+      "window marks changes (lag), a running sum turns change flags " +
+      "into version ordinals, a groupBy collapses each version's run " +
+      "of events (first ts, event count), and a second window on the " +
+      "same key chains valid_to = lead(valid_from). Timestamps ride " +
+      "the repo's fractional-second double convention. Per-version " +
+      "output: interval, ordinal, covered event count, is_current — " +
+      "the exact frame a MERGE into a dimension table consumes.",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, ts,
+                        epoch(ts) AS tsd
+                 FROM events),
+           c AS (SELECT *,
+                        CASE WHEN lag(event_type) OVER w IS NULL
+                               OR lag(event_type) OVER w <> event_type
+                             THEN 1 ELSE 0 END AS chg
+                 FROM e
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           v AS (SELECT *,
+                        sum(chg) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS ver
+                 FROM c),
+           g AS (SELECT user_id, ver::BIGINT AS version_n,
+                        min(event_type) AS event_type,
+                        min(tsd) AS valid_from,
+                        count(*)::BIGINT AS n_events
+                 FROM v GROUP BY user_id, ver)
+      SELECT user_id, version_n, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY version_n) AS valid_to,
+             n_events,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY version_n) IS NULL AS is_current
+      FROM g""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("version_n"))
+      t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("ts").cast("double").as("tsd"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull
+            || lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("version_n", sum(col("chg")).over(w))
+        .groupBy(col("user_id"), col("version_n"))
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("tsd")).as("valid_from"),
+          count(lit(1)).cast("long").as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+        .select(col("user_id"), col("version_n"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("n_events"),
+          col("valid_to").isNull.as("is_current"))
+    })
+
   val all: Seq[Q] = Seq(hourly, sessions, json, setops, funnel, intervalJoin,
-    retentionCohorts, gapfill)
+    retentionCohorts, gapfill, scd2)
 }

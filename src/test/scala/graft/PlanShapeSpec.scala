@@ -33,7 +33,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "shard_route_fnv", "mr_wordcount",
       // domain cap: the ranking window's source-keyed exchange is REUSED
       // by the census groupBy — the whole operator is one shuffle (r7).
-      "pipeline_domain_cap").foreach { q =>
+      "pipeline_domain_cap",
+      // SCD2: change-detect window, version groupBy and validity-chain
+      // window all ride one user-keyed exchange (groupBy keys are a
+      // superset of the partitioning, so no re-exchange) (r7).
+      "q_events_scd2").foreach { q =>
       val shuffles = "Exchange hashpartitioning".r.findAllIn(plan(q)).length
       assert(shuffles == 1, s"$q: expected exactly 1 shuffle, got $shuffles")
     }
