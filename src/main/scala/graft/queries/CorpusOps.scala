@@ -898,7 +898,57 @@ object CorpusOps {
         .limit(50)
     })
 
+  val novelty = Q(
+    "ta_novelty",
+    "INCREMENTAL NOVELTY CENSUS — the continual-pretraining question: " +
+      "how much genuinely NEW content does each successive document " +
+      "(doc_id order = arrival order) add to the corpus? Per doc, the " +
+      "fraction of its distinct 3-word shingles whose GLOBAL first " +
+      "occurrence (min doc_id across the corpus) is this document — " +
+      "the number that justifies a re-crawl cadence or an " +
+      "incremental-dedup budget (a snapshot at 5% novelty is mostly " +
+      "paying to re-tokenize what the model has seen). Plan: one " +
+      "shingle explosion collapsed to the distinct (doc, shingle-md5) " +
+      "frame (text never shuffles — the dedup_exact rule), a " +
+      "shingle-keyed min-doc aggregation, the first-occurrence frame " +
+      "joined back BY KEY (the vocabulary-join shape: shingle " +
+      "vocabularies are corpus-sized, never broadcastable), and a " +
+      "doc-keyed census. All exchanges carry fixed-width digests — " +
+      "the honest 100 TB shape shared with ta_tfidf's df join.",
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                         md5(array_to_string(
+                           list_slice(ws, (i+1)::INT, (i+3)::INT), ' ')) AS s
+                  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 2)) AS i
+                        FROM d WHERE len(ws) >= 3)),
+           f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+      SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+             sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+             round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               / count(*)::DOUBLE + 1e-8, 4) AS novelty4
+      FROM sh JOIN f USING (s) GROUP BY sh.doc_id""".stripMargin),
+    (spark, dir) => {
+      val sh = Q.materialize(t(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(0, size(ws) - 3), " +
+            "i -> md5(concat_ws(' ', slice(ws, int(i + 1), 3))))")).as("s"))
+        .distinct())
+      val f = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(f, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .cast("long").as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel") / col("n_shingles").cast("double")
+            + lit(1e-8), 4).as("novelty4"))
+    })
+
   val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup,
     bloomIncremental, upsert, cmsTopk, warcIngest, urlFilter,
-    webdatasetIngest, zipIngest, dsirSelect, zorderLayout)
+    webdatasetIngest, zipIngest, dsirSelect, zorderLayout, novelty)
 }
