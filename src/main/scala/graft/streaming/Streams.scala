@@ -895,4 +895,79 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** One SCD2 version row: closed versions carry `valid_to`; the flush of
+    * a user's OPEN version (on event-time timeout) carries none and
+    * `current = true`.
+    */
+  case class Scd2Row(user_id: Long, version_n: Long, event_type: String,
+      valid_from: Timestamp, valid_to: Option[Timestamp], n_events: Long,
+      current: Boolean)
+
+  /** Open-version accumulator (public: encoder codegen needs access). */
+  case class Scd2State(versionN: Long, eventType: String, fromUs: Long,
+      lastUs: Long, n: Long)
+
+  /** Streaming SCD TYPE-2 maintenance — the incremental face of
+    * `q_events_scd2`: per-user state carries the OPEN dimension version;
+    * an arriving event whose type differs CLOSES it (emit with valid_to =
+    * the change event's time) and opens the next, an equal-type event
+    * just extends the covered count. An event-time timeout (watermark
+    * passing lastTs + ttl) FLUSHES the open version as current and evicts
+    * the state — so state is bounded by ACTIVE users and the stream's
+    * closed ∪ flushed rows reproduce the batch history exactly when
+    * arrival respects event time (Scd2StreamSpec pins the parity, the
+    * within-batch permutation independence, and the RocksDB provider).
+    *
+    * Ordering caveat, stated honestly (the sessionizer rule): within a
+    * micro-batch events fold in (ts, event_id) order — identical to the
+    * batch mirror's sort; ACROSS batches closed versions are final, so a
+    * straggler older than the open version's valid_from cannot retro-edit
+    * history — it folds into the open version by arrival. Production SCD2
+    * feeds (CDC logs) are per-key ordered, which is exactly the case the
+    * parity leg certifies.
+    */
+  def scd2Stream(spark: SparkSession, events: Dataset[Event],
+      ttlSeconds: Long = 3600,
+      watermarkDelay: String = "10 minutes"): Dataset[Scd2Row] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[Scd2State]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toSeq.map(s =>
+              Scd2Row(user, s.versionN, s.eventType, tsOfMicros(s.fromUs),
+                None, s.n, current = true))
+            state.remove()
+            out.iterator
+          } else {
+            val out = Seq.newBuilder[Scd2Row]
+            var cur = state.getOption
+            var lastUs = cur.map(_.lastUs).getOrElse(Long.MinValue)
+            for (e <- it.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+              val t = micros(e.ts)
+              cur match {
+                case None =>
+                  cur = Some(Scd2State(1L, e.event_type, t, t, 1L))
+                case Some(s) if s.eventType == e.event_type =>
+                  cur = Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
+                case Some(s) =>
+                  out += Scd2Row(user, s.versionN, s.eventType,
+                    tsOfMicros(s.fromUs), Some(tsOfMicros(t)), s.n,
+                    current = false)
+                  cur = Some(Scd2State(s.versionN + 1, e.event_type, t, t, 1L))
+              }
+              lastUs = math.max(lastUs, t)
+            }
+            cur.foreach(state.update)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1000,
+              lastUs / 1000L + ttlSeconds * 1000L))
+            out.result().iterator
+          }
+      }
+  }
 }
