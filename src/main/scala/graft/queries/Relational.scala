@@ -292,7 +292,103 @@ object Relational {
           r2e(col("total_qty")).as("total_qty"))
     })
 
+  val q7 = Q(
+    "q7_nation_volume",
+    "TPC-H Q7 semantics (volume shipping): bilateral trade between two " +
+      "nations by shipment year, both directions. The Spark-first move " +
+      "is DIM-SIDE pruning: nation is filtered to the two names BEFORE " +
+      "joining, so the broadcast semi-reduces supplier and customer to " +
+      "two nations' rows early and the fact tables shuffle only " +
+      "pre-pruned keys — the OR-pair predicate then runs on the tiny " +
+      "joined frame instead of gating a full fact product. Only " +
+      "lineitem⋈orders(⋈customer) shuffle; two-column year extraction " +
+      "stays in the scan projection.",
+    Some("""
+      SELECT supp_nation, cust_nation, l_year,
+             round(sum(volume) + 1e-6, 2) AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   date_part('year', l_shipdate)::BIGINT AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_10', 'NATION_12')
+              AND n2.n_name IN ('NATION_10', 'NATION_12')
+              AND n1.n_name <> n2.n_name
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+      GROUP BY supp_nation, cust_nation, l_year""".stripMargin),
+    (spark, dir) => {
+      val pair = t(spark, dir, "nation")
+        .filter(col("n_name").isin("NATION_10", "NATION_12"))
+      val supp = t(spark, dir, "supplier")
+        .join(broadcast(pair.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = t(spark, dir, "customer")
+        .join(broadcast(pair.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val li = t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      li.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .select(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(r2e(sum(col("volume"))).as("revenue"))
+    })
+
+  val q9 = Q(
+    "q9_product_profit",
+    "TPC-H Q9 semantics (product-type profit), adapted to the schema's " +
+      "missing partsupp: profit = revenue minus a retail-derived cost " +
+      "(0.6 × p_retailprice × quantity), per supplying nation and order " +
+      "year, for one part type. part is filtered BEFORE the fact join " +
+      "(the selective dim prunes lineitem by partkey), nation broadcasts " +
+      "into supplier; the profit expression is spelled with identical " +
+      "associativity in both engines and the per-group sum rounds " +
+      "through the epsilon convention.",
+    Some("""
+      SELECT nation, o_year, round(sum(amount) + 1e-6, 2) AS sum_profit
+      FROM (SELECT n_name AS nation,
+                   date_part('year', o_orderdate)::BIGINT AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_type = 'PROMO')
+      GROUP BY nation, o_year""".stripMargin),
+    (spark, dir) => {
+      val promo = t(spark, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppN = t(spark, dir, "supplier")
+        .join(broadcast(t(spark, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      t(spark, dir, "lineitem")
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(suppN, col("l_suppkey") === col("s_suppkey"))
+        .select(col("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - lit(0.6) * col("p_retailprice") * col("l_quantity")).as("amount"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(r2e(sum(col("amount"))).as("sum_profit"))
+    })
+
   val all: Seq[Q] =
     Seq(q1, q3, q5, qSemi, qAnti, qWindowTop, qPartStats, qAboveAvg,
-      qMonthly, qLargeOrders)
+      qMonthly, qLargeOrders, q7, q9)
 }

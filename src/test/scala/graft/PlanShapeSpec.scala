@@ -19,7 +19,8 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
   test("TPC-H queries push filters into the parquet scans") {
-    Seq("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue")
+    Seq("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+      "q7_nation_volume", "q9_product_profit")
       .foreach { q =>
         val p = plan(q)
         assert(p.contains("PushedFilters: [Is") || p.contains("PushedFilters: [Equal") ||
