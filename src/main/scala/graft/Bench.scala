@@ -25,7 +25,7 @@ object Bench {
     "dedup_components", "dedup_keep_best", "dedup_simhash",
     "dedup_simhash_hamming",
     "dedup_url_canonical", "dedup_containment", "dedup_substring",
-    "dedup_lines", "ta_pii_redact",
+    "dedup_lines", "dedup_prefix_join", "ta_pii_redact",
     "ta_encoding_fix",
     "sim_topk_bruteforce", "sim_kmeans_assign", "sim_kmeans_iter2",
     "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_pq_encode",

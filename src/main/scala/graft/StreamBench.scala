@@ -172,7 +172,12 @@ object StreamBench {
       // offset + monotone doc_id guard) no matter the input volume.
       run[Streams.ShardDoc]("pack_sequences", { i =>
         Streams.ShardDoc(i, ts(i), s"src${i % 40}", text(i, 200))
-      })(in => Streams.packSequencesStream(spark, in.toDS()).toDF()))
+      })(in => Streams.packSequencesStream(spark, in.toDS()).toDF()),
+      // SCD2 maintenance: 500 users cycling 3 event types; state is one
+      // open version per ACTIVE user (ttl-evicted), so state_rows tracks
+      // the user cardinality, not the event volume.
+      run[Event]("scd2", event)(in =>
+        Streams.scd2Stream(spark, in.toDS(), ttlSeconds = 7200).toDF()))
 
     val qs = results.map { r =>
       val rps = if (r.secs > 0) r.rows / r.secs else 0.0

