@@ -29,7 +29,8 @@ object Bench {
     "ta_encoding_fix",
     "sim_topk_bruteforce", "sim_kmeans_assign", "sim_kmeans_iter2",
     "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_pq_encode",
-    "sim_topk_pq_adc", "sim_topk_ivfpq", "sim_topk_sq8", "sim_topk_mrl",
+    "sim_topk_pq_adc", "sim_topk_ivfpq", "sim_topk_ivfpq_residual",
+    "sim_topk_sq8", "sim_topk_mrl",
     "dedup_semantic", "dedup_embedding_cosine",
     "kv_cas_replay", "ta_tfidf", "ta_repetition", "dedup_span",
     "ta_decontaminate", "ta_novelty", "ta_cdc_chunks", "dedup_cdc", "ta_cms_topk",
@@ -41,7 +42,7 @@ object Bench {
     "sim_dim_stats",
     "sim_power_iteration", "pipeline_corpus_clean", "pipeline_token_budget",
     "pipeline_modal_curation", "pipeline_dataset_card",
-    "pipeline_sample_exact_k", "pipeline_pack_sequences",
+    "pipeline_sample_exact_k", "pipeline_sample_weighted", "pipeline_pack_sequences",
     "pipeline_quarantine", "pipeline_upsert",
     "pipeline_bpe_fit", "pipeline_bpe_apply", "pipeline_quality_fit",
     "pipeline_quality_calibration", "pipeline_dsir_select",

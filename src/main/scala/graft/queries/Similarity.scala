@@ -1134,8 +1134,186 @@ object Similarity {
           r4e(col("cos_raw")).as("cosine"))
     })
 
+  /** Elementwise residual `e - centroid` (both 6-decimal-rounded centroid
+    * conventions upstream; the subtraction itself is exact IEEE).
+    */
+  private def residCol: Column =
+    zip_with(col("e"), col("centroid"), (a, b) => a - b)
+
+  /** [[pqSub]] generalized to carry an extra key column (the probed cell
+    * of a per-cell query residual) through the subspace explosion.
+    */
+  private def pqSubCarry(v: DataFrame, carry: String): DataFrame = {
+    val parts = (0 until PqM).map(s =>
+      struct(lit(s).as("s"), slice(col("e"), s * PqSubDim + 1, PqSubDim).as("se")))
+    v.select(col("vec_id"), col(carry), explode(array(parts: _*)).as("x"))
+      .select(col("vec_id"), col(carry), col("x.s").as("s"),
+        col("x.se").as("se"))
+  }
+
+  val topkIvfPqResidual = Q(
+    "sim_topk_ivfpq_residual",
+    "IVF-PQ with RESIDUAL encoding — the formulation FAISS IVFPQ " +
+      "actually ships (Jégou et al. 2011 §V.A): PQ quantizes the " +
+      "residual x − centroid(cell) instead of x itself, because " +
+      "residuals concentrate around zero once the coarse quantizer has " +
+      "explained the cell structure — the same code budget spends on a " +
+      "smaller-variance distribution (strictly lower quantization error " +
+      "than sim_topk_ivfpq's raw encoding, IvfPqResidualSpec; the margin " +
+      "is thin HERE because the label-seeded sub-codebooks already own a " +
+      "cell per label — at production scale, coarse cells outnumber " +
+      "sub-codebook cells and the gap is the method's raison d'être). " +
+      "The price is the LUT: a query's residual " +
+      "differs per probed cell, so the distance table is keyed " +
+      "(query, probed cell, subspace, code) — nprobe× the plain LUT, " +
+      "still nq·nprobe·M·k rows, still a broadcast. Candidates join " +
+      "their home cell's LUT slice (the probed cell IS the neighbor's " +
+      "home cell), ADC sums BIGINT micro-units — order-free, " +
+      "hash-exact. At 100 TB the persisted index is unchanged: codes + " +
+      "cells per vector, centroids + one shared residual codebook " +
+      "broadcast.",
+    Some(s"""
+      WITH n AS ($VecsSql),$CentroidsSql,$AssignSql,
+           resid AS (SELECT n.vec_id, n.label,
+                            list_transform(range(1, len(n.e) + 1),
+                              i -> n.e[i] - c.centroid[i]) AS e
+                     FROM n JOIN assign a ON a.vec_id = n.vec_id
+                     JOIN cent c ON c.cell = a.cell),
+           rsub AS (SELECT vec_id, label, s,
+                           e[s*$PqSubDim+1:s*$PqSubDim+$PqSubDim] AS se
+                    FROM resid, range(0, $PqM) t(s)),
+           rcb AS (SELECT s, cell, list(c ORDER BY pos) AS centroid
+                   FROM (SELECT s, label AS cell, i AS pos,
+                                round(avg(se[i+1]) + 1e-9, 6) AS c
+                         FROM (SELECT s, label, se,
+                                      unnest(range(0, len(se))) AS i FROM rsub)
+                         GROUP BY s, cell, pos)
+                   GROUP BY s, cell),
+           rescored AS (
+             SELECT rsub.vec_id, rsub.s, rcb.cell,
+                    list_dot_product(rsub.se, rsub.se)
+                      - 2 * list_dot_product(rsub.se, rcb.centroid)
+                      + list_dot_product(rcb.centroid, rcb.centroid) AS d2_raw
+             FROM rsub JOIN rcb ON rcb.s = rsub.s),
+           renc AS (SELECT vec_id, s, cell AS code
+                    FROM (SELECT *, row_number() OVER (
+                            PARTITION BY vec_id, s
+                            ORDER BY round(d2_raw + 1e-9, 6), cell) AS rk
+                          FROM rescored)
+                    WHERE rk = 1),
+           probes AS (SELECT vec_id, cell
+                      FROM (SELECT vec_id, cell, row_number() OVER (
+                              PARTITION BY vec_id
+                              ORDER BY round(d2_raw + 1e-9, 6), cell) AS rk
+                            FROM cscored WHERE vec_id < 20)
+                      WHERE rk <= 2),
+           qresid AS (SELECT n.vec_id, p.cell AS pcell,
+                             list_transform(range(1, len(n.e) + 1),
+                               i -> n.e[i] - c.centroid[i]) AS e
+                      FROM n JOIN probes p ON p.vec_id = n.vec_id
+                      JOIN cent c ON c.cell = p.cell),
+           qsub AS (SELECT vec_id, pcell, s,
+                           e[s*$PqSubDim+1:s*$PqSubDim+$PqSubDim] AS se
+                    FROM qresid, range(0, $PqM) t(s)),
+           lut AS (SELECT q.vec_id AS lq, q.pcell AS lcell, q.s AS ls,
+                          rcb.cell AS lcode,
+                          floor((list_dot_product(q.se, q.se)
+                            - 2 * list_dot_product(q.se, rcb.centroid)
+                            + list_dot_product(rcb.centroid, rcb.centroid))
+                            * 1e6 + 1e-3)::BIGINT AS d2i
+                   FROM qsub q JOIN rcb ON rcb.s = q.s),
+           cand AS (SELECT p.vec_id AS query_id, p.cell, a.vec_id AS neighbor_id
+                    FROM probes p JOIN assign a ON a.cell = p.cell
+                    WHERE a.vec_id <> p.vec_id),
+           adc AS (SELECT c.query_id, c.neighbor_id,
+                          sum(l.d2i)::BIGINT AS adc_d2_micro
+                   FROM cand c
+                   JOIN renc e2 ON e2.vec_id = c.neighbor_id
+                   JOIN lut l ON l.lq = c.query_id AND l.lcell = c.cell
+                             AND l.ls = e2.s AND l.lcode = e2.code
+                   GROUP BY c.query_id, c.neighbor_id)
+      SELECT query_id, neighbor_id, rank, adc_d2_micro
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY adc_d2_micro, neighbor_id) AS rank
+            FROM adc)
+      WHERE rank <= 5""".stripMargin),
+    (spark, dir) => ivfPqResidualTopk(spark, dir, nprobe = 2))
+
+  /** The residual IVF-PQ composition behind [[topkIvfPqResidual]] with
+    * the nprobe knob exposed for the recall spec.
+    */
+  private[queries] def ivfPqResidualTopk(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val v = Q.materialize(vecs(spark, dir))
+    val cent = Q.materialize(centroidsFrom(v))
+    val assign = assignAgainst(v, cent).select(col("vec_id"), col("cell"))
+    // database-side residuals against the ASSIGNED cell
+    val resid = v.join(assign, "vec_id")
+      .join(broadcast(cent), "cell")
+      .select(col("vec_id"), col("label"), residCol.as("e"))
+    val rsub = pqSub(resid)
+    val rcb = Q.materialize(pqCodebook(rsub))
+    val rcodes = pqEncode(pqScored(rsub, rcb))
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("code"))
+    val q = v.filter(col("vec_id") < 20)
+    val probes = cellRanks(q, cent, nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    // query residual PER PROBED CELL -> LUT keyed (query, cell, s, code)
+    val qresid = q.join(probes.withColumnRenamed("query_id", "vec_id"),
+        "vec_id")
+      .join(broadcast(cent), "cell")
+      .select(col("vec_id"), col("cell").as("pcell"), residCol.as("e"))
+    val qsub = pqSubCarry(qresid, "pcell")
+    val d2 = dot(col("se"), col("se")) -
+      lit(2) * dot(col("se"), col("centroid")) +
+      dot(col("centroid"), col("centroid"))
+    val lut = qsub.join(broadcast(rcb), "s")
+      .withColumn("d2_raw", d2)
+      .select(col("vec_id").as("lq"), col("pcell").as("lcell"),
+        col("s").as("ls"), col("cell").as("lcode"),
+        floor(col("d2_raw") * 1e6 + 1e-3).cast("long").as("d2i"))
+    val cand = assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"))
+    val adc = cand.join(rcodes, "neighbor_id")
+      .join(broadcast(lut), col("query_id") === col("lq") &&
+        col("cell") === col("lcell") &&
+        col("s") === col("ls") && col("code") === col("lcode"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2i")).cast("long").as("adc_d2_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2_micro"), col("neighbor_id"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc_d2_micro"))
+  }
+
+  /** Total squared quantization error of a PQ encoding (the min d2 per
+    * (vector, subspace), summed) — the number residual encoding exists
+    * to shrink; IvfPqResidualSpec compares raw vs residual.
+    */
+  private[queries] def pqQuantError(spark: SparkSession, dir: String,
+      residual: Boolean): Double = {
+    val v = Q.materialize(vecs(spark, dir))
+    val base =
+      if (!residual) v
+      else {
+        val cent = Q.materialize(centroidsFrom(v))
+        v.join(assignAgainst(v, cent).select(col("vec_id"), col("cell")),
+            "vec_id")
+          .join(broadcast(cent), "cell")
+          .select(col("vec_id"), col("label"), residCol.as("e"))
+      }
+    val sub = pqSub(base)
+    val cb = pqCodebook(sub)
+    pqEncode(pqScored(sub, cb))
+      .agg(sum(col("d2_raw"))).collect().head.getDouble(0)
+  }
+
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
     kmeansIter2, pqEncodeQ, topkPqAdc, topkIvfPq, semanticDedup, modalCuration,
     nearDup, histogram, labelCentroid, dimStats, powerIteration, topkSq8,
-    topkMrl)
+    topkMrl, topkIvfPqResidual)
 }

@@ -736,6 +736,46 @@ object TextOps {
         .filter(col("rk") <= 5)
         .select(col("source"), col("doc_id"), col("rk")))
 
+  val sampleWeighted = Q(
+    "pipeline_sample_weighted",
+    "WEIGHTED sampling without replacement (Efraimidis–Spirakis 2006, " +
+      "the A-ES exponential-clocks form): each doc draws an exponential " +
+      "arrival e = -ln(u)/w with rate equal to its TOKEN WEIGHT, and " +
+      "the k=50 earliest arrivals are the sample — the distributed " +
+      "formulation of token-proportional document sampling (a doc with " +
+      "2x the tokens is ~2x as likely to be drawn; uniform sampling " +
+      "would starve long documents of their token share). u is the " +
+      "seed-11 md5 lane of the doc id, shifted by +0.5/2^32 so it is " +
+      "strictly inside (0,1) — deterministic across runs, engines and " +
+      "partitionings, like every sampler here. The key rounds to 6 " +
+      "decimals with a doc_id tie-break (the repo top-k rule), and the " +
+      "global bottom-k compiles to TakeOrdered — per-partition k-row " +
+      "heaps, no global sort, no global window. One scan, no shuffle " +
+      "beyond the k-row gather.",
+    Some("""
+      WITH d AS (SELECT doc_id, source,
+                        greatest(len(list_filter(string_split(text, ' '),
+                          x -> x <> '')), 1)::BIGINT AS n_tokens
+                 FROM documents),
+           k AS (SELECT doc_id, source, n_tokens,
+                        round(-ln((('0x' || substr(md5('11:' || doc_id), 1, 8))::BIGINT
+                          + 0.5) / 4294967296.0) / n_tokens + 1e-9, 6) AS e6
+                 FROM d)
+      SELECT doc_id, source, n_tokens, e6
+      FROM k ORDER BY e6, doc_id LIMIT 50""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          greatest(size(filter(split(col("text"), " "), x => x =!= "")),
+            lit(1)).cast("long").as("n_tokens"))
+        .withColumn("u",
+          (graft.functions.Md5Lanes(col("doc_id").cast("string"), 11, 1)
+            .getItem(0) + lit(0.5)) / lit(4294967296.0))
+        .withColumn("e6", round(-log(col("u")) / col("n_tokens")
+          + lit(1e-9), 6))
+        .orderBy(col("e6"), col("doc_id")).limit(50)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("e6")))
+
   val packSequences = Q(
     "pipeline_pack_sequences",
     "Sequence PACKING — the concat-and-chunk step every pretraining data " +
@@ -2034,7 +2074,7 @@ object TextOps {
   val all: Seq[Q] = Seq(wordcount, invertedIndex, collector, filecount, grep,
     langid, tokenStats, quality, fingerprint, bpeTokens, rollingHash,
     tfidf, chunkPack, cdcChunks, corpusClean, sampleStratified,
-    sampleExactK, packSequences, unigramLogprob, bigramLogprob, knLogprob, piiRedact, encodingFix,
+    sampleExactK, sampleWeighted, packSequences, unigramLogprob, bigramLogprob, knLogprob, piiRedact, encodingFix,
     tokenBudget, trainingCorpus, datasetCard, quarantine, bpeFit, bpeApply,
     zipfFit, qualityFit, qualityCalibration, fasttextFit, bm25,
     domainCap, langMixture, winnow)
