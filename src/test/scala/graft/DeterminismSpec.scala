@@ -53,7 +53,14 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_topk_sq8" -> sfSmoke,        // integer-distance ANN ranking ties (r7)
     "pipeline_bpe_apply" -> sfSmoke,  // merge tie-breaks + sentinel apply (r7)
     "pipeline_fasttext_fit" -> sfSmoke, // rounded gradient sums + |w2| top-20 ties (r7)
-    "dedup_substring" -> sfSmoke)     // block-partitioned window adjacency (r7)
+    "dedup_substring" -> sfSmoke,     // block-partitioned window adjacency (r7)
+    "dedup_prefix_join" -> sfCaps,    // df-ordered prefixes + candidate distinct (r7)
+    "ta_winnow" -> sfSmoke,           // window-min selection + collect_set sketch (r7)
+    "dedup_lines" -> sfCaps,          // countDistinct threshold census (r7)
+    "pipeline_sample_weighted" -> sfCaps, // rounded-key global bottom-k ties (r7)
+    "pipeline_domain_cap" -> sfCaps,  // rounded-quality rank boundary (r7)
+    "q_events_scd2" -> sfSmoke,       // ordered change detection + lead chain (r7)
+    "sim_topk_ivfpq_residual" -> sfSmoke) // per-cell LUT ADC ranking ties (r7)
 
   private def runAt(name: String, dir: String, partitions: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
