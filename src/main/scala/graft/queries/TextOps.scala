@@ -1936,11 +1936,12 @@ object TextOps {
         .filter(length(col("text")) >= 8)
         .select(col("doc_id"), col("text"),
           (length(col("text")) - 4).cast("long").as("n_kgrams"))
+      // Native one-pass k-gram hash array (KgramHash31): the higher-order
+      // aggregate/substring formulation paid an interpreted lambda + an
+      // O(p) UTF-8 seek per character — O(L²)/doc, the heaviest query in
+      // the sf0.1 bench (9.6 s) until this expression replaced it.
       val h = d.select(col("doc_id"), col("n_kgrams"),
-        posexplode(expr("transform(sequence(1, n_kgrams), p -> " +
-          "aggregate(transform(sequence(0, 4), " +
-          "j -> bigint(ascii(substring(text, int(p + j), 1)))), " +
-          "bigint(0), (acc, c) -> (acc * 31 + c) & 2147483647))")))
+        posexplode(graft.functions.KgramHash31(col("text"), 5)))
         .select(col("doc_id"), col("n_kgrams"),
           (col("pos") + 1).cast("long").as("pos"), col("col").as("kh"))
       val sel = h.withColumn("skey",

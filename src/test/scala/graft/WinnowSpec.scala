@@ -68,6 +68,29 @@ class WinnowSpec extends AnyFunSuite {
     assert(meanD > 0.25 && meanD < 0.55, s"mean density $meanD vs 2/(w+1)=0.4")
   }
 
+  test("KgramHash31 equals the higher-order SQL formulation it replaced") {
+    // The native expression's semantics are pinned to the oracle's
+    // per-position list_reduce fold; this leg proves it against the
+    // original aggregate/substring Spark formulation (kept here as the
+    // reference, retired from the query for its O(L^2) seek cost).
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - 4).cast("long").as("n_kgrams"))
+    val rows = d.select(col("doc_id"),
+      graft.functions.KgramHash31(col("text"), 5).as("fast"),
+      expr("transform(sequence(1, n_kgrams), p -> " +
+        "aggregate(transform(sequence(0, 4), " +
+        "j -> bigint(ascii(substring(text, int(p + j), 1)))), " +
+        "bigint(0), (acc, c) -> (acc * 31 + c) & 2147483647))").as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: native k-gram hashes differ from SQL fold")
+    }
+  }
+
   test("the winnowing guarantee: shared 8-char substring => shared fingerprint") {
     // The algorithm's contract (Schleimer et al. theorem 1): any match of
     // length >= k + w - 1 is caught by at least one shared selected
