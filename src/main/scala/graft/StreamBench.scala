@@ -177,7 +177,13 @@ object StreamBench {
       // open version per ACTIVE user (ttl-evicted), so state_rows tracks
       // the user cardinality, not the event volume.
       run[Event]("scd2", event)(in =>
-        Streams.scd2Stream(spark, in.toDS(), ttlSeconds = 7200).toDF()))
+        Streams.scd2Stream(spark, in.toDS(), ttlSeconds = 7200).toDF()),
+      // Line dedup: texts collide mod 800, so segment digests recur and
+      // the df counters do real promotion work; state is one long per
+      // ACTIVE segment digest (ttl-evicted), bounded by the segment
+      // vocabulary in the window, not by input rows.
+      run[DocEvent]("line_dedup", docEvent(_, 800), heavy = true)(in =>
+        Streams.lineDedupStream(spark, in.toDS(), segTtlSeconds = 7200).toDF()))
 
     val qs = results.map { r =>
       val rps = if (r.secs > 0) r.rows / r.secs else 0.0

@@ -896,6 +896,71 @@ object Streams {
       }
   }
 
+  /** One boilerplate-segment event: `promoted = true` on the arrival that
+    * lifts a segment's document frequency to the threshold; `false` for
+    * every later document carrying an already-boilerplate segment.
+    */
+  case class SegEvent(seg: String, doc_id: Long, df: Long, promoted: Boolean)
+
+  /** Streaming LINE-LEVEL boilerplate detection — the incremental face of
+    * `dedup_lines`: arriving docs are segmented MAP-SIDE by the same
+    * 3-word-chunk + md5 projection as the batch census, and one GroupState
+    * counter per segment digest tracks its document frequency. The
+    * arrival that lifts a segment to df = 3 emits `promoted = true`;
+    * every later carrier emits a flagged occurrence — the rows a
+    * downstream filter drops. Semantics vs batch, stated honestly (the
+    * cdcDedupStream rule): the batch census flags EVERY occurrence of a
+    * boilerplate segment retroactively; a stream cannot retract, so the
+    * first threshold-1 carriers are never flagged — but the SET of
+    * promoted segments equals the batch df >= 3 boilerplate set exactly
+    * once the same docs have streamed through (LineDedupStreamSpec pins
+    * it, plus RocksDB and batch-split invariance). State is ONE long per
+    * segment digest active within the TTL window, watermark-evicted —
+    * an idle segment forgets its count at the documented re-seed cost.
+    */
+  def lineDedupStream(spark: SparkSession, docs: Dataset[DocEvent],
+      threshold: Long = 3L,
+      segTtlSeconds: Long = 3600,
+      watermarkDelay: String = "10 minutes"): Dataset[SegEvent] = {
+    import spark.implicits._
+    docs.toDF()
+      .withWatermark("ts", watermarkDelay)
+      // guard BEFORE the sequence: sequence(0, -1) generates a DESCENDING
+      // range, not an empty one — the same trap the batch query filters.
+      .filter(expr("size(split(text, ' ')) >= 3"))
+      .select(col("doc_id"), col("ts"),
+        explode(expr("transform(sequence(0, int(size(split(text, ' ')) div 3) - 1), " +
+          "i -> md5(concat_ws(' ', slice(split(text, ' '), int(i*3+1), 3))))"))
+          .as("seg"))
+      .dropDuplicates("doc_id", "seg") // df counts DISTINCT docs per segment
+      .as[(Long, Timestamp, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Long, SegEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (seg: String, it: Iterator[(Long, Timestamp, String)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var cnt = state.getOption.getOrElse(0L)
+            val out = Seq.newBuilder[SegEvent]
+            var lastMs = Long.MinValue
+            // doc_id order within the batch: which carrier is "the
+            // promoter" stays deterministic under arrival permutation.
+            for ((doc, ts, _) <- it.toSeq.sortBy(_._1)) {
+              cnt += 1
+              if (cnt == threshold) out += SegEvent(seg, doc, cnt, promoted = true)
+              else if (cnt > threshold) out += SegEvent(seg, doc, cnt, promoted = false)
+              lastMs = math.max(lastMs, micros(ts) / 1000L)
+            }
+            state.update(cnt)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1000,
+              lastMs + segTtlSeconds * 1000L))
+            out.result().iterator
+          }
+      }
+  }
+
   /** One SCD2 version row: closed versions carry `valid_to`; the flush of
     * a user's OPEN version (on event-time timeout) carries none and
     * `current = true`.
