@@ -1291,11 +1291,12 @@ object Similarity {
   }
 
   /** Total squared quantization error of a PQ encoding (the min d2 per
-    * (vector, subspace), summed) — the number residual encoding exists
-    * to shrink; IvfPqResidualSpec compares raw vs residual.
+    * (vector, subspace), summed) as a 1-row frame — the number residual
+    * encoding exists to shrink; IvfPqResidualSpec compares raw vs
+    * residual (the spec does the collect — main stays collect-free).
     */
   private[queries] def pqQuantError(spark: SparkSession, dir: String,
-      residual: Boolean): Double = {
+      residual: Boolean): DataFrame = {
     val v = Q.materialize(vecs(spark, dir))
     val base =
       if (!residual) v
@@ -1308,8 +1309,7 @@ object Similarity {
       }
     val sub = pqSub(base)
     val cb = pqCodebook(sub)
-    pqEncode(pqScored(sub, cb))
-      .agg(sum(col("d2_raw"))).collect().head.getDouble(0)
+    pqEncode(pqScored(sub, cb)).agg(sum(col("d2_raw")).as("err"))
   }
 
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,

@@ -29,7 +29,9 @@ class IvfPqResidualSpec extends AnyFunSuite {
   test("residual encoding does not lose to raw-vector encoding") {
     val dir = "/root/testdata/sf0.01"
     val raw = Similarity.pqQuantError(spark, dir, residual = false)
+      .collect().head.getDouble(0)
     val res = Similarity.pqQuantError(spark, dir, residual = true)
+      .collect().head.getDouble(0)
     info(f"total squared quantization error: residual $res%.2f vs raw $raw%.2f")
     assert(res < raw, f"residual error $res%.2f not below raw $raw%.2f")
   }

@@ -98,6 +98,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // aggregate cross in the set-ops summary), never N x N.
     val whitelist = Set("sim_topk_bruteforce", "sim_kmeans_assign",
       "sim_kmeans_iter2", "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_topk_ivfpq",
+      // residual IVF-PQ inherits cellRanks' k-row centroid broadcast
+      // cross (both the assignment and the probe set) (r7).
+      "sim_topk_ivfpq_residual",
       "dedup_semantic", "pipeline_modal_curation", "ta_tfidf",
       "ta_unigram_logprob", "pipeline_token_budget", "q_events_setops",
       "q_hll_merge", "q_quantile_sketch", "q_quantile_merge",
