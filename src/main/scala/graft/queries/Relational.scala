@@ -388,7 +388,68 @@ object Relational {
         .agg(r2e(sum(col("amount"))).as("sum_profit"))
     })
 
+  val q6 = Q(
+    "q6_forecast_revenue",
+    "TPC-H Q6 (forecasting revenue change): the pure scan-side query — " +
+      "one year of shipments, a discount band, a quantity cap, ONE " +
+      "aggregate, NO join and NO shuffle beyond the final 1-row gather. " +
+      "Its whole value at 100 TB is what reaches the parquet scan: all " +
+      "three predicates and the 4-column projection push down " +
+      "(PlanShapeSpec's pushed-filters lock), so the engine reads row " +
+      "groups whose min/max stats intersect the band and nothing else — " +
+      "the query the Z-order/compaction layout work exists to serve.",
+    Some("""
+      SELECT round(sum(l_extendedprice * l_discount) + 1e-6, 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(r2e(sum(col("l_extendedprice") * col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items")))
+
+  val q14 = Q(
+    "q14_promo_effect",
+    "TPC-H Q14 (promotion effect): the share of a quarter's revenue " +
+      "from promotional parts — a conditional-aggregate ratio over the " +
+      "lineitem⋈part join. The date filter prunes the fact scan BEFORE " +
+      "the join; part carries only (key, type). The ratio divides two " +
+      "sums from the SAME aggregation pass (one plan, no second scan) " +
+      "and rounds through the epsilon convention.",
+    Some("""
+      SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               AS promo_revenue_pct,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-12-01 00:00:00'""".stripMargin),
+    (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-12-01").cast("timestamp"))
+        .join(t(spark, dir, "part")
+          .select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) * sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(0.0))
+          / sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          + lit(1e-6), 2).as("promo_revenue_pct"),
+          count(lit(1)).as("n_items")))
+
   val all: Seq[Q] =
     Seq(q1, q3, q5, qSemi, qAnti, qWindowTop, qPartStats, qAboveAvg,
-      qMonthly, qLargeOrders, q7, q9)
+      qMonthly, qLargeOrders, q7, q9, q6, q14)
 }
