@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-committed snapshot table — the transactional-publish primitive
+  * under every lakehouse table format: a reader must see either the table
+  * BEFORE a write or the table AFTER it, never a half-written mixture, and
+  * every published version stays readable (time travel).
+  *
+  * Mechanics (the Delta/Iceberg idea reduced to its load-bearing core):
+  * data files are immutable and carry no meaning by themselves — a file
+  * EXISTS in the table only if a committed manifest lists it. A publish
+  *  1. stages the DataFrame's parquet files into `data/` under
+  *     version-prefixed names (crash here leaves ORPHANS — garbage, not
+  *     corruption: no manifest references them, so readers never see them),
+  *  2. writes the manifest `_manifests/v<N>.json` listing exactly its
+  *     files (crash here: manifest absent or half-written and unreferenced
+  *     by `_latest` — still invisible),
+  *  3. flips the `_latest` pointer by ATOMIC RENAME — the single commit
+  *     point; before it readers resolve v(N-1), after it v(N).
+  *
+  * Scope, stated honestly: single-writer, POSIX-rename atomicity — the
+  * local-FS/HDFS form. Object stores without atomic rename replace step 3
+  * with a compare-and-swap on a log entry (the actual difference between
+  * this sketch and a production table format); the READER contract —
+  * manifest-listed files only, orphans invisible, versions immutable — is
+  * identical and is what SnapshotsSpec certifies.
+  */
+object Snapshots {
+
+  private def dirOf(table: String, sub: String): Path = {
+    val p = Paths.get(table, sub)
+    Files.createDirectories(p)
+    p
+  }
+
+  /** Highest committed version per `_latest`, or 0 if never published. */
+  def latestVersion(table: String): Int = {
+    val ptr = Paths.get(table, "_latest")
+    if (Files.exists(ptr)) Files.readString(ptr).trim.toInt else 0
+  }
+
+  /** Publish `df` as version latest+1 of `table`; returns the version. */
+  def publish(df: DataFrame, table: String): Int = {
+    val v = latestVersion(table) + 1
+    val dataDir = dirOf(table, "data")
+    // 1. stage: write to a scratch dir, then move each part file to its
+    // immutable version-prefixed name. A crash anywhere in this loop
+    // leaves unreferenced orphans only.
+    val stage = Files.createTempDirectory(Paths.get(table), s"stage-v$v-")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val listing = Files.list(stage)
+    val parts =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+      finally listing.close()
+    val names = parts.zipWithIndex.map { case (p, i) =>
+      val name = f"v$v%05d-part$i%05d.parquet"
+      Files.move(p, dataDir.resolve(name))
+      name
+    }
+    val walk = Files.walk(stage)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+    // 2. manifest: the complete file list of THIS version.
+    val manifest = dirOf(table, "_manifests").resolve(f"v$v%05d.json")
+    Files.writeString(manifest,
+      names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+    // 3. commit: atomic pointer flip.
+    val tmp = Paths.get(table, s"_latest.tmp-$v")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, Paths.get(table, "_latest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Read a committed version (default: latest). Only manifest-listed
+    * files are loaded — orphaned data files are invisible by design.
+    */
+  def read(spark: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(table))
+    require(v >= 1, s"$table has no committed version")
+    val manifest = Paths.get(table, "_manifests", f"v$v%05d.json")
+    require(Files.exists(manifest), s"version $v of $table was never committed")
+    val names = Files.readString(manifest).trim
+      .stripPrefix("[").stripSuffix("]").split(",")
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    val paths = names.map(n => Paths.get(table, "data", n).toString)
+    spark.read.parquet(paths: _*)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Snapshots
+
+/** The snapshot-table reader contract: committed versions are immutable
+  * and each read resolves to exactly one manifest's files — a half-done
+  * publish (orphan data files, manifest without pointer flip) is
+  * INVISIBLE, and every historical version stays readable after later
+  * publishes (time travel).
+  */
+class SnapshotsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+  test("publish/read round-trip, snapshot isolation, time travel") {
+    val table = Files.createTempDirectory("graft_snap").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    val v1 = Snapshots.publish(docs, table)
+    assert(v1 == 1)
+    assert(ids(Snapshots.read(spark, table)) == ids(docs))
+
+    // v2 rewrites the table as a filtered subset — NOT an append — and
+    // the reader must flip to exactly it, while v1 stays readable.
+    val subset = docs.filter(col("doc_id") % 2 === 0)
+    val v2 = Snapshots.publish(subset, table)
+    assert(v2 == 2)
+    assert(ids(Snapshots.read(spark, table)) == ids(subset))
+    assert(ids(Snapshots.read(spark, table, Some(1))) == ids(docs))
+    assert(Snapshots.latestVersion(table) == 2)
+  }
+
+  test("a crashed publish is invisible: orphans and uncommitted manifests") {
+    val table = Files.createTempDirectory("graft_snap2").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Snapshots.publish(docs, table)
+    val before = ids(Snapshots.read(spark, table))
+
+    // Crash between stage and manifest: orphan data files appear.
+    docs.limit(10).write.mode("overwrite").parquet(s"$table/crash_stage")
+    Files.list(Paths.get(s"$table/crash_stage")).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        Files.move(p, Paths.get(table, "data",
+          "v99999-orphan-" + p.getFileName.toString))
+    }
+    assert(ids(Snapshots.read(spark, table)) == before,
+      "orphan data files leaked into the read")
+
+    // Crash between manifest and pointer flip: manifest exists but
+    // _latest still names v1 — the default read must not see v2.
+    Files.writeString(Paths.get(table, "_manifests", "v00002.json"), "[]")
+    assert(Snapshots.latestVersion(table) == 1)
+    assert(ids(Snapshots.read(spark, table)) == before,
+      "uncommitted manifest leaked into the default read")
+
+    // And the NEXT successful publish commits cleanly over the debris.
+    val subset = docs.filter(col("doc_id") < 100)
+    val v = Snapshots.publish(subset, table)
+    assert(v == 2)
+    assert(ids(Snapshots.read(spark, table)) == ids(subset))
+  }
+}
