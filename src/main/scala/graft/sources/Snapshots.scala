@@ -44,13 +44,40 @@ object Snapshots {
     if (Files.exists(ptr)) Files.readString(ptr).trim.toInt else 0
   }
 
-  /** Publish `df` as version latest+1 of `table`; returns the version. */
+  /** Publish `df` as version latest+1 of `table` (a FULL-rewrite commit:
+    * the manifest lists only this version's files); returns the version.
+    */
   def publish(df: DataFrame, table: String): Int = {
     val v = latestVersion(table) + 1
+    commit(table, v, stageFiles(df, table, v))
+  }
+
+  /** Manifest file list of a committed version. */
+  private def manifestFiles(table: String, v: Int): Seq[String] = {
+    val manifest = Paths.get(table, "_manifests", f"v$v%05d.json")
+    require(Files.exists(manifest), s"version $v of $table was never committed")
+    Files.readString(manifest).trim
+      .stripPrefix("[").stripSuffix("]").split(",")
+      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+  }
+
+  private def commit(table: String, v: Int, names: Seq[String]): Int = {
+    val manifest = dirOf(table, "_manifests").resolve(f"v$v%05d.json")
+    Files.writeString(manifest,
+      names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+    val tmp = Paths.get(table, s"_latest.tmp-$v")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, Paths.get(table, "_latest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Stage `df`'s parquet parts into `data/` under version-prefixed
+    * immutable names; returns the new file names (not yet committed).
+    */
+  private def stageFiles(df: DataFrame, table: String, v: Int): Seq[String] = {
     val dataDir = dirOf(table, "data")
-    // 1. stage: write to a scratch dir, then move each part file to its
-    // immutable version-prefixed name. A crash anywhere in this loop
-    // leaves unreferenced orphans only.
     val stage = Files.createTempDirectory(Paths.get(table), s"stage-v$v-")
     df.write.mode("overwrite").parquet(stage.toString)
     val listing = Files.list(stage)
@@ -67,16 +94,36 @@ object Snapshots {
     val walk = Files.walk(stage)
     try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     finally walk.close()
-    // 2. manifest: the complete file list of THIS version.
-    val manifest = dirOf(table, "_manifests").resolve(f"v$v%05d.json")
-    Files.writeString(manifest,
-      names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
-    // 3. commit: atomic pointer flip.
-    val tmp = Paths.get(table, s"_latest.tmp-$v")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, Paths.get(table, "_latest"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    v
+    names
+  }
+
+  /** APPEND commit: version latest+1 whose manifest is the previous
+    * version's file list PLUS `df`'s new files — existing data files are
+    * reused byte-for-byte (manifests share immutable files; only the new
+    * rows are written). The atomic-rename commit point is identical to
+    * [[publish]], so a reader sees the table without the appended rows or
+    * with ALL of them.
+    */
+  def append(df: DataFrame, table: String): Int = {
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version to append to")
+    val v = prev + 1
+    commit(table, v, manifestFiles(table, prev) ++ stageFiles(df, table, v))
+  }
+
+  /** COMPACTION commit: rewrite the latest version's rows as `n`
+    * range-partitioned, internally-sorted files ([[Compaction]]'s layout)
+    * and publish them as a new version — same rows, fewer/better files,
+    * and the pre-compaction version stays readable (time travel is the
+    * undo). The old files are NOT deleted: vacuuming uncommitted/old
+    * files is a separate concern from correctness, exactly as in
+    * production formats.
+    */
+  def compact(spark: SparkSession, table: String, n: Int,
+      cols: org.apache.spark.sql.Column*): Int = {
+    val v = latestVersion(table) + 1
+    val compacted = Compaction.compactToRange(read(spark, table), n, cols: _*)
+    commit(table, v, stageFiles(compacted, table, v))
   }
 
   /** Read a committed version (default: latest). Only manifest-listed
@@ -86,12 +133,8 @@ object Snapshots {
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(table))
     require(v >= 1, s"$table has no committed version")
-    val manifest = Paths.get(table, "_manifests", f"v$v%05d.json")
-    require(Files.exists(manifest), s"version $v of $table was never committed")
-    val names = Files.readString(manifest).trim
-      .stripPrefix("[").stripSuffix("]").split(",")
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
-    val paths = names.map(n => Paths.get(table, "data", n).toString)
+    val paths = manifestFiles(table, v)
+      .map(n => Paths.get(table, "data", n).toString)
     spark.read.parquet(paths: _*)
   }
 }

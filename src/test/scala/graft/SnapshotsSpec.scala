@@ -67,4 +67,31 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(v == 2)
     assert(ids(Snapshots.read(spark, table)) == ids(subset))
   }
+
+  test("append commits reuse prior files; compact preserves rows") {
+    val table = Files.createTempDirectory("graft_snap3").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val half1 = docs.filter(col("doc_id") < 250)
+    val half2 = docs.filter(col("doc_id") >= 250)
+    Snapshots.publish(half1.repartition(4), table)
+    val v2 = Snapshots.append(half2.repartition(4), table)
+    assert(v2 == 2)
+    assert(ids(Snapshots.read(spark, table)) == ids(docs))
+    assert(ids(Snapshots.read(spark, table, Some(1))) == ids(half1))
+    // Append reuses v1's data files byte-for-byte: v2's manifest must
+    // reference v1-prefixed names (immutable-file sharing, the thing
+    // that makes appends O(new data) instead of O(table)).
+    val m2 = Files.readString(Paths.get(table, "_manifests", "v00002.json"))
+    assert(m2.contains("v00001-") && m2.contains("v00002-"))
+
+    // Compaction: same rows, range layout, old version still readable.
+    val v3 = Snapshots.compact(spark, table, 2, col("doc_id"))
+    assert(v3 == 3)
+    assert(ids(Snapshots.read(spark, table)) == ids(docs))
+    assert(ids(Snapshots.read(spark, table, Some(2))) == ids(docs))
+    val m3 = Files.readString(Paths.get(table, "_manifests", "v00003.json"))
+    assert(!m3.contains("v00001-") && !m3.contains("v00002-"),
+      "compaction manifest still references pre-compaction files")
+    assert(m3.split(",").length == 2, "compaction did not produce 2 files")
+  }
 }
