@@ -38,10 +38,24 @@ object Snapshots {
     p
   }
 
-  /** Highest committed version per `_latest`, or 0 if never published. */
+  /** Highest committed version per `_latest`, or 0 if never published.
+    * The pointer file carries "version [batchId]" — one atomic rename
+    * commits BOTH, which is what makes the streaming append exactly-once
+    * (a separate batch-tracking file would open a crash window between
+    * the data commit and the batch record).
+    */
   def latestVersion(table: String): Int = {
     val ptr = Paths.get(table, "_latest")
-    if (Files.exists(ptr)) Files.readString(ptr).trim.toInt else 0
+    if (Files.exists(ptr)) Files.readString(ptr).trim.split("\\s+")(0).toInt
+    else 0
+  }
+
+  /** Highest streaming batchId committed into `table`, or -1. */
+  def lastBatchId(table: String): Long = {
+    val ptr = Paths.get(table, "_latest")
+    if (!Files.exists(ptr)) return -1L
+    val parts = Files.readString(ptr).trim.split("\\s+")
+    if (parts.length > 1) parts(1).toLong else -1L
   }
 
   /** Publish `df` as version latest+1 of `table` (a FULL-rewrite commit:
@@ -62,15 +76,40 @@ object Snapshots {
       .filter(_.nonEmpty).toSeq
   }
 
-  private def commit(table: String, v: Int, names: Seq[String]): Int = {
+  private def commit(table: String, v: Int, names: Seq[String],
+      batchId: Long = -1L): Int = {
     val manifest = dirOf(table, "_manifests").resolve(f"v$v%05d.json")
     Files.writeString(manifest,
       names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
     val tmp = Paths.get(table, s"_latest.tmp-$v")
-    Files.writeString(tmp, v.toString)
+    // Carry forward the streaming batch watermark on non-streaming
+    // commits so an interleaved publish/compact can't reopen replayed
+    // batches.
+    val bid = if (batchId >= 0) batchId else lastBatchId(table)
+    Files.writeString(tmp, s"$v $bid")
     Files.move(tmp, Paths.get(table, "_latest"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     v
+  }
+
+  /** EXACTLY-ONCE streaming append — the transactional-sink recipe for
+    * `writeStream.foreachBatch`: Structured Streaming re-runs a batch
+    * after a failure, so the sink must make `(batchId, data) -> commit`
+    * idempotent. The committed batchId rides IN the `_latest` pointer, so
+    * the data commit and the batch record are ONE atomic rename — a
+    * replayed batch (batchId <= the committed watermark) is a no-op, and
+    * there is no crash window where data committed but the batch record
+    * didn't (the flaw of tracking batches in a second file). Returns
+    * true iff this call committed.
+    */
+  def appendBatch(df: DataFrame, table: String, batchId: Long): Boolean = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    if (batchId <= lastBatchId(table)) return false
+    val prev = latestVersion(table)
+    val v = prev + 1
+    val prevFiles = if (prev >= 1) manifestFiles(table, prev) else Seq.empty
+    commit(table, v, prevFiles ++ stageFiles(df, table, v), batchId)
+    true
   }
 
   /** Stage `df`'s parquet parts into `data/` under version-prefixed

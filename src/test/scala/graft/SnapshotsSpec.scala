@@ -84,6 +84,7 @@ class SnapshotsSpec extends AnyFunSuite {
     val m2 = Files.readString(Paths.get(table, "_manifests", "v00002.json"))
     assert(m2.contains("v00001-") && m2.contains("v00002-"))
 
+    // (compaction leg below; streaming exactly-once in its own test)
     // Compaction: same rows, range layout, old version still readable.
     val v3 = Snapshots.compact(spark, table, 2, col("doc_id"))
     assert(v3 == 3)
@@ -93,5 +94,54 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(!m3.contains("v00001-") && !m3.contains("v00002-"),
       "compaction manifest still references pre-compaction files")
     assert(m3.split(",").length == 2, "compaction did not produce 2 files")
+  }
+
+  test("streaming appendBatch is exactly-once under batch replay") {
+    // foreachBatch re-runs a batch after failure; the sink's batchId
+    // watermark rides in the same atomic rename as the data commit, so a
+    // replay is a no-op and an interleaved batch commit can't duplicate.
+    val table = Files.createTempDirectory("graft_snap4").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b0 = docs.filter(col("doc_id") < 100)
+    val b1 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+
+    assert(Snapshots.appendBatch(b0, table, 0L))
+    assert(ids(Snapshots.read(spark, table)) == ids(b0))
+    // replay of batch 0 after a simulated failure: no-op
+    assert(!Snapshots.appendBatch(b0, table, 0L))
+    assert(Snapshots.latestVersion(table) == 1)
+    assert(Snapshots.appendBatch(b1, table, 1L))
+    assert(ids(Snapshots.read(spark, table)) == ids(b0) ++ ids(b1))
+    // replay of batch 1 AND a stale batch 0: both no-ops, table unchanged
+    assert(!Snapshots.appendBatch(b1, table, 1L))
+    assert(!Snapshots.appendBatch(b0, table, 0L))
+    assert(Snapshots.latestVersion(table) == 2)
+    assert(ids(Snapshots.read(spark, table)) == ids(b0) ++ ids(b1))
+    // a non-streaming commit carries the batch watermark forward: the
+    // publish below must not reopen batch 1 for replay.
+    Snapshots.publish(docs, table)
+    assert(Snapshots.lastBatchId(table) == 1L)
+    assert(!Snapshots.appendBatch(b1, table, 1L))
+
+    // And the real wiring: drive it from an actual foreachBatch stream.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val table2 = Files.createTempDirectory("graft_snap5").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = input.toDS().toDF("doc_id")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Snapshots.appendBatch(b, table2, id); ()
+      }
+      .start()
+    try {
+      input.addData(1L, 2L, 3L); q.processAllAvailable()
+      input.addData(4L, 5L); q.processAllAvailable()
+      val got = Snapshots.read(spark, table2)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 3L, 4L, 5L))
+      assert(Snapshots.latestVersion(table2) == 2)
+    } finally q.stop()
   }
 }
