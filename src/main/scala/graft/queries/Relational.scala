@@ -449,7 +449,49 @@ object Relational {
           + lit(1e-6), 2).as("promo_revenue_pct"),
           count(lit(1)).as("n_items")))
 
+  val q10 = Q(
+    "q10_returned_items",
+    "TPC-H Q10 (returned-item reporting): the top-20 customers by " +
+      "revenue lost to returns in one quarter — the classic " +
+      "fact-filter → join → aggregate → top-k report. Both fact " +
+      "filters (returnflag on lineitem, the quarter on orders) push to " +
+      "their scans BEFORE the join; nation broadcasts into the customer " +
+      "dim; top-20 orders by the ROUNDED revenue with the custkey " +
+      "tie-break (the repo top-k rule) and compiles to TakeOrdered — " +
+      "no global sort.",
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               AS revenue
+      FROM customer
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""".stripMargin),
+    (spark, dir) => {
+      val cust = t(spark, dir, "customer")
+        .join(broadcast(t(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+      val ord = t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(r2e(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    })
+
   val all: Seq[Q] =
     Seq(q1, q3, q5, qSemi, qAnti, qWindowTop, qPartStats, qAboveAvg,
-      qMonthly, qLargeOrders, q7, q9, q6, q14)
+      qMonthly, qLargeOrders, q7, q9, q6, q14, q10)
 }

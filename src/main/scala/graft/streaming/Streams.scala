@@ -928,11 +928,20 @@ object Streams {
       // guard BEFORE the sequence: sequence(0, -1) generates a DESCENDING
       // range, not an empty one — the same trap the batch query filters.
       .filter(expr("size(split(text, ' ')) >= 3"))
+      // Within-doc distinctness is MAP-SIDE (array_distinct before the
+      // explode), so df counts DISTINCT docs per segment with NO extra
+      // stateful operator — a streaming dropDuplicates("doc_id","seg")
+      // here would keep one state row per (doc, segment) pair forever
+      // (the event-time column is not part of the dedup key, so nothing
+      // evicts), which the StreamBench probe exposed as state growing
+      // with input rows. Contract (the packSequences precedent): each
+      // doc_id arrives once; a replayed doc would double-count its
+      // segments.
       .select(col("doc_id"), col("ts"),
-        explode(expr("transform(sequence(0, int(size(split(text, ' ')) div 3) - 1), " +
-          "i -> md5(concat_ws(' ', slice(split(text, ' '), int(i*3+1), 3))))"))
+        explode(array_distinct(
+          expr("transform(sequence(0, int(size(split(text, ' ')) div 3) - 1), " +
+            "i -> md5(concat_ws(' ', slice(split(text, ' '), int(i*3+1), 3))))")))
           .as("seg"))
-      .dropDuplicates("doc_id", "seg") // df counts DISTINCT docs per segment
       .as[(Long, Timestamp, String)]
       .groupByKey(_._3)
       .flatMapGroupsWithState[Long, SegEvent](

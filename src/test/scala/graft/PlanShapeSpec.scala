@@ -21,7 +21,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("TPC-H queries push filters into the parquet scans") {
     Seq("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
       "q7_nation_volume", "q9_product_profit", "q6_forecast_revenue",
-      "q14_promo_effect")
+      "q14_promo_effect", "q10_returned_items")
       .foreach { q =>
         val p = plan(q)
         assert(p.contains("PushedFilters: [Is") || p.contains("PushedFilters: [Equal") ||
