@@ -176,4 +176,51 @@ object Snapshots {
       .map(n => Paths.get(table, "data", n).toString)
     spark.read.parquet(paths: _*)
   }
+
+  /** VACUUM — the lifecycle step correctness deliberately leaves out of
+    * the commit path: drop manifests older than the newest `retainLast`
+    * versions, then delete every file under `data/` that NO retained
+    * manifest references (expired versions' exclusive files, crashed-
+    * stage orphans) plus leftover stage directories. The deletion rule
+    * is allow-list shaped — anything referenced by ANY retained manifest
+    * survives, whatever its name — so shared files from append chains
+    * are never pulled out from under a retained version. Returns the
+    * deleted data-file names. After a vacuum, retained versions read
+    * byte-identically and expired versions fail LOUDLY (manifest gone),
+    * never partially.
+    */
+  def vacuum(table: String, retainLast: Int = 2): Seq[String] = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val latest = latestVersion(table)
+    require(latest >= 1, s"$table has no committed version")
+    val keepFrom = math.max(1, latest - retainLast + 1)
+    val manifestDir = Paths.get(table, "_manifests")
+    val live: Set[String] =
+      (keepFrom to latest).flatMap(v => manifestFiles(table, v)).toSet
+    // 1. expire old manifests FIRST: a reader racing the vacuum fails at
+    // manifest resolution (loud), never on a half-deleted file list.
+    val ml = Files.list(manifestDir)
+    try ml.iterator().asScala.toSeq.foreach { m =>
+      val v = m.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt
+      if (v < keepFrom) Files.delete(m)
+    } finally ml.close()
+    // 2. delete unreferenced data files and crashed-stage leftovers.
+    val dataDir = Paths.get(table, "data")
+    val dl = Files.list(dataDir)
+    val removed =
+      try dl.iterator().asScala.toSeq
+        .filter(p => !live.contains(p.getFileName.toString))
+        .map { p => Files.delete(p); p.getFileName.toString }
+      finally dl.close()
+    val tl = Files.list(Paths.get(table))
+    try tl.iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith("stage-"))
+      .foreach { d =>
+        val w = Files.walk(d)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+      }
+    finally tl.close()
+    removed.sorted
+  }
 }

@@ -96,6 +96,41 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(m3.split(",").length == 2, "compaction did not produce 2 files")
   }
 
+  test("vacuum deletes only what no retained manifest references") {
+    val table = Files.createTempDirectory("graft_snap6").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // v1 full, v2 = v1's files + appended rows (SHARED files), v3 rewrite.
+    Snapshots.publish(docs.filter(col("doc_id") < 250), table)
+    Snapshots.append(docs.filter(col("doc_id") >= 250), table)
+    Snapshots.publish(docs.filter(col("doc_id") < 100), table)
+    // plus a crashed-stage orphan
+    docs.limit(5).write.mode("overwrite").parquet(s"$table/stage-vX-crash")
+    val v2Rows = ids(Snapshots.read(spark, table, Some(2)))
+    val v3Rows = ids(Snapshots.read(spark, table, Some(3)))
+
+    val removed = Snapshots.vacuum(table, retainLast = 2)
+    // retained versions byte-identical; expired version fails loudly
+    assert(ids(Snapshots.read(spark, table, Some(2))) == v2Rows)
+    assert(ids(Snapshots.read(spark, table, Some(3))) == v3Rows)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, table, Some(1))
+    }
+    // v1's files SURVIVE (v2's manifest references them — the shared-file
+    // allow-list rule), so nothing v1-prefixed was removed...
+    assert(!removed.exists(_.startsWith("v00001-")),
+      s"vacuum deleted files a retained manifest references: $removed")
+    // ...and the crashed stage directory is gone.
+    assert(!Files.exists(Paths.get(s"$table/stage-vX-crash")))
+
+    // Retaining only the latest drops v2 and now v1's files DO go.
+    val removed2 = Snapshots.vacuum(table, retainLast = 1)
+    assert(removed2.exists(_.startsWith("v00001-")))
+    assert(ids(Snapshots.read(spark, table)) == v3Rows)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, table, Some(2))
+    }
+  }
+
   test("streaming appendBatch is exactly-once under batch replay") {
     // foreachBatch re-runs a batch after failure; the sink's batchId
     // watermark rides in the same atomic rename as the data commit, so a
