@@ -339,6 +339,47 @@ object EventsOps {
           col("valid_to").isNull.as("is_current"))
     })
 
+  val dwell = Q(
+    "q_events_dwell",
+    "DWELL-TIME census — the engagement metric product analytics " +
+      "derives from raw event streams: per user, the gaps between " +
+      "consecutive events (lag over the user-keyed ordered window, " +
+      "fractional-second doubles), summarized as count/mean/max with " +
+      "the share of gaps under a minute — the 'actively clicking vs " +
+      "parked tab' split. The ordered window and the census groupBy " +
+      "ride ONE user-keyed exchange (the SCD2/domain-cap reuse shape, " +
+      "locked in PlanShapeSpec). Means round through the epsilon " +
+      "convention; single-event users are excluded by the gap " +
+      "non-null filter in BOTH engines.",
+    Some("""
+      WITH g AS (SELECT user_id,
+                        epoch(ts) - lag(epoch(ts)) OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts, event_id) AS gap_s
+                 FROM events)
+      SELECT user_id, count(*)::BIGINT AS n_gaps,
+             round(avg(gap_s) + 1e-6, 2) AS mean_gap_s,
+             round(max(gap_s) + 1e-6, 2) AS max_gap_s,
+             sum(CASE WHEN gap_s < 60.0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_under_minute
+      FROM g WHERE gap_s IS NOT NULL
+      GROUP BY user_id""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("ts").cast("double").as("tsd"))
+        .withColumn("gap_s", col("tsd") - lag(col("tsd"), 1).over(w))
+        .filter(col("gap_s").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_gaps"),
+          r2e(avg(col("gap_s"))).as("mean_gap_s"),
+          r2e(max(col("gap_s"))).as("max_gap_s"),
+          sum(when(col("gap_s") < 60.0, 1L).otherwise(0L)).cast("long")
+            .as("n_under_minute"))
+    })
+
   val all: Seq[Q] = Seq(hourly, sessions, json, setops, funnel, intervalJoin,
-    retentionCohorts, gapfill, scd2)
+    retentionCohorts, gapfill, scd2, dwell)
 }

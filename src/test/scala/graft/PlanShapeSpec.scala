@@ -39,7 +39,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // SCD2: change-detect window, version groupBy and validity-chain
       // window all ride one user-keyed exchange (groupBy keys are a
       // superset of the partitioning, so no re-exchange) (r7).
-      "q_events_scd2").foreach { q =>
+      "q_events_scd2",
+      // dwell census: lag window + groupBy on the same user key (r7).
+      "q_events_dwell").foreach { q =>
       val shuffles = "Exchange hashpartitioning".r.findAllIn(plan(q)).length
       assert(shuffles == 1, s"$q: expected exactly 1 shuffle, got $shuffles")
     }
