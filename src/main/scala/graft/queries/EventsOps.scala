@@ -380,6 +380,62 @@ object EventsOps {
             .as("n_under_minute"))
     })
 
+  val anomaly = Q(
+    "q_events_anomaly",
+    "VOLUME-ANOMALY census — the ops-monitoring primitive over the " +
+      "hourly aggregate: each (hour, type) bucket's event count scored " +
+      "as a z-score against ITS TYPE's mean/stddev over the whole " +
+      "window, |z| >= 3 flagged. The per-type stats frame is bounded by " +
+      "the type inventory (5 rows) and joins back BY TYPE — at any " +
+      "scale the corpus aggregates once to hourly buckets (partial agg) " +
+      "and the stats pass reads the BUCKETS, not the events. " +
+      "Sample-stddev via the exact sum-of-squares identity spelled " +
+      "identically in both engines over BIGINT counts; z rounds " +
+      "through the 4-decimal epsilon convention. Output: only the " +
+      "flagged buckets (the page a human reads), with their z and the " +
+      "type baseline.",
+    Some("""
+      WITH h AS (SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+                        event_type, count(*)::BIGINT AS n
+                 FROM events GROUP BY hour_epoch, event_type),
+           s AS (SELECT event_type, count(*)::BIGINT AS n_buckets,
+                        sum(n)::BIGINT AS sum_n,
+                        sum(n * n)::BIGINT AS sum_n2
+                 FROM h GROUP BY event_type),
+           z AS (SELECT h.hour_epoch, h.event_type, h.n,
+                        (s.sum_n / (s.n_buckets::DOUBLE)) AS mean_n,
+                        sqrt((s.sum_n2 - s.sum_n * s.sum_n / (s.n_buckets::DOUBLE))
+                          / (s.n_buckets - 1)) AS sd_n
+                 FROM h JOIN s ON s.event_type = h.event_type
+                 WHERE s.n_buckets > 1)
+      SELECT hour_epoch, event_type, n,
+             round(mean_n + 1e-6, 2) AS mean_n2,
+             round((n - mean_n) / sd_n + 1e-8, 4) AS z4
+      FROM z
+      WHERE sd_n > 0 AND abs((n - mean_n) / sd_n) >= 3.0""".stripMargin),
+    (spark, dir) => {
+      val h = t(spark, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts")))
+          .as("hour_epoch"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val s = h.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_buckets"),
+          sum(col("n")).cast("long").as("sum_n"),
+          sum(col("n") * col("n")).cast("long").as("sum_n2"))
+        .filter(col("n_buckets") > 1)
+      h.join(broadcast(s), "event_type")
+        .withColumn("mean_n", col("sum_n") / col("n_buckets").cast("double"))
+        .withColumn("sd_n",
+          sqrt((col("sum_n2") - col("sum_n") * col("sum_n")
+            / col("n_buckets").cast("double")) / (col("n_buckets") - 1)))
+        .filter(col("sd_n") > 0
+          && abs((col("n") - col("mean_n")) / col("sd_n")) >= 3.0)
+        .select(col("hour_epoch"), col("event_type"), col("n"),
+          round(col("mean_n") + lit(1e-6), 2).as("mean_n2"),
+          round((col("n") - col("mean_n")) / col("sd_n") + lit(1e-8), 4)
+            .as("z4"))
+    })
+
   val all: Seq[Q] = Seq(hourly, sessions, json, setops, funnel, intervalJoin,
-    retentionCohorts, gapfill, scd2, dwell)
+    retentionCohorts, gapfill, scd2, dwell, anomaly)
 }

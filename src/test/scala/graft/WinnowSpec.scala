@@ -91,6 +91,32 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("KgramHash31 folds CODE POINTS on multibyte and supplementary input") {
+    // The corpus is ASCII, so the differential legs never exercise the
+    // UTF-8 decode path. Pin it directly: 2-byte (é), 3-byte (中) and
+    // 4-byte/supplementary (𝄞, U+1D11E) characters must fold as single
+    // code points — a UTF-16 charAt fold (surrogate halves) or a
+    // byte-wise fold would differ on every case below.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ref(s: String, k: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (0 to cps.length - k).map { p =>
+        var h = 0L
+        for (j <- 0 until k) h = (h * 31 + cps(p + j)) & 2147483647L
+        h
+      }
+    }
+    val cases = Seq("héllo wörld", "中文分词测试", "a𝄞b𝄞c𝄞d", "é", "𝄞𝄞𝄞𝄞𝄞",
+      "mixed é中𝄞 ascii", "")
+    val got = cases.toDF("t")
+      .select(graft.functions.KgramHash31(col("t"), 3).as("h"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    cases.zip(got).foreach { case (s, hs) =>
+      assert(hs == ref(s, 3), s"code-point fold differs on '$s'")
+    }
+  }
+
   test("the winnowing guarantee: shared 8-char substring => shared fingerprint") {
     // The algorithm's contract (Schleimer et al. theorem 1): any match of
     // length >= k + w - 1 is caught by at least one shared selected
