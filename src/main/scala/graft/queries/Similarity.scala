@@ -1312,8 +1312,80 @@ object Similarity {
     pqEncode(pqScored(sub, cb)).agg(sum(col("d2_raw")).as("err"))
   }
 
+  val knnGraph = Q(
+    "sim_knn_graph",
+    "k-NN GRAPH construction — the ALL-VECTORS kNN join (top-3 " +
+      "neighbors for EVERY vector, not a 20-query batch): the input " +
+      "artifact under kNN-graph clustering, label propagation over " +
+      "embeddings, HNSW seeding and UMAP. The N×N problem is blocked " +
+      "by the IVF structure: every vector probes its nprobe=2 nearest " +
+      "cells and scores exactly against THOSE cells' members only — " +
+      "cost N × (nprobe × cell size), sub-quadratic at any scale and " +
+      "entirely equi joins (probes ⋈ home-cell assignment on the cell " +
+      "key; a neighbor has ONE home cell, so no distinct is needed). " +
+      "Recall is the IVF contract, measured honestly on this " +
+      "ANN-hostile isotropic corpus at 0.42 vs exhaustive truth " +
+      "(KnnGraphSpec commits the floor, monotonicity in nprobe, and " +
+      "that planted ε-neighbors are found); production corpora with " +
+      "real cluster structure sit far higher. Per-vector top-3 by the " +
+      "rounded distance with id tie-break over a cell-bounded window.",
+    Some(s"""
+      WITH n AS ($VecsSql),$CentroidsSql,$AssignSql,
+           probes AS (SELECT vec_id, cell
+                      FROM (SELECT vec_id, cell, row_number() OVER (
+                              PARTITION BY vec_id
+                              ORDER BY round(d2_raw + 1e-9, 6), cell) AS rk
+                            FROM cscored)
+                      WHERE rk <= 2),
+           cand AS (SELECT p.vec_id AS qid, a.vec_id AS nid
+                    FROM probes p JOIN assign a ON a.cell = p.cell
+                    WHERE a.vec_id <> p.vec_id),
+           scored AS (
+             SELECT c.qid, c.nid,
+                    list_dot_product(q.e, q.e)
+                      - 2 * list_dot_product(q.e, m.e)
+                      + list_dot_product(m.e, m.e) AS d2_raw
+             FROM cand c
+             JOIN n q ON q.vec_id = c.qid
+             JOIN n m ON m.vec_id = c.nid)
+      SELECT qid, nid, rank, round(d2_raw + 1e-9, 6) AS d2r6
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid
+              ORDER BY round(d2_raw + 1e-9, 6), nid) AS rank
+            FROM scored)
+      WHERE rank <= 3""".stripMargin),
+    (spark, dir) => knnGraphTopk(spark, dir, nprobe = 2))
+
+  /** The kNN-join composition behind [[knnGraph]] with the nprobe knob
+    * exposed for the recall spec.
+    */
+  private[queries] def knnGraphTopk(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val v = Q.materialize(vecs(spark, dir))
+    val cent = Q.materialize(centroidsFrom(v))
+    val assign = assignAgainst(v, cent)
+      .select(col("vec_id").as("nid"), col("cell"))
+    val probes = cellRanks(v, cent, nprobe)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val cand = probes.join(assign, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val qv = v.select(col("vec_id").as("qid"), col("e").as("qe"))
+    val nv = v.select(col("vec_id").as("nid"), col("e").as("ne"))
+    val scored = cand.join(qv, "qid").join(nv, "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("qe")) - lit(2) * dot(col("qe"), col("ne"))
+          + dot(col("ne"), col("ne"))).as("d2_raw"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("d2_raw") + lit(1e-9), 6), col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(col("d2_raw") + lit(1e-9), 6).as("d2r6"))
+  }
+
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
     kmeansIter2, pqEncodeQ, topkPqAdc, topkIvfPq, semanticDedup, modalCuration,
     nearDup, histogram, labelCentroid, dimStats, powerIteration, topkSq8,
-    topkMrl, topkIvfPqResidual)
+    topkMrl, topkIvfPqResidual, knnGraph)
 }

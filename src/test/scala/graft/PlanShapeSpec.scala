@@ -104,6 +104,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // residual IVF-PQ inherits cellRanks' k-row centroid broadcast
       // cross (both the assignment and the probe set) (r7).
       "sim_topk_ivfpq_residual",
+      // kNN graph: cellRanks' centroid cross for assignment + probes (r7).
+      "sim_knn_graph",
       "dedup_semantic", "pipeline_modal_curation", "ta_tfidf",
       "ta_unigram_logprob", "pipeline_token_budget", "q_events_setops",
       "q_hll_merge", "q_quantile_sketch", "q_quantile_merge",
