@@ -31,7 +31,7 @@ object Bench {
     "sim_topk_bruteforce", "sim_kmeans_assign", "sim_kmeans_iter2",
     "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_pq_encode",
     "sim_topk_pq_adc", "sim_topk_ivfpq", "sim_topk_ivfpq_residual",
-    "sim_topk_sq8", "sim_topk_mrl", "sim_knn_graph",
+    "sim_topk_sq8", "sim_topk_mrl", "sim_knn_graph", "sim_knn_clusters",
     "dedup_semantic", "dedup_embedding_cosine",
     "kv_cas_replay", "ta_tfidf", "ta_repetition", "dedup_span",
     "ta_decontaminate", "ta_novelty", "ta_cdc_chunks", "dedup_cdc", "ta_cms_topk",

@@ -590,13 +590,17 @@ object Dedup {
     * [[components]]' body, shared with [[keepBest]] so both queries run
     * the identical iteration (single definition, no drift).
     */
-  private[queries] def componentAssignment(
-      spark: SparkSession, dir: String): DataFrame = {
-      val pairs = Q.materialize(
-        verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
-      val edges = pairs
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
+  /** Generic min-label connected components over a symmetric (src, dst)
+    * edge frame: returns (doc_id, label) for every node APPEARING IN AN
+    * EDGE (callers join singletons back — the per-round shuffle stays
+    * |subgraph|, not |corpus|). Extracted from the doc-dedup components
+    * so the kNN-graph clustering runs the IDENTICAL iteration (single
+    * definition: the pointer-jumping, convergence accounting and the
+    * constraint-propagation workaround cannot drift between callers).
+    */
+  private[queries] def minLabelComponents(
+      spark: SparkSession, edges0: DataFrame): DataFrame = {
+      val edges = edges0.toDF("src", "dst")
       // Constraint propagation is disabled for the iteration (restored in
       // the finally): a checkpointed self-join output carries
       // originConstraints referencing its PRE-checkpoint attribute ids,
@@ -661,6 +665,15 @@ object Dedup {
         }
         require(changed == 0, s"components did not converge in $iters rounds")
       } finally spark.conf.set(cpKey, cpPrev)
+      labels
+  }
+
+  private[queries] def componentAssignment(
+      spark: SparkSession, dir: String): DataFrame = {
+      val pairs = Q.materialize(
+        verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+      val labels = minLabelComponents(spark,
+        pairs.union(pairs.select(col("doc_b"), col("doc_a"))))
       t(spark, dir, "documents").select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),

@@ -1384,8 +1384,78 @@ object Similarity {
         round(col("d2_raw") + lit(1e-9), 6).as("d2r6"))
   }
 
+  val knnClusters = Q(
+    "sim_knn_clusters",
+    "MUTUAL-kNN CLUSTERING — the standard graph-clustering recipe on " +
+      "top of the kNN join: keep only RECIPROCATED edges (a↔b both in " +
+      "each other's top-3 — the mutuality filter that kills hub/chain " +
+      "artifacts one-directional kNN graphs suffer), then connected " +
+      "components over the mutual graph via the SAME min-label " +
+      "pointer-jumping iteration as dedup_components (extracted into " +
+      "one shared solver — the convergence accounting cannot drift " +
+      "between the text and vector faces). Every vector maps to its " +
+      "cluster's min-id canonical; singletons are their own. At scale " +
+      "this is the kNN join's cost plus component rounds over the " +
+      "MUTUAL subgraph (reciprocity thins edges sharply — isotropic " +
+      "corpora keep ~half of directed edges; the per-round shuffle is " +
+      "|subgraph|, not |corpus|).",
+    Some(s"""
+      WITH RECURSIVE n AS ($VecsSql),$CentroidsSql,$AssignSql,
+           probes AS (SELECT vec_id, cell
+                      FROM (SELECT vec_id, cell, row_number() OVER (
+                              PARTITION BY vec_id
+                              ORDER BY round(d2_raw + 1e-9, 6), cell) AS rk
+                            FROM cscored)
+                      WHERE rk <= 2),
+           cand AS (SELECT p.vec_id AS qid, a.vec_id AS nid
+                    FROM probes p JOIN assign a ON a.cell = p.cell
+                    WHERE a.vec_id <> p.vec_id),
+           scored AS (
+             SELECT c.qid, c.nid,
+                    list_dot_product(q.e, q.e)
+                      - 2 * list_dot_product(q.e, m.e)
+                      + list_dot_product(m.e, m.e) AS d2_raw
+             FROM cand c
+             JOIN n q ON q.vec_id = c.qid
+             JOIN n m ON m.vec_id = c.nid),
+           knn AS (SELECT qid, nid
+                   FROM (SELECT *, row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY round(d2_raw + 1e-9, 6), nid) AS rank
+                         FROM scored)
+                   WHERE rank <= 3),
+           mutual AS (SELECT a.qid AS s, a.nid AS d
+                      FROM knn a JOIN knn b
+                        ON b.qid = a.nid AND b.nid = a.qid
+                      WHERE a.qid < a.nid),
+           edges AS (SELECT s, d FROM mutual
+                     UNION ALL SELECT d, s FROM mutual),
+           reach(node, m) AS (
+             SELECT vec_id, vec_id FROM n
+             UNION
+             SELECT e.s, r.m FROM edges e JOIN reach r ON r.node = e.d)
+      SELECT node AS vec_id, min(m) AS cluster_id,
+             (node <> min(m)) AS in_cluster
+      FROM reach GROUP BY node""".stripMargin),
+    (spark, dir) => {
+      val e = Q.materialize(knnGraphTopk(spark, dir, nprobe = 2)
+        .select(col("qid"), col("nid")))
+      val mutual = e.join(
+        e.select(col("nid").as("qid"), col("qid").as("nid")),
+        Seq("qid", "nid"))
+        .filter(col("qid") < col("nid"))
+      val labels = Dedup.minLabelComponents(spark,
+        mutual.union(mutual.select(col("nid"), col("qid"))))
+        .withColumnRenamed("doc_id", "vec_id")
+      vecs(spark, dir).select(col("vec_id"))
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("cluster_id"))
+        .withColumn("in_cluster", col("vec_id") =!= col("cluster_id"))
+    })
+
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
     kmeansIter2, pqEncodeQ, topkPqAdc, topkIvfPq, semanticDedup, modalCuration,
     nearDup, histogram, labelCentroid, dimStats, powerIteration, topkSq8,
-    topkMrl, topkIvfPqResidual, knnGraph)
+    topkMrl, topkIvfPqResidual, knnGraph, knnClusters)
 }

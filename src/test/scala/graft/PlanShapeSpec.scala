@@ -106,6 +106,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_topk_ivfpq_residual",
       // kNN graph: cellRanks' centroid cross for assignment + probes (r7).
       "sim_knn_graph",
+      // clusters inherit the kNN graph's centroid cross pre-materialization (r7).
+      "sim_knn_clusters",
       "dedup_semantic", "pipeline_modal_curation", "ta_tfidf",
       "ta_unigram_logprob", "pipeline_token_budget", "q_events_setops",
       "q_hll_merge", "q_quantile_sketch", "q_quantile_merge",
