@@ -1044,4 +1044,83 @@ object Streams {
           }
       }
   }
+
+  /** One closed hourly bucket scored against its type's RUNNING baseline:
+    * z is null-equivalent (NaN-free: flagged=false, z=0) until the
+    * baseline has >= 2 closed buckets and positive spread.
+    */
+  case class BucketScore(event_type: String, hour_epoch: Long, n: Long,
+      baseline_n: Long, z: Double, flagged: Boolean)
+
+  /** Welford accumulator over closed buckets + the open bucket
+    * (public: encoder codegen needs access).
+    */
+  case class AnomalyState(hourEpoch: Long, count: Long,
+      n: Long, mean: Double, m2: Double)
+
+  /** Streaming VOLUME-ANOMALY detection — the incremental face of
+    * `q_events_anomaly`, with the honest streaming twist: a closing
+    * bucket is scored PREQUENTIALLY, against the baseline of buckets
+    * closed BEFORE it (the batch query scores against global stats
+    * including the bucket itself — a stream cannot see the future).
+    * The baseline is Welford's online mean/variance — ONE (n, mean, M2)
+    * triple per event type, numerically stable, O(1) per bucket — so
+    * state is three doubles + the open bucket per ACTIVE type no matter
+    * how long the stream runs. Buckets close when an event of a LATER
+    * hour arrives (or the event-time timeout flushes the open one);
+    * a straggler older than the open hour folds into the open bucket by
+    * arrival — the documented divergence, exact parity under per-type
+    * event-time order (AnomalyStreamSpec pins it with a sequential
+    * Welford reference, batch-split invariance, and RocksDB).
+    */
+  def anomalyStream(spark: SparkSession, events: Dataset[Event],
+      zThreshold: Double = 3.0,
+      ttlSeconds: Long = 7200,
+      watermarkDelay: String = "10 minutes"): Dataset[BucketScore] = {
+    import spark.implicits._
+    def close(typ: String, s: AnomalyState): (BucketScore, AnomalyState) = {
+      val sd = if (s.n >= 2) math.sqrt(s.m2 / (s.n - 1)) else 0.0
+      val z = if (s.n >= 2 && sd > 0) (s.count - s.mean) / sd else 0.0
+      val score = BucketScore(typ, s.hourEpoch, s.count, s.n, z,
+        flagged = s.n >= 2 && sd > 0 && math.abs(z) >= zThreshold)
+      // Welford fold of the closed bucket into the baseline.
+      val n1 = s.n + 1
+      val d = s.count - s.mean
+      val mean1 = s.mean + d / n1
+      val m21 = s.m2 + d * (s.count - mean1)
+      (score, AnomalyState(-1L, 0L, n1, mean1, m21))
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, BucketScore](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (typ: String, it: Iterator[Event], state: GroupState[AnomalyState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.filter(_.count > 0)
+              .map(s => close(typ, s)._1).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val out = Seq.newBuilder[BucketScore]
+            var s = state.getOption.getOrElse(AnomalyState(-1L, 0L, 0L, 0.0, 0.0))
+            var lastMs = Long.MinValue
+            for (e <- it.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+              val hour = micros(e.ts) / 3600000000L * 3600L
+              if (s.hourEpoch < 0) s = s.copy(hourEpoch = hour, count = 1L)
+              else if (hour > s.hourEpoch) {
+                val (score, folded) = close(typ, s)
+                out += score
+                s = folded.copy(hourEpoch = hour, count = 1L)
+              } else s = s.copy(count = s.count + 1) // same or older hour
+              lastMs = math.max(lastMs, micros(e.ts) / 1000L)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1000,
+              lastMs + ttlSeconds * 1000L))
+            out.result().iterator
+          }
+      }
+  }
 }
