@@ -183,7 +183,12 @@ object StreamBench {
       // ACTIVE segment digest (ttl-evicted), bounded by the segment
       // vocabulary in the window, not by input rows.
       run[DocEvent]("line_dedup", docEvent(_, 800), heavy = true)(in =>
-        Streams.lineDedupStream(spark, in.toDS(), segTtlSeconds = 7200).toDF()))
+        Streams.lineDedupStream(spark, in.toDS(), segTtlSeconds = 7200).toDF()),
+      // Anomaly: 3 event types, ~1 bucket/hour of event time; state is one
+      // Welford triple + the open bucket per ACTIVE type — single digits,
+      // however many rows stream through.
+      run[Event]("anomaly", event)(in =>
+        Streams.anomalyStream(spark, in.toDS(), ttlSeconds = 7200).toDF()))
 
     val qs = results.map { r =>
       val rps = if (r.secs > 0) r.rows / r.secs else 0.0
