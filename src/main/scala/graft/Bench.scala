@@ -18,7 +18,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "q7_nation_volume", "q9_product_profit", "q6_forecast_revenue",
-    "q14_promo_effect", "q10_returned_items",
+    "q14_promo_effect", "q10_returned_items", "q19_discounted_revenue",
     "q_top_customers_per_nation", "q_events_sessions",
     "mr_wordcount", "mr_inverted_index", "ta_quality_score",
     "ta_rolling_hash", "ta_winnow",

@@ -491,7 +491,48 @@ object Relational {
         .limit(20)
     })
 
+  val q19 = Q(
+    "q19_discounted_revenue",
+    "TPC-H Q19 semantics (discounted revenue, adapted to the schema's " +
+      "columns): revenue from lineitems matching ANY of three " +
+      "brand/size/quantity bracket conjunctions — the classic " +
+      "DISJUNCTION-of-conjunctions predicate. The optimizer's job here " +
+      "is factoring: the brand/size legs PRUNE the part dim before the " +
+      "join (Catalyst extracts the per-side disjunction " +
+      "p_brand IN (...) and the size hull as scan filters), the " +
+      "quantity hull prunes lineitem, and the full mixed predicate " +
+      "runs post-join on the survivors — the 100 TB difference between " +
+      "scanning three part brackets and scanning the whole fact " +
+      "product.",
+    Some("""
+      SELECT round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 15)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+               AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+               AND l_quantity BETWEEN 20 AND 45)""".stripMargin),
+    (spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val p = t(spark, dir, "part")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10)
+            && col("l_quantity").between(1, 15))
+          || (col("p_brand") === "Brand#2" && col("p_size").between(5, 20)
+            && col("l_quantity").between(10, 30))
+          || (col("p_brand") === "Brand#3" && col("p_size").between(10, 40)
+            && col("l_quantity").between(20, 45)))
+        .agg(r2e(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    })
+
   val all: Seq[Q] =
     Seq(q1, q3, q5, qSemi, qAnti, qWindowTop, qPartStats, qAboveAvg,
-      qMonthly, qLargeOrders, q7, q9, q6, q14, q10)
+      qMonthly, qLargeOrders, q7, q9, q6, q14, q10, q19)
 }
