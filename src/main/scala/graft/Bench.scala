@@ -38,7 +38,7 @@ object Bench {
     "q_hll_portable", "q_hll_merge", "q_quantile_sketch", "q_quantile_merge",
     "q_full_outer_recon", "q_events_interval_join", "q_retention_cohorts",
     "q_events_gapfill", "q_large_orders_having", "q_events_scd2",
-    "q_events_dwell", "q_events_anomaly",
+    "q_events_dwell", "q_events_anomaly", "q_events_markov",
     "dedup_bloom_incremental", "ta_unigram_logprob", "ta_bigram_logprob",
     "ta_kn_logprob",
     "sim_dim_stats",

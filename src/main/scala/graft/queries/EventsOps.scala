@@ -436,6 +436,50 @@ object EventsOps {
             .as("z4"))
     })
 
+  val markov = Q(
+    "q_events_markov",
+    "BEHAVIORAL TRANSITION MATRIX — the first-order Markov model of " +
+      "user actions (the churn/intent-model primitive): per user, " +
+      "consecutive event-type pairs from the lag window, aggregated " +
+      "into the global (from, to) transition counts and row-normalized " +
+      "into probabilities. Transition probabilities are EXACT integer " +
+      "ratios of BIGINT counts (single division — IEEE-identical, no " +
+      "rounding law needed); the per-from totals come from a second " +
+      "aggregation over the PAIR frame (25 rows max — never the " +
+      "events) joined back by the from key. One user-keyed exchange " +
+      "for the lag, one pair-keyed aggregation; MarkovSpec pins the " +
+      "stochastic-matrix law (each row sums to exactly 1).",
+    Some("""
+      WITH p AS (SELECT lag(event_type) OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts, event_id) AS from_type,
+                        event_type AS to_type
+                 FROM events),
+           c AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+                 FROM p WHERE from_type IS NOT NULL
+                 GROUP BY from_type, to_type),
+           tot AS (SELECT from_type, sum(n)::BIGINT AS n_from
+                   FROM c GROUP BY from_type)
+      SELECT c.from_type, c.to_type, c.n, t.n_from,
+             c.n / (t.n_from::DOUBLE) AS prob
+      FROM c JOIN tot t ON t.from_type = c.from_type""".stripMargin),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val c = t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").as("to_type"))
+        .withColumn("from_type", lag(col("to_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tot = c.groupBy(col("from_type"))
+        .agg(sum(col("n")).cast("long").as("n_from"))
+      c.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          (col("n") / col("n_from").cast("double")).as("prob"))
+    })
+
   val all: Seq[Q] = Seq(hourly, sessions, json, setops, funnel, intervalJoin,
-    retentionCohorts, gapfill, scd2, dwell, anomaly)
+    retentionCohorts, gapfill, scd2, dwell, anomaly, markov)
 }
