@@ -165,6 +165,20 @@ object Snapshots {
     commit(table, v, stageFiles(compacted, table, v))
   }
 
+  /** Z-ORDER compaction commit: the latest version's rows rewritten
+    * through [[ZOrder.compactToZ]]'s Morton-curve layout as a new
+    * version — the two-dimensional sibling of [[compact]], committing
+    * files whose footer min/max bound BOTH caller-normalized keys (the
+    * layout ZOrderSpec certifies), with the pre-compaction version as
+    * the undo. Same stage/manifest/pointer-flip path as every commit.
+    */
+  def compactZ(spark: SparkSession, table: String, n: Int,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): Int = {
+    val v = latestVersion(table) + 1
+    commit(table, v, stageFiles(ZOrder.compactToZ(read(spark, table), n, a, b),
+      table, v))
+  }
+
   /** Read a committed version (default: latest). Only manifest-listed
     * files are loaded — orphaned data files are invisible by design.
     */

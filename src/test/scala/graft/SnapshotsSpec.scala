@@ -131,6 +131,24 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("Z-order compaction commit preserves rows and versions") {
+    val table = Files.createTempDirectory("graft_snap7").toString
+    // events carry the two keys the z-order census normalizes.
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"))
+    Snapshots.publish(ev.repartition(8), table)
+    val v2 = Snapshots.compactZ(spark, table, 4,
+      col("user_id") * 256, col("event_id") % 65536)
+    assert(v2 == 2)
+    def rows(v: Int): Set[(Long, Long)] =
+      Snapshots.read(spark, table, Some(v))
+        .select(col("event_id"), col("user_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(2) == rows(1))
+    val m2 = Files.readString(Paths.get(table, "_manifests", "v00002.json"))
+    assert(m2.split(",").length == 4, "z-compaction did not produce 4 files")
+  }
+
   test("streaming appendBatch is exactly-once under batch replay") {
     // foreachBatch re-runs a batch after failure; the sink's batchId
     // watermark rides in the same atomic rename as the data commit, so a
