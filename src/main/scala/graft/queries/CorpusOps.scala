@@ -617,6 +617,61 @@ object CorpusOps {
           max(col("b")).cast("long").as("b_max"))
     })
 
+  val snapshotMerge = Q(
+    "src_snapshot_merge",
+    "ROW-LEVEL DELETE + MERGE AS TABLE COMMITS — the two write shapes a " +
+      "production lakehouse user runs weekly, exercised END-TO-END " +
+      "through graft.sources.Snapshots' manifest/pointer contract: the " +
+      "documents table is PUBLISHED as v1 (range-clustered on doc_id so " +
+      "footer min/max prune the later find-touched-files scans), a CDC " +
+      "delta (10% updates with bumped n_chars + inserts keyed past the " +
+      "id range, lang 'xx') is MERGED as v2 (last-writer-wins on doc_id, " +
+      "file-granularity copy-on-write: only files holding a delta key " +
+      "are rewritten, the rest carry over byte-for-byte), a GDPR-style " +
+      "DELETE (doc_id % 10 = 4) commits v3 the same way, and the query " +
+      "reads the committed LATEST — so a manifest slip, a non-atomic " +
+      "pointer flip, a lost insert, or a delete that rewrote (or " +
+      "missed) the wrong file all surface as row/hash drift against the " +
+      "oracle's pure-SQL replay of the same upsert+delete semantics. " +
+      "The only driver-side collects are the touched FILE-NAME lists " +
+      "(metadata-scale, production's findTouchedFiles); data moves in " +
+      "exactly two bounded rewrites. SnapshotsSpec certifies the " +
+      "transactional laws (crash windows, time-travel undo, debris " +
+      "tolerance); this query certifies the committed RESULT.",
+    Some("""
+      WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+           delta AS (
+             SELECT doc_id, lang, n_chars + 1000 AS n_chars
+             FROM base WHERE doc_id % 10 = 3
+             UNION ALL
+             SELECT doc_id + 1000000 AS doc_id, 'xx' AS lang, n_chars
+             FROM base WHERE doc_id % 100 = 7),
+           merged AS (
+             SELECT doc_id, lang, n_chars FROM delta
+             UNION ALL
+             SELECT b.doc_id, b.lang, b.n_chars FROM base b
+             WHERE b.doc_id NOT IN (SELECT doc_id FROM delta))
+      SELECT doc_id, lang, n_chars
+      FROM merged WHERE doc_id % 10 <> 4""".stripMargin),
+    (spark, dir) => {
+      import graft.sources.Snapshots
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snapq").toString
+      val base = t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.publish(base.repartitionByRange(4, col("doc_id")), table)
+      val delta = base.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(base.filter(col("doc_id") % 100 === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("xx").as("lang"), col("n_chars")))
+      Snapshots.merge(spark, table, delta, "doc_id")
+      Snapshots.deleteWhere(spark, table, col("doc_id") % 10 === 4)
+      Snapshots.read(spark, table)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    })
+
   val urlFilter = Q(
     "src_url_filter",
     "URL/DOMAIN FILTERING — the provenance gate every published web " +
@@ -950,5 +1005,6 @@ object CorpusOps {
 
   val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup,
     bloomIncremental, upsert, cmsTopk, warcIngest, urlFilter,
-    webdatasetIngest, zipIngest, dsirSelect, zorderLayout, novelty)
+    webdatasetIngest, zipIngest, dsirSelect, zorderLayout, novelty,
+    snapshotMerge)
 }

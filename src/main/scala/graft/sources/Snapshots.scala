@@ -118,16 +118,28 @@ object Snapshots {
   private def stageFiles(df: DataFrame, table: String, v: Int): Seq[String] = {
     val dataDir = dirOf(table, "data")
     val stage = Files.createTempDirectory(Paths.get(table), s"stage-v$v-")
-    df.write.mode("overwrite").parquet(stage.toString)
-    val listing = Files.list(stage)
-    val parts =
+    def write(d: DataFrame): Seq[Path] = {
+      d.write.mode("overwrite").parquet(stage.toString)
+      val listing = Files.list(stage)
       try listing.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .toSeq.sortBy(_.toString)
       finally listing.close()
+    }
+    val first = write(df)
+    // An all-empty-partitions frame may legally produce ZERO part files;
+    // committing an empty manifest would strand read() with no schema to
+    // return. Force one schema-only part instead so an empty commit stays
+    // readable as an empty table.
+    val parts = if (first.nonEmpty) first else write(df.repartition(1))
+    require(parts.nonEmpty, s"no parquet part could be staged for $table v$v")
     val names = parts.zipWithIndex.map { case (p, i) =>
       val name = f"v$v%05d-part$i%05d.parquet"
-      Files.move(p, dataDir.resolve(name))
+      // REPLACE_EXISTING: names are version-scoped, so under the stated
+      // single-writer model a collision can only be debris from our own
+      // crashed attempt at this same (uncommitted) version — without it
+      // the retry wedges on FileAlreadyExistsException until a vacuum.
+      Files.move(p, dataDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
       name
     }
     val walk = Files.walk(stage)
@@ -179,13 +191,99 @@ object Snapshots {
       table, v))
   }
 
+  private def baseName(fileUri: String): String =
+    fileUri.substring(fileUri.lastIndexOf('/') + 1)
+
+  /** DELETE commit (row-level, copy-on-write): version latest+1 without
+    * the rows matching `pred`. Only files that CONTAIN a matching row are
+    * rewritten (filtered); every untouched file is carried into the new
+    * manifest byte-for-byte — file-granularity copy-on-write, the shape
+    * production formats run for GDPR-style deletes, with the pre-delete
+    * version as the time-travel undo. The one driver-side collect is the
+    * touched FILE-NAME list — metadata-scale (bounded by file count, the
+    * `findTouchedFiles` step of every lakehouse MERGE/DELETE), never rows;
+    * at 100 TB the find pass is one predicate scan (prunable by footer
+    * min/max when the table is [[compact]]/[[compactZ]]-clustered on the
+    * predicate columns) and the rewrite touches only matching files.
+    * A delete that matches nothing commits NO new version and returns the
+    * current one (the Delta semantics: empty commits are elided).
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{input_file_name, not}
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version to delete from")
+    val prevNames = manifestFiles(table, prev)
+    // Tag the source file at the SCAN (a projection directly over it —
+    // input_file_name() is unreliable above exchanges), then find the
+    // files holding at least one matching row.
+    val touched: Set[String] =
+      read(spark, table).withColumn("_graft_file", input_file_name())
+        .filter(pred).select("_graft_file").distinct()
+        .collect().map(r => baseName(r.getString(0))).toSet
+    if (touched.isEmpty) return prev
+    val keep = prevNames.filterNot(touched)
+    val touchedPaths = prevNames.filter(touched)
+      .map(n => Paths.get(table, "data", n).toString)
+    val survivors = spark.read.parquet(touchedPaths: _*).filter(not(pred))
+    val v = prev + 1
+    commit(table, v, keep ++ stageFiles(survivors, table, v))
+  }
+
+  /** MERGE commit (upsert-as-commit, last-writer-wins on `key`): rows of
+    * `delta` REPLACE current rows sharing their key and INSERT otherwise,
+    * as one transactional version — the `pipeline_upsert` decision rule
+    * committed under the same stage→manifest→pointer contract, with the
+    * pre-merge version as undo. File-granularity copy-on-write: touched
+    * files = files holding a key present in `delta` (one scan semi-joined
+    * against the delta keys — broadcast when delta is dimension-sized);
+    * only their non-delta-key rows are rewritten, delta rows become new
+    * files, untouched files carry over byte-for-byte. Driver-side collect
+    * is the same metadata-scale file-name list as [[deleteWhere]].
+    * `delta` must carry the table's columns (matched by name).
+    */
+  def merge(spark: SparkSession, table: String, delta: DataFrame,
+      key: String): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version to merge into")
+    val prevNames = manifestFiles(table, prev)
+    val cur = read(spark, table)
+    val aligned = delta.select(cur.columns.map(col).toIndexedSeq: _*)
+    val keys = aligned.select(key).distinct()
+    val touched: Set[String] =
+      cur.withColumn("_graft_file", input_file_name())
+        .join(keys, Seq(key), "left_semi")
+        .select("_graft_file").distinct()
+        .collect().map(r => baseName(r.getString(0))).toSet
+    val keep = prevNames.filterNot(touched)
+    val touchedPaths = prevNames.filter(touched)
+      .map(n => Paths.get(table, "data", n).toString)
+    val newData =
+      if (touchedPaths.isEmpty) aligned
+      else spark.read.parquet(touchedPaths: _*)
+        .join(keys, Seq(key), "left_anti")
+        .select(cur.columns.map(col).toIndexedSeq: _*)
+        .unionByName(aligned)
+    val v = prev + 1
+    commit(table, v, keep ++ stageFiles(newData, table, v))
+  }
+
   /** Read a committed version (default: latest). Only manifest-listed
     * files are loaded — orphaned data files are invisible by design.
     */
   def read(spark: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {
-    val v = version.getOrElse(latestVersion(table))
+    val latest = latestVersion(table)
+    val v = version.getOrElse(latest)
     require(v >= 1, s"$table has no committed version")
+    // A manifest file alone is NOT a commit — after a crash between the
+    // manifest write and the pointer flip, a v(latest+1) manifest exists
+    // (possibly truncated-but-parseable) while `_latest` still says
+    // latest. Time travel must fail loudly on such versions, exactly
+    // like expired ones, or a reader silently sees uncommitted data.
+    require(v <= latest,
+      s"version $v of $table is not committed (latest is $latest)")
     val paths = manifestFiles(table, v)
       .map(n => Paths.get(table, "data", n).toString)
     spark.read.parquet(paths: _*)
@@ -210,7 +308,13 @@ object Snapshots {
     val keepFrom = math.max(1, latest - retainLast + 1)
     val manifestDir = Paths.get(table, "_manifests")
     val live: Set[String] =
-      (keepFrom to latest).flatMap(v => manifestFiles(table, v)).toSet
+      (keepFrom to latest).flatMap { v =>
+        // Retention INCREASED after a tighter vacuum: versions below the
+        // previous keepFrom have no manifest anymore. They are expired,
+        // not corrupt — skip them instead of aborting the whole vacuum.
+        val m = manifestDir.resolve(f"v$v%05d.json")
+        if (Files.exists(m)) manifestFiles(table, v) else Seq.empty
+      }.toSet
     // 1. expire old manifests FIRST: a reader racing the vacuum fails at
     // manifest resolution (loud), never on a half-deleted file list.
     val ml = Files.list(manifestDir)

@@ -388,6 +388,16 @@ object Streams {
     * pair per live doc, evicted by the event-time TTL once a doc has
     * been idle past `docTtlSeconds` — at which point its current version
     * lives only in the store, the correct division of labor.
+    *
+    * SINK CONTRACT (the eviction consequence, stated honestly): after a
+    * doc's state is evicted, a late revision re-seeds EMPTY state and is
+    * emitted as the doc's current row even if its version is LOWER than
+    * the one already committed downstream (flatMapGroupsWithState does
+    * not drop late rows). The sink must therefore upsert CONDITIONALLY —
+    * apply an incoming row only when `incoming.version >= stored.version`
+    * (the max_by(version) rule `pipeline_upsert` runs in batch; e.g. a
+    * [[graft.sources.Snapshots.merge]] of the pre-max'd batch). A sink
+    * that upserts on doc_id alone can regress a stored version.
     */
   def upsertStream(spark: SparkSession, docs: Dataset[DocVersion],
       docTtlSeconds: Long = 3600,

@@ -60,6 +60,11 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.latestVersion(table) == 1)
     assert(ids(Snapshots.read(spark, table)) == before,
       "uncommitted manifest leaked into the default read")
+    // ...and TIME TRAVEL to the uncommitted version must fail loudly —
+    // a manifest alone is staging debris, not a commit.
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, table, Some(2))
+    }
 
     // And the NEXT successful publish commits cleanly over the debris.
     val subset = docs.filter(col("doc_id") < 100)
@@ -147,6 +152,107 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(rows(2) == rows(1))
     val m2 = Files.readString(Paths.get(table, "_manifests", "v00002.json"))
     assert(m2.split(",").length == 4, "z-compaction did not produce 4 files")
+  }
+
+  test("deleteWhere is copy-on-write: only touched files rewritten") {
+    val table = Files.createTempDirectory("graft_snap8").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // Range layout so the predicate's rows live in a known file subset.
+    Snapshots.publish(docs.repartitionByRange(4, col("doc_id")), table)
+    val before = ids(Snapshots.read(spark, table))
+
+    val v2 = Snapshots.deleteWhere(spark, table, col("doc_id") < 50)
+    assert(v2 == 2)
+    assert(ids(Snapshots.read(spark, table)) ==
+      before.filter(_ >= 50), "delete removed the wrong rows")
+    // Pre-delete version is the undo.
+    assert(ids(Snapshots.read(spark, table, Some(1))) == before)
+    // Copy-on-write at FILE granularity: untouched v1 files carry over
+    // byte-for-byte (by name), and at least one v1 file was dropped.
+    val m1 = Files.readString(Paths.get(table, "_manifests", "v00001.json"))
+    val m2 = Files.readString(Paths.get(table, "_manifests", "v00002.json"))
+    val v1Files = "v\\d{5}-part\\d{5}\\.parquet".r.findAllIn(m1).toSet
+    val v2Carried = v1Files.count(m2.contains)
+    assert(v2Carried >= 1 && v2Carried < v1Files.size,
+      s"expected a strict subset of v1 files carried over, got " +
+        s"$v2Carried of ${v1Files.size}")
+    assert(m2.contains("v00002-"), "no rewritten file in the new manifest")
+
+    // An empty delete commits NO new version (Delta semantics).
+    assert(Snapshots.deleteWhere(spark, table, col("doc_id") < 0) == 2)
+    assert(Snapshots.latestVersion(table) == 2)
+  }
+
+  test("merge upserts delta rows as one transactional commit") {
+    val table = Files.createTempDirectory("graft_snap9").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    Snapshots.publish(docs.repartitionByRange(4, col("doc_id")), table)
+    val n = docs.count()
+
+    // delta = 10 UPDATES (doc_id < 10, n_chars bumped) + 5 INSERTS.
+    val updates = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), (col("n_chars") + 1000).as("n_chars"))
+    val inserts = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"), col("n_chars"))
+    val v2 = Snapshots.merge(spark, table,
+      updates.unionByName(inserts), "doc_id")
+    assert(v2 == 2)
+
+    val after = Snapshots.read(spark, table)
+    assert(after.count() == n + 5, "inserts not applied")
+    val bumped = after.filter(col("doc_id") < 10)
+      .join(docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("n_chars").as("orig")), "doc_id")
+    assert(bumped.filter(col("n_chars") =!= col("orig") + 1000).count() == 0,
+      "updates not last-writer-wins")
+    // Pre-merge version intact; untouched files carried over.
+    assert(Snapshots.read(spark, table, Some(1)).count() == n)
+    val m2 = Files.readString(Paths.get(table, "_manifests", "v00002.json"))
+    assert(m2.contains("v00001-"),
+      "merge rewrote untouched files (not copy-on-write)")
+  }
+
+  test("staged-data debris from a crashed publish does not wedge the retry") {
+    val table = Files.createTempDirectory("graft_snap10").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Snapshots.publish(docs, table)
+    // Crash AFTER staging moved parts into data/ under the next version's
+    // names but BEFORE the pointer flip: the retry publishes the same
+    // version number and must overwrite its own debris, not throw.
+    Files.writeString(Paths.get(table, "data", "v00002-part00000.parquet"),
+      "crashed-attempt debris, not parquet")
+    val subset = docs.filter(col("doc_id") < 100)
+    val v2 = Snapshots.publish(subset, table)
+    assert(v2 == 2)
+    assert(ids(Snapshots.read(spark, table)) == ids(subset))
+  }
+
+  test("vacuum tolerates a retention increase after a tighter vacuum") {
+    val table = Files.createTempDirectory("graft_snap11").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    (1 to 4).foreach(k =>
+      Snapshots.publish(docs.filter(col("doc_id") < k * 100), table))
+    Snapshots.vacuum(table, retainLast = 1)
+    // keepFrom now points below the oldest surviving manifest; expired
+    // versions must be SKIPPED, not abort the vacuum.
+    Snapshots.vacuum(table, retainLast = 3)
+    assert(ids(Snapshots.read(spark, table)) ==
+      ids(docs.filter(col("doc_id") < 400)))
+  }
+
+  test("an all-empty-partitions commit stays readable") {
+    val table = Files.createTempDirectory("graft_snap12").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Snapshots.publish(docs.filter(col("doc_id") < -1), table)
+    val empty = Snapshots.read(spark, table)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("doc_id"), "schema lost on empty commit")
+    // and an empty APPEND onto a non-empty table is a readable no-op.
+    Snapshots.append(docs.filter(col("doc_id") < 100), table)
+    Snapshots.append(docs.filter(col("doc_id") < -1), table)
+    assert(ids(Snapshots.read(spark, table)) ==
+      ids(docs.filter(col("doc_id") < 100)))
   }
 
   test("streaming appendBatch is exactly-once under batch replay") {
