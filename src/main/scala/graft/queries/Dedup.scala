@@ -962,6 +962,15 @@ object Dedup {
        |  j -> substring($a, j, 1) = substring($nb, j, 1)), false), 0) - 1,
        |  least(length($a), length($nb)))""".stripMargin
 
+  /** Occurrence cap per 20-char block for [[substringDup]]: blocks with
+    * more suffix occurrences than this bypass the lead/lag LCP window
+    * (whose partitions they would otherwise be — the one window skew AQE
+    * cannot split) and take a partial-aggregable census path instead.
+    * 1024 rows sort trivially per partition; the test SFs' max block
+    * occurrence is 9 (measured), so the cap changes nothing there.
+    */
+  private[graft] val SubstringBlockCap = 1024
+
   val substringDup = Q(
     "dedup_substring",
     "EXACT-SUBSTRING dedup census (Lee et al. 2022, 'Deduplicating " +
@@ -980,10 +989,16 @@ object Dedup {
       "min(doc)!=max(doc) — one window pass, one shuffle, no " +
       "countDistinct. At 100 TB the suffix explosion is ~L rows per doc " +
       "(the dedup_span shape at every position instead of stride 8) " +
-      "keyed by fixed 20-byte blocks; skewed hot blocks are bounded " +
-      "sorted runs, and the LCP compare is capped at 64 chars per " +
-      "adjacent pair. Output per doc: duplicated-position count + " +
-      "longest cross-doc shared length.",
+      "keyed by fixed 20-byte blocks, and the one skew surface — a " +
+      "corpus-wide boilerplate 20-gram concentrating a window partition " +
+      "(which AQE cannot split: its skew handling covers joins, not " +
+      "windows) — is closed by an occurrence CAP: blocks over " +
+      "SubstringBlockCap occurrences bypass the window for a " +
+      "partial-aggregable census whose shared-length contribution is " +
+      "the 20-char block-width lower bound, mirrored exactly in the " +
+      "oracle (the LSH bucket-cap contract; see substringCensus). " +
+      "Output per doc: duplicated-position count + longest cross-doc " +
+      "shared length.",
     Some(s"""
       WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
            suf AS (SELECT doc_id, i AS pos,
@@ -991,6 +1006,11 @@ object Dedup {
                           substr(text, (i+1)::INT, 20) AS blk
                    FROM (SELECT doc_id, text, unnest(range(0, length(text) - 19)) AS i
                          FROM d)),
+           hot AS (SELECT blk FROM (SELECT blk, count(*) AS occ
+                                    FROM suf GROUP BY blk)
+                   WHERE occ > $SubstringBlockCap),
+           cold AS (SELECT * FROM suf
+                    WHERE blk NOT IN (SELECT blk FROM hot)),
            w AS (SELECT doc_id, pos, s64,
                         min(doc_id) OVER (PARTITION BY blk) AS mind,
                         max(doc_id) OVER (PARTITION BY blk) AS maxd,
@@ -998,7 +1018,7 @@ object Dedup {
                         lead(doc_id) OVER ord AS nxtd,
                         lag(s64) OVER ord AS prv,
                         lag(doc_id) OVER ord AS prvd
-                 FROM suf
+                 FROM cold
                  WINDOW ord AS (PARTITION BY blk ORDER BY s64, doc_id, pos)),
            p AS (SELECT doc_id,
                         CASE WHEN nxtd IS NOT NULL AND nxtd <> doc_id THEN
@@ -1013,44 +1033,117 @@ object Dedup {
                             j -> substr(s64, j::INT, 1) = substr(prv, j::INT, 1)), false), 0) - 1,
                             least(length(s64), length(prv)))
                         END AS lcp_p
-                 FROM w WHERE mind <> maxd)
-      SELECT doc_id, count(*)::BIGINT AS n_dup_pos,
-             greatest(max(lcp_n), max(lcp_p))::BIGINT AS max_shared
-      FROM p GROUP BY doc_id""".stripMargin),
-    (spark, dir) => {
-      val suf = t(spark, dir, "documents")
-        .filter(length(col("text")) >= 20)
-        .select(col("doc_id"),
-          explode(sequence(lit(0), length(col("text")) - 20)).as("pos"),
-          col("text"))
-        .select(col("doc_id"), col("pos"),
-          expr("substring(text, pos + 1, 64)").as("s64"),
-          expr("substring(text, pos + 1, 20)").as("blk"))
-      val wOrd = Window.partitionBy(col("blk"))
-        .orderBy(col("s64"), col("doc_id"), col("pos"))
-      // min/max ride the SAME ordered spec with a full-partition frame —
-      // a second unordered window spec would re-sort the explosion.
-      val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      suf
-        .withColumn("mind", min(col("doc_id")).over(wAll))
-        .withColumn("maxd", max(col("doc_id")).over(wAll))
-        .withColumn("nxt", lead(col("s64"), 1).over(wOrd))
-        .withColumn("nxtd", lead(col("doc_id"), 1).over(wOrd))
-        .withColumn("prv", lag(col("s64"), 1).over(wOrd))
-        .withColumn("prvd", lag(col("doc_id"), 1).over(wOrd))
-        .filter(col("mind") =!= col("maxd"))
-        .withColumn("lcp_n",
-          when(col("nxtd").isNotNull && col("nxtd") =!= col("doc_id"),
-            expr(lcpSql("s64", "nxt"))).otherwise(lit(null)))
-        .withColumn("lcp_p",
-          when(col("prvd").isNotNull && col("prvd") =!= col("doc_id"),
-            expr(lcpSql("s64", "prv"))).otherwise(lit(null)))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("long").as("n_dup_pos"),
-          greatest(max(col("lcp_n")), max(col("lcp_p"))).cast("long")
-            .as("max_shared"))
-    })
+                 FROM w WHERE mind <> maxd),
+           coldc AS (SELECT doc_id, count(*)::BIGINT AS n_dup_pos,
+                            greatest(max(lcp_n), max(lcp_p))::BIGINT AS max_shared
+                     FROM p GROUP BY doc_id),
+           hotr AS (SELECT s.doc_id, s.blk FROM suf s JOIN hot h USING (blk)),
+           hots AS (SELECT blk, min(doc_id) AS mind, max(doc_id) AS maxd
+                    FROM hotr GROUP BY blk),
+           hotc AS (SELECT r.doc_id, count(*)::BIGINT AS n_dup_pos,
+                           20::BIGINT AS max_shared
+                    FROM hotr r JOIN hots s USING (blk)
+                    WHERE s.mind <> s.maxd GROUP BY r.doc_id),
+           u AS (SELECT * FROM coldc UNION ALL SELECT * FROM hotc)
+      SELECT doc_id, sum(n_dup_pos)::BIGINT AS n_dup_pos,
+             max(max_shared)::BIGINT AS max_shared
+      FROM u GROUP BY doc_id""".stripMargin),
+    (spark, dir) =>
+      substringCensus(t(spark, dir, "documents"), SubstringBlockCap))
+
+  /** The capped exact-substring census behind `dedup_substring` — split
+    * out so the spec can plant a corpus-wide boilerplate block and prove
+    * the cap contract at a small `cap`.
+    *
+    * COLD blocks (occurrences <= cap): the suffix-adjacency LCP window,
+    * partitions bounded by `cap` BY CONSTRUCTION — no corpus-wide
+    * boilerplate 20-gram can concentrate the window exchange.
+    * HOT blocks (occurrences > cap): every position in a cross-doc hot
+    * block is trivially a duplicated position, so the census needs only
+    * partial-aggregable counts; the shared-length contribution is
+    * reported as the 20-char BLOCK WIDTH — a lower bound (refining it
+    * would be exactly the unbounded per-block sort the cap exists to
+    * avoid). A doc whose longest shared substring lives ONLY in hot
+    * blocks therefore reports max_shared=20 — the documented, oracle-
+    * mirrored cap contract (the LSH bucket-cap shape).
+    *
+    * Cost of skew detection: one extra aggregation over the suffix
+    * explosion — but map-side combine collapses it to one (20-byte blk,
+    * count) pair per block per map partition, and the surviving hot set
+    * is <= n_rows/cap blocks, broadcast to both branch joins (zero added
+    * exchange for the data rows beyond the count pass).
+    */
+  private[graft] def substringCensus(docs: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    // Deliberately NOT materialized: the suffix explosion is ~80x the
+    // corpus bytes (64+20 chars per input char), so checkpointing it
+    // would dwarf the cost it saves — the three consumers (hot count,
+    // cold anti-join, hot semi-join) each re-run the cheap codegen
+    // explode over the (OS-cached) corpus scan instead.
+    val suf = docs
+      .filter(length(col("text")) >= 20)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("text")) - 20)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        expr("substring(text, pos + 1, 64)").as("s64"),
+        expr("substring(text, pos + 1, 20)").as("blk"))
+    val hot = suf.groupBy(col("blk"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > cap)
+      .select(col("blk"))
+    // The skew-detection premium is ONE extra pass (column-pruned to the
+    // 20-byte blk; map-side combine collapses hot blocks before the
+    // exchange). Its verdict is a driver boolean: when NO block exceeds
+    // the cap — every healthy corpus — the window path runs over the
+    // full explosion unchanged, zero anti-join overhead. Only an actual
+    // hot corpus pays for the split plan below.
+    val anyHot = !hot.isEmpty
+    val cold =
+      if (anyHot) suf.join(broadcast(hot), Seq("blk"), "left_anti") else suf
+    val wOrd = Window.partitionBy(col("blk"))
+      .orderBy(col("s64"), col("doc_id"), col("pos"))
+    // min/max ride the SAME ordered spec with a full-partition frame —
+    // a second unordered window spec would re-sort the explosion.
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val coldCensus = cold
+      .withColumn("mind", min(col("doc_id")).over(wAll))
+      .withColumn("maxd", max(col("doc_id")).over(wAll))
+      .withColumn("nxt", lead(col("s64"), 1).over(wOrd))
+      .withColumn("nxtd", lead(col("doc_id"), 1).over(wOrd))
+      .withColumn("prv", lag(col("s64"), 1).over(wOrd))
+      .withColumn("prvd", lag(col("doc_id"), 1).over(wOrd))
+      .filter(col("mind") =!= col("maxd"))
+      .withColumn("lcp_n",
+        when(col("nxtd").isNotNull && col("nxtd") =!= col("doc_id"),
+          expr(lcpSql("s64", "nxt"))).otherwise(lit(null)))
+      .withColumn("lcp_p",
+        when(col("prvd").isNotNull && col("prvd") =!= col("doc_id"),
+          expr(lcpSql("s64", "prv"))).otherwise(lit(null)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_dup_pos"),
+        greatest(max(col("lcp_n")), max(col("lcp_p"))).cast("long")
+          .as("max_shared"))
+    if (!anyHot) return coldCensus
+    // Hot path: per-(blk, doc) position counts collapse map-side, so a
+    // block with a billion occurrences exchanges one row per (blk, doc,
+    // map partition) — never the positions themselves.
+    val hotRows = suf.join(broadcast(hot), Seq("blk"), "left_semi")
+      .groupBy(col("blk"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_pos"))
+    val hotStats = hotRows.groupBy(col("blk"))
+      .agg(min(col("doc_id")).as("mind"), max(col("doc_id")).as("maxd"))
+    val hotCensus = hotRows.join(hotStats, "blk")
+      .filter(col("mind") =!= col("maxd"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pos")).cast("long").as("n_dup_pos"))
+      .withColumn("max_shared", lit(20L))
+    coldCensus.unionByName(hotCensus)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_dup_pos")).cast("long").as("n_dup_pos"),
+        max(col("max_shared")).cast("long").as("max_shared"))
+  }
 
   val lineDedup = Q(
     "dedup_lines",
