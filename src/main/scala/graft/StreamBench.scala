@@ -71,7 +71,14 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val perBatch = sys.env.get("SPARK_GRAFT_STREAM_ROWS")
       .flatMap(_.toIntOption).getOrElse(20000)
-    val batches = 5
+    // Cadence knob for the throughput-attribution pass: the same total
+    // row budget fed as many small batches (e.g. ROWS=4000 BATCHES=25 vs
+    // the default 20000x5) separates per-ROW cost (codec/shuffle/state
+    // lookups — rows/s barely moves) from per-BATCH fixed cost
+    // (micro-batch planning + state-store commit — rows/s collapses in
+    // proportion to the batch count).
+    val batches = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
+      .flatMap(_.toIntOption).getOrElse(5)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-bench")

@@ -14,10 +14,20 @@ object MultimodalOps {
 
   val decodeStub = Q(
     "mm_decode_stub",
-    "Binary media pipeline: text bytes as the stand-in payload, batched " +
-      "mapPartitions feature extraction (64-record batches ≅ Arrow), typed " +
-      "feature schema out. Payload bytes never shuffle — only the small " +
-      "features leave the scan stage.",
+    "External-codec INTEGRATION SHAPE — the mm_* family's real decoders " +
+      "(BMP/PNG/GIF/JPEG/WAV/μ-law/ADPCM/AVI, all pure-Scala) cover " +
+      "every container format this corpus can carry; this query stands " +
+      "in for the format class that CANNOT reasonably be pure-Scala'd: " +
+      "DSP-heavy/patent-encumbered codecs (H.264/VP9 video, MP3/AAC/" +
+      "Opus audio, WebP/HEIC images) whose production decode is a " +
+      "native library behind JNI or a mapInPandas worker. What is real " +
+      "and certified here is exactly what such a decoder would inherit: " +
+      "the batched mapPartitions call shape (64-record batches ≅ the " +
+      "Arrow batch contract), the typed feature schema out, and the " +
+      "payload-locality law — payload bytes never shuffle, only the " +
+      "small feature rows leave the scan stage. Swapping the byte-" +
+      "counting stub body for an FFmpeg/libwebp call changes no plan " +
+      "shape, no schema, and no partitioning.",
     Some("""
       SELECT doc_id,
              octet_length(encode(text))::BIGINT AS n_bytes,

@@ -896,126 +896,157 @@ object TextOps {
     .select(col("pair"), expr("replace(pair, ' ', '')").as("merged"),
       col("cnt"))
 
-  val bpeFit = Q(
-    "pipeline_bpe_fit",
-    "BPE tokenizer TRAINING on-cluster — the first two merge rounds of " +
-      "Sennrich et al. 2016 (ta_bpe_tokens APPLIES a tokenizer; this " +
-      "learns one): per round, count adjacent symbol pairs over the " +
-      "word-frequency table (weighted by word count — the corpus scans " +
-      "ONCE into that table, each round is vocabulary-sized work, not " +
-      "corpus-sized: the property that makes distributed BPE training " +
-      "feasible), take the most frequent pair (count desc, pair asc — " +
-      "total order, engine-independent), apply the merge by left-to-" +
-      "right non-overlapping replace (identical semantics in both " +
-      "engines; exact at these depths because round-1 symbols are all " +
-      "single characters, so the pair string cannot span a symbol " +
-      "boundary — deeper rounds would switch to array-typed symbol " +
-      "sequences, same plan shape), recount. Output: " +
-      "the learned merge table — rank, pair, merged symbol, pair count. " +
-      "The 1-row winning merge broadcasts into the re-write — the " +
-      "bounded cross this family always uses.",
-    Some("""
-      WITH w AS (SELECT word, count(*) AS c
+  /** Merge rounds [[bpeFit]] trains (and [[bpeApply]] applies). Bounded
+    * by the corpus: a merge exists while any vocabulary word has >= 2
+    * symbols, and this vocabulary supports ~107 merges (sum of word
+    * lengths minus word count), so 64 rounds never starve. The loop is
+    * driver-bounded (the dedup_components pattern) with per-round
+    * lineage cuts — NOT a convergence test, so Spark and the generated
+    * oracle chain run the exact same round count.
+    */
+  private[graft] val BpeMerges = 64
+
+  /** One BPE merge applied to a space-joined symbol string, in the
+    * boundary-sentinel form that is exact for EVERY round: symbols are
+    * double-space separated and flanked, the pair is matched with its
+    * own flanking spaces (so a pair containing a multi-char symbol can
+    * never false-match across a symbol boundary — 'h e' inside 'th e'),
+    * and left-to-right non-overlapping replace IS the textbook BPE merge
+    * order ('a a a' merges once). The result is re-canonicalized to
+    * single-space form so rounds compose. Shared by the Spark loop and
+    * the generated oracle, textually identical semantics.
+    */
+  private def mergeOnceSql(s: String, pair: String, merged: String): String =
+    s"array_join(filter(split(replace(concat(' ', replace($s, ' ', '  '), ' '), " +
+      s"concat(' ', replace($pair, ' ', '  '), ' '), " +
+      s"concat(' ', $merged, ' ')), ' '), x -> x != ''), ' ')"
+
+  /** Same merge step in DuckDB's dialect — generated, not hand-unrolled,
+    * for each CTE round of the oracle chain.
+    */
+  private def mergeOnceDuck(s: String, m: String): String =
+    s"array_to_string(list_filter(string_split(" +
+      s"replace(' ' || replace($s, ' ', '  ') || ' ', " +
+      s"' ' || replace($m.pair, ' ', '  ') || ' ', " +
+      s"' ' || $m.merged || ' '), ' '), x -> x <> ''), ' ')"
+
+  /** The shared WITH-chain of the BPE oracles: s0 (single-char symbol
+    * strings of the word vocabulary, with word and corpus count carried
+    * through every round) and per-round pair-count/top-merge/apply CTEs
+    * p1,m1,s1 … up to `rounds` merges (sK exists for K < rounds plus,
+    * when `applyLast`, the final round — the fit never applies its last
+    * learned merge; the apply must).
+    */
+  private def bpeChainDuck(rounds: Int, applyLast: Boolean): String = {
+    // AS MATERIALIZED is load-bearing: every sK is referenced twice
+    // (p(K+1) and s(K+1)); DuckDB inlines plain CTEs per reference, so a
+    // 64-round chain would expand 2^64 subplans and die on file handles
+    // before memory.
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH w AS MATERIALIZED (SELECT word, count(*) AS c
                  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
                        FROM documents)
                  GROUP BY word),
-           s0 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
-                            i -> substr(word, i::INT, 1)), ' ') AS s, c
-                  FROM w),
-           p1 AS (SELECT a[i+1] || ' ' || a[i+2] AS pair, sum(c)::BIGINT AS cnt
+           s0 AS MATERIALIZED (SELECT word, c, array_to_string(list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i::INT, 1)), ' ') AS s
+                  FROM w)"""
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+           p$k AS MATERIALIZED (SELECT a[i+1] || ' ' || a[i+2] AS pair, sum(c)::BIGINT AS cnt
                   FROM (SELECT string_split(s, ' ') AS a, c,
                                unnest(range(0, len(string_split(s, ' ')) - 1)) AS i
-                        FROM s0)
+                        FROM s${k - 1})
                   GROUP BY pair),
-           m1 AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
-                  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-           s1 AS (SELECT replace(s, m1.pair, m1.merged) AS s, c FROM s0, m1),
-           p2 AS (SELECT a[i+1] || ' ' || a[i+2] AS pair, sum(c)::BIGINT AS cnt
-                  FROM (SELECT string_split(s, ' ') AS a, c,
-                               unnest(range(0, len(string_split(s, ' ')) - 1)) AS i
-                        FROM s1)
-                  GROUP BY pair),
-           m2 AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
-                  FROM p2 ORDER BY cnt DESC, pair LIMIT 1)
-      SELECT 1::BIGINT AS rank, pair, merged, cnt FROM m1
-      UNION ALL
-      SELECT 2::BIGINT AS rank, pair, merged, cnt FROM m2""".stripMargin),
+           m$k AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, cnt
+                  FROM p$k ORDER BY cnt DESC, pair LIMIT 1)"""
+      if (k < rounds || applyLast) sb ++= s""",
+           s$k AS MATERIALIZED (SELECT word, c, ${mergeOnceDuck("s", s"m$k")} AS s
+                  FROM s${k - 1}, m$k)"""
+    }
+    sb.toString
+  }
+
+  val bpeFit = Q(
+    "pipeline_bpe_fit",
+    s"BPE tokenizer TRAINING on-cluster to a real vocabulary — $BpeMerges " +
+      "merge rounds of Sennrich et al. 2016 (ta_bpe_tokens APPLIES a " +
+      "tokenizer; this learns one): per round, count adjacent symbol " +
+      "pairs over the word-frequency table (weighted by word count — the " +
+      "corpus scans ONCE into that table, each round is vocabulary-sized " +
+      "work, not corpus-sized: the property that makes distributed BPE " +
+      "training feasible), take the most frequent pair (count desc, pair " +
+      "asc — total order, engine-independent), apply the merge in the " +
+      "boundary-sentinel string form that is exact at EVERY depth (a " +
+      "pair containing a multi-char symbol can never false-match across " +
+      "a symbol boundary; left-to-right non-overlap is the textbook " +
+      "merge order), recount. The loop is driver-bounded with per-round " +
+      "lineage cuts (the dedup_components pattern); the 1-row winning " +
+      "merge broadcasts into each re-write — the bounded cross this " +
+      "family always uses. Output: the learned merge table — rank, " +
+      "pair, merged symbol, pair count. The oracle's CTE chain is " +
+      "GENERATED for the same round count, never hand-unrolled.",
+    Some(bpeChainDuck(BpeMerges, applyLast = false) +
+      (1 to BpeMerges).map(k =>
+        s"\n      SELECT $k::BIGINT AS rank, pair, merged, cnt FROM m$k")
+        .mkString("", "\n      UNION ALL", "")),
     (spark, dir) => {
       val toks = filter(split(col("text"), " "), x => x =!= "")
-      val s0 = Q.materialize(
+      var s = Q.materialize(
         t(spark, dir, "documents")
           .select(explode(toks).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("c"))
           .select(array_join(split(col("word"), ""), " ").as("s"), col("c")))
-      val m1 = topMerge(s0)
-      val s1 = s0.crossJoin(broadcast(m1))
-        .select(expr("replace(s, pair, merged)").as("s"), col("c"))
-      val m2 = topMerge(s1)
-      m1.select(lit(1L).as("rank"), col("pair"), col("merged"), col("cnt"))
-        .union(m2.select(lit(2L).as("rank"), col("pair"), col("merged"),
-          col("cnt")))
+      var table: org.apache.spark.sql.DataFrame = null
+      for (k <- 1 to BpeMerges) {
+        val m = Q.materializeLoop(topMerge(s))
+        val mk = m.select(lit(k.toLong).as("rank"), col("pair"),
+          col("merged"), col("cnt"))
+        table = if (table == null) mk else table.unionByName(mk)
+        if (k < BpeMerges)
+          s = Q.materializeLoop(s.crossJoin(broadcast(m))
+            .select(expr(mergeOnceSql("s", "pair", "merged")).as("s"),
+              col("c")))
+      }
+      table
     })
 
   val bpeApply = Q(
     "pipeline_bpe_apply",
-    "BPE tokenizer APPLICATION — closes the train→apply loop " +
-      "(pipeline_bpe_fit learns the merge table; this tokenizes the " +
-      "corpus with it and reports the per-doc true token budget, the " +
-      "number every 'how many tokens is this corpus' estimate is " +
-      "approximating): the two merges are re-learned from the same " +
-      "word-frequency table (identical total order — BpeApplySpec pins " +
-      "them equal to bpe_fit's), then applied per VOCABULARY WORD, not " +
-      "per corpus token: symbol counts join back to the (doc, word, " +
-      "count) frame by word — the vocabulary-sized-work property that " +
-      "makes corpus-scale tokenization one shuffle join, never a " +
-      "per-token loop. Merge 1 operates on single-char symbols, where " +
-      "plain replace is exact; merge 2's pair can contain a multi-char " +
-      "symbol, so it is applied in a space-doubled sentinel form " +
-      "(' x  y ' with boundary spaces) — a naive replace would false-" +
-      "match across a symbol boundary (pair 'h e' inside 'th e') and " +
-      "silently over-merge; left-to-right non-overlap semantics are " +
-      "identical in both engines and match true BPE (the 'a a a' case " +
-      "merges once). Output per doc: whitespace tokens, chars-in-words " +
-      "(symbols before merging), and BPE symbols after both merges — " +
-      "all exact BIGINTs.",
-    Some("""
-      WITH w AS (SELECT doc_id,
+    s"BPE tokenizer APPLICATION — closes the train→apply loop at the " +
+      s"full $BpeMerges-merge vocabulary (pipeline_bpe_fit learns the " +
+      "merge table; this tokenizes the corpus with it and reports the " +
+      "per-doc true token budget, the number every 'how many tokens is " +
+      "this corpus' estimate is approximating): the merges are " +
+      "re-learned from the same word-frequency table (identical total " +
+      "order — BpeApplySpec pins them equal to bpe_fit's), then applied " +
+      "per VOCABULARY WORD, not per corpus token: symbol counts join " +
+      "back to the (doc, word, count) frame by word — the vocabulary-" +
+      "sized-work property that makes corpus-scale tokenization one " +
+      "shuffle join, never a per-token loop. Every round applies in the " +
+      "boundary-sentinel string form (' x  y ' with flanking spaces) — " +
+      "a naive replace would false-match a pair across a symbol " +
+      "boundary (pair 'h e' inside 'th e') and silently over-merge; " +
+      "left-to-right non-overlap semantics are identical in both " +
+      "engines and match true BPE (the 'a a a' case merges once). " +
+      "Output per doc: whitespace tokens, chars-in-words (symbols " +
+      "before merging), and BPE symbols after all merges — exact " +
+      "BIGINTs. Oracle CTE chain generated alongside bpe_fit's.",
+    Some(bpeChainDuck(BpeMerges, applyLast = true) + s""",
+           tf0 AS (SELECT doc_id,
                         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
                  FROM documents),
            tf AS (SELECT doc_id, word, count(*)::BIGINT AS c
-                  FROM w GROUP BY doc_id, word),
-           vocab AS (SELECT word, sum(c)::BIGINT AS c,
-                            array_to_string(list_transform(range(1, length(word) + 1),
-                              i -> substr(word, i::INT, 1)), ' ') AS s
-                     FROM tf GROUP BY word),
-           p1 AS (SELECT a[i+1] || ' ' || a[i+2] AS pair, sum(c)::BIGINT AS cnt
-                  FROM (SELECT string_split(s, ' ') AS a, c,
-                               unnest(range(0, len(string_split(s, ' ')) - 1)) AS i
-                        FROM vocab)
-                  GROUP BY pair),
-           m1 AS (SELECT pair, replace(pair, ' ', '') AS merged
-                  FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-           s1 AS (SELECT word, replace(s, m1.pair, m1.merged) AS s, c
-                  FROM vocab, m1),
-           p2 AS (SELECT a[i+1] || ' ' || a[i+2] AS pair, sum(c)::BIGINT AS cnt
-                  FROM (SELECT string_split(s, ' ') AS a, c,
-                               unnest(range(0, len(string_split(s, ' ')) - 1)) AS i
-                        FROM s1)
-                  GROUP BY pair),
-           m2 AS (SELECT pair, replace(pair, ' ', '') AS merged
-                  FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+                  FROM tf0 GROUP BY doc_id, word),
            syms AS (SELECT word, length(word)::BIGINT AS n_chr,
-                           len(list_filter(string_split(
-                             replace(' ' || replace(s, ' ', '  ') || ' ',
-                                     ' ' || replace(m2.pair, ' ', '  ') || ' ',
-                                     ' ' || m2.merged || ' '),
-                             ' '), x -> x <> ''))::BIGINT AS n_sym
-                    FROM s1, m2)
+                           len(list_filter(string_split(s, ' '),
+                             x -> x <> ''))::BIGINT AS n_sym
+                    FROM s$BpeMerges)
       SELECT tf.doc_id, sum(c)::BIGINT AS n_tokens,
              sum(c * n_chr)::BIGINT AS n_chars,
              sum(c * n_sym)::BIGINT AS n_bpe_symbols
       FROM tf JOIN syms ON syms.word = tf.word
-      GROUP BY tf.doc_id""".stripMargin),
+      GROUP BY tf.doc_id"""),
     (spark, dir) => {
       val toks = filter(split(col("text"), " "), x => x =!= "")
       val tf = Q.materialize(
@@ -1023,24 +1054,19 @@ object TextOps {
           .select(col("doc_id"), explode(toks).as("word"))
           .groupBy(col("doc_id"), col("word"))
           .agg(count(lit(1)).cast("long").as("c")))
-      val vocab = Q.materialize(tf
+      var s = Q.materialize(tf
         .groupBy(col("word")).agg(sum(col("c")).cast("long").as("c"))
         .withColumn("s", array_join(split(col("word"), ""), " ")))
-      val m1 = topMerge(vocab.select(col("s"), col("c")))
-      // Plain replace is exact for merge 1: every symbol is one char, so
-      // any substring match IS an aligned adjacent pair (bpe_fit's
-      // argument); s1 must be built the same way so m2 matches bpe_fit.
-      val s1 = Q.materialize(vocab.crossJoin(broadcast(m1))
-        .select(col("word"), expr("replace(s, pair, merged)").as("s"),
-          col("c")))
-      val m2 = topMerge(s1.select(col("s"), col("c")))
-      val syms = s1.crossJoin(broadcast(m2))
+      for (_ <- 1 to BpeMerges) {
+        val m = Q.materializeLoop(topMerge(s.select(col("s"), col("c"))))
+        s = Q.materializeLoop(s.crossJoin(broadcast(m))
+          .select(col("word"),
+            expr(mergeOnceSql("s", "pair", "merged")).as("s"), col("c")))
+      }
+      val syms = s
         .select(col("word"), length(col("word")).cast("long").as("n_chr"),
-          size(filter(split(expr(
-            "replace(concat(' ', replace(s, ' ', '  '), ' '), " +
-              "concat(' ', replace(pair, ' ', '  '), ' '), " +
-              "concat(' ', merged, ' '))"), " "),
-            x => x =!= "")).cast("long").as("n_sym"))
+          size(filter(split(col("s"), " "), x => x =!= ""))
+            .cast("long").as("n_sym"))
       tf.join(syms, "word")
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).cast("long").as("n_tokens"),

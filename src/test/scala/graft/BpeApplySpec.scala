@@ -47,21 +47,32 @@ class BpeApplySpec extends AnyFunSuite {
       .sortBy { case ((x, y), c) => (-c, x + " " + y) }
       .head._1
 
-  test("distributed BPE apply matches the sequential array-based reference") {
+  /** Learn [[TextOps.BpeMerges]] merges sequentially with the declared
+    * total order (count desc, pair asc); returns them in rank order.
+    */
+  private def learnAll(wordFreq: Map[String, Long]): Vector[(String, String)] = {
+    var freq: Map[Vector[String], Long] =
+      wordFreq.map { case (w, c) => w.split("").toVector -> c }
+    val out = Vector.newBuilder[(String, String)]
+    for (_ <- 1 to TextOps.BpeMerges) {
+      val p = topPair(freq)
+      out += p
+      freq = freq.groupBy { case (sym, _) => mergeArr(sym, p) }
+        .map { case (sym, xs) => sym -> xs.values.sum }
+    }
+    out.result()
+  }
+
+  test("distributed BPE apply matches the sequential array-based reference " +
+      s"at the full ${TextOps.BpeMerges}-merge vocabulary") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
     val wordFreq = docs.flatMap(_._2).groupBy(identity)
       .map { case (w, xs) => w -> xs.size.toLong }
-    var freq: Map[Vector[String], Long] =
-      wordFreq.map { case (w, c) => w.split("").toVector -> c }
-    // Learn 2 merges with the declared total order (count desc, pair asc).
-    val p1 = topPair(freq)
-    freq = freq.groupBy { case (sym, _) => mergeArr(sym, p1) }
-      .map { case (sym, xs) => sym -> xs.values.sum }
-    val p2 = topPair(freq)
+    val merges = learnAll(wordFreq)
     val wordSyms: Map[String, Long] = wordFreq.keys.map { w =>
-      w -> mergeArr(mergeArr(w.split("").toVector, p1), p2).length.toLong
+      w -> merges.foldLeft(w.split("").toVector)(mergeArr).length.toLong
     }.toMap
     val want = docs.map { case (id, ws) =>
       (id, ws.length.toLong, ws.map(_.length.toLong).sum,
@@ -72,26 +83,28 @@ class BpeApplySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1).toSeq
     assert(got == want, s"per-doc BPE budgets differ\n got: ${got.take(3)}…\nwant: ${want.take(3)}…")
-    // Non-degenerate: the merges actually shortened something.
+    // Non-degenerate: the merges actually shortened something, and the
+    // full vocabulary compresses strictly beyond the first two merges
+    // (otherwise the loop depth buys nothing).
     assert(got.exists { case (_, _, nChars, nSym) => nSym < nChars })
+    val twoMergeSyms: Map[String, Long] = wordFreq.keys.map { w =>
+      w -> merges.take(2).foldLeft(w.split("").toVector)(mergeArr)
+        .length.toLong
+    }.toMap
+    assert(got.map(_._4).sum <
+      docs.map(_._2.map(twoMergeSyms).sum).sum)
   }
 
   test("the merges the apply re-learns equal pipeline_bpe_fit's table") {
     val fit = TextOps.bpeFit.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
-    // Recompute the same two merges sequentially (as above) and compare.
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("text")).collect()
       .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
-    var freq: Map[Vector[String], Long] = docs.groupBy(identity)
-      .map { case (w, xs) => w.split("").toVector -> xs.size.toLong }
-    val p1 = topPair(freq)
-    freq = freq.groupBy { case (sym, _) => mergeArr(sym, p1) }
-      .map { case (sym, xs) => sym -> xs.values.sum }
-    val p2 = topPair(freq)
-    assert(fit.map(x => (x._2, x._3)).toSeq == Seq(
-      (p1._1 + " " + p1._2, p1._1 + p1._2),
-      (p2._1 + " " + p2._2, p2._1 + p2._2)))
+    val merges = learnAll(docs.groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong })
+    assert(fit.map(x => (x._2, x._3)).toSeq ==
+      merges.map(p => (p._1 + " " + p._2, p._1 + p._2)))
   }
 }
