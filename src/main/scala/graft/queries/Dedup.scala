@@ -595,77 +595,90 @@ object Dedup {
     * EDGE (callers join singletons back — the per-round shuffle stays
     * |subgraph|, not |corpus|). Extracted from the doc-dedup components
     * so the kNN-graph clustering runs the IDENTICAL iteration (single
-    * definition: the pointer-jumping, convergence accounting and the
+    * definition: the star operations, convergence accounting and the
     * constraint-propagation workaround cannot drift between callers).
+    *
+    * Algorithm (round 8): ALTERNATING LARGE-STAR/SMALL-STAR (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond") — each
+    * round rewires every node's larger neighbors (large-star) then its
+    * smaller-or-equal neighbors plus itself (small-star) to its local
+    * minimum; the edge set converges to per-component STARS centered at
+    * the component minima in provably O(log² n) rounds (~log n
+    * observed). This replaced the min-label-propagation + single
+    * pointer-jump loop after the round-8 sf1 scaling probe CAUGHT it
+    * failing: on the 20k-vector mutual-kNN graph the giant component
+    * has diameter 154, and one hop + one jump per round spreads the
+    * minimum only a constant number of steps when intermediate labels
+    * are already chain minima (the doubling argument silently assumed
+    * label chains, which adversarial id placement breaks) — 50 rounds
+    * was not enough. The star alternation converges in 8 rounds on that
+    * same graph (measured, labels == union-find), and the text-dedup
+    * components (diameter ≤ 3) converge in ≤ 3.
     */
   private[queries] def minLabelComponents(
       spark: SparkSession, edges0: DataFrame): DataFrame = {
-      val edges = edges0.toDF("src", "dst")
       // Constraint propagation is disabled for the iteration (restored in
-      // the finally): a checkpointed self-join output carries
-      // originConstraints referencing its PRE-checkpoint attribute ids,
-      // and feeding that into the next round's union trips Catalyst's
-      // constraint rewrite (NoSuchElementException on the duplicated
-      // attribute ids). With propagation off, every plan's constraint set
-      // is empty — including the originConstraints CAPTURED by each
-      // in-loop localCheckpoint — so the loop needs no per-round frame
-      // rebaseline (rounds stay whole-stage-codegen DataFrame ops, no RDD
-      // round-trip) and the post-loop labels frame is permanently clean:
-      // its checkpoint captured empty constraints, so nothing stale can
-      // resurface when the final plan is optimized after the conf is
-      // restored. The optimizations lost (IsNotNull inference on join
-      // keys) are no-ops here — every column is a non-null doc_id/label.
+      // the finally): the star steps union two projections of the SAME
+      // checkpointed frame (the symmetrization), and a checkpointed
+      // self-join output carries originConstraints referencing its
+      // PRE-checkpoint attribute ids — feeding that into a union trips
+      // Catalyst's constraint rewrite (NoSuchElementException on the
+      // duplicated attribute ids). With propagation off every plan's
+      // constraint set is empty, so rounds stay whole-stage-codegen
+      // DataFrame ops with no per-round rebaseline. The optimizations
+      // lost (IsNotNull inference on join keys) are no-ops here — every
+      // column is a non-null id.
       val cpKey = "spark.sql.constraintPropagation.enabled"
       val cpPrev = spark.conf.get(cpKey)
-      // Iterate ONLY over docs that appear in a pair — singletons are
-      // trivially their own canonical and join back at the end, so the
-      // per-round shuffle is |docs in the dup subgraph| (a few % of the
-      // corpus at scale), not |corpus|.
-      var labels: DataFrame = null
       spark.conf.set(cpKey, "false")
       try {
-        labels = Q.materializeLoop(edges.select(col("src").as("doc_id"))
-          .distinct().withColumn("label", col("doc_id")))
-        var changed = 1L
+        // Canonical undirected edge set (a < b, distinct, no self-loops).
+        var e = Q.materializeLoop(edges0.toDF("src", "dst")
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b")).distinct())
+
+        // One star step: every node u's selected neighbors re-point at
+        // u's local minimum m = min(N(u) ∪ {u}). large keeps v > u (and
+        // always re-emits through min(v,m)/max(v,m) canonical form);
+        // small keeps v <= u PLUS the (u, m) edge itself — dropping it
+        // disconnects leaves (2-node components would vanish).
+        def star(ed: DataFrame, large: Boolean): DataFrame = {
+          val sym = ed.select(col("a").as("u"), col("b").as("v"))
+            .union(ed.select(col("b").as("u"), col("a").as("v")))
+          val mins = sym.groupBy(col("u"))
+            .agg(least(min(col("v")), col("u")).as("m"))
+          val sel =
+            if (large) sym.join(mins, "u").filter(col("v") > col("u"))
+              .select(col("v"), col("m"))
+            else sym.join(mins, "u").filter(col("v") <= col("u"))
+              .select(col("v"), col("m"))
+              .union(mins.select(col("u").as("v"), col("m")))
+          sel.select(least(col("v"), col("m")).as("a"),
+              greatest(col("v"), col("m")).as("b"))
+            .filter(col("a") =!= col("b")).distinct()
+        }
+
+        var converged = false
         var iters = 0
-        while (changed > 0 && iters < 50) {
-          val nbr = edges
-            .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
-            .select(col("src").as("doc_id"), col("label"))
-          // NOT materialized: the pointer-jump self-join below references
-          // this subtree twice, but both references produce IDENTICAL
-          // exchange plans, so ReuseExchange computes the shuffle once —
-          // and with constraint propagation off the duplicated attribute
-          // ids can't trip the Union constraint rewrite (the crash that
-          // once forced a checkpoint here). One materialization per round
-          // (nextM) instead of two: the round's wall time is dominated by
-          // fixed per-job overhead at the subgraph's size, not by the
-          // recomputed ≤1-aggregate fan-out.
-          val half = labels.union(nbr)
-            .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-          // Pointer jumping: follow the label's own label (labels only ever
-          // decrease, so label(label(d)) ≤ label(d) and the fixpoint is
-          // unchanged) — distance-to-minimum halves per round on top of the
-          // one-hop neighbor step, so convergence is O(log diameter) and a
-          // 50-round cap is unreachable for any physical graph (a crash at
-          // the cap was the alternative for chain-shaped clusters longer
-          // than the cap under plain propagation).
-          // The previous round's label rides along (one more equi join inside
-          // the SAME materialization job), so the convergence check below is
-          // a filter-count over already-checkpointed partitions — not the
-          // separate join+shuffle job it used to be (3 jobs/round → 2).
-          val nextM = Q.materializeLoop(half.alias("a")
-            .join(half.select(col("doc_id").as("k"), col("label").as("l2")),
-              col("a.label") === col("k"))
-            .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-            .select(col("doc_id"), col("l2").as("label"), col("old")))
-          changed = nextM.filter(col("label") =!= col("old")).count()
-          labels = nextM.select(col("doc_id"), col("label"))
+        while (!converged && iters < 50) {
+          val next = Q.materializeLoop(star(star(e, large = true),
+            large = false))
+          // Set equality: next ⊆ e (anti-join empty) ∧ |next| == |e|.
+          val grew = next.join(e, Seq("a", "b"), "left_anti")
+            .limit(1).count() > 0
+          converged = !grew && next.count() == e.count()
+          e = next
           iters += 1
         }
-        require(changed == 0, s"components did not converge in $iters rounds")
+        require(converged, s"components did not converge in $iters rounds")
+        // At the fixpoint the edges are stars centered at component
+        // minima: leaves read their center off their single edge,
+        // centers label themselves (min() is belt-and-braces).
+        e.select(col("b").as("doc_id"), col("a").as("label"))
+          .union(e.select(col("a").as("doc_id"), col("a").as("label")))
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
       } finally spark.conf.set(cpKey, cpPrev)
-      labels
   }
 
   private[queries] def componentAssignment(

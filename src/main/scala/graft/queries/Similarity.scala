@@ -1312,6 +1312,47 @@ object Similarity {
     pqEncode(pqScored(sub, cb)).agg(sum(col("d2_raw")).as("err"))
   }
 
+  /** Vector-count threshold for the all-vectors kNN join's cell split:
+    * at or below it the cells are exactly the 10 label-seeded centroids
+    * (every correctness SF — bit-identical to the round-7 operator);
+    * above it each label cell splits by the SIGN BITS of the first m raw
+    * dimensions (axis-hyperplane sub-quantization), m = bitlength((n−1)
+    * div threshold), so expected cell size stays ~128 and the join cost
+    * N·nprobe·cellsize stays LINEAR in N. Added after the round-8 sf1
+    * probe measured the fixed-10-cell variant at 86× for 10× data (cell
+    * size N/10 ⇒ O(N²/5) candidate pairs). m is integer-exact in both
+    * engines (integer division before the log). Membership and probing
+    * stay nearest-CENTROID, as before — only the centroid TABLE changes
+    * (seeded by label × sign bits instead of label alone); the probe
+    * ranking against all k centroids is the flat-IVF coarse cost
+    * N·k = N²/threshold — hierarchical coarse quantizers take over past
+    * ~10M vectors, stated honestly.
+    */
+  private[queries] val KnnSubCellThreshold = 1280L
+
+  /** DuckDB mirror of [[knnCentroids]] — expects the `n` ([[VecsSql]])
+    * CTE; ends in `cent(cell, centroid)` exactly like [[CentroidsSql]].
+    */
+  private val KnnCentroidsSql = s"""
+           nv AS (SELECT count(*) AS nv FROM embeddings),
+           mm AS (SELECT CASE WHEN nv <= $KnnSubCellThreshold THEN 0
+                              ELSE CAST(floor(log2(((nv - 1) // $KnnSubCellThreshold)::DOUBLE)) AS INT) + 1
+                         END AS m FROM nv),
+           vc AS (SELECT vec_id, e,
+                         label::BIGINT * (1::BIGINT << m) +
+                         CASE WHEN m = 0 THEN 0
+                              ELSE list_sum(list_transform(range(0, m),
+                                     i -> CASE WHEN e[(i+1)::INT] >= 0 THEN (1::BIGINT << i::INT) ELSE 0::BIGINT END))::BIGINT
+                         END AS knncell
+                  FROM n, mm),
+           cent AS (SELECT knncell AS cell, list(c ORDER BY pos) AS centroid
+                    FROM (SELECT knncell, i AS pos,
+                                 round(avg(e[(i+1)::INT]) + 1e-9, 6) AS c
+                          FROM (SELECT knncell, e, unnest(range(0, len(e))) AS i
+                                FROM vc)
+                          GROUP BY knncell, pos)
+                    GROUP BY knncell)"""
+
   val knnGraph = Q(
     "sim_knn_graph",
     "k-NN GRAPH construction — the ALL-VECTORS kNN join (top-3 " +
@@ -1330,7 +1371,7 @@ object Similarity {
       "real cluster structure sit far higher. Per-vector top-3 by the " +
       "rounded distance with id tie-break over a cell-bounded window.",
     Some(s"""
-      WITH n AS ($VecsSql),$CentroidsSql,$AssignSql,
+      WITH n AS ($VecsSql),$KnnCentroidsSql,$AssignSql,
            probes AS (SELECT vec_id, cell
                       FROM (SELECT vec_id, cell, row_number() OVER (
                               PARTITION BY vec_id
@@ -1356,13 +1397,32 @@ object Similarity {
       WHERE rank <= 3""".stripMargin),
     (spark, dir) => knnGraphTopk(spark, dir, nprobe = 2))
 
+  /** (cell, centroid) table for [[knnGraphTopk]] under the scale-adaptive
+    * split (see [[KnnSubCellThreshold]], declared above [[knnGraph]]):
+    * per-cell means over knncell = label·2^m + signbits(e[0..m)).
+    */
+  private[queries] def knnCentroids(v: DataFrame): DataFrame = {
+    val nv = v.agg(count(lit(1)).cast("long").as("nv"))
+    val vc = v.crossJoin(broadcast(nv))
+      .withColumn("m", expr(
+        s"if(nv <= ${KnnSubCellThreshold}L, 0, " +
+          s"cast(floor(log2(cast((nv - 1) div ${KnnSubCellThreshold}L as double))) as int) + 1)"))
+      .withColumn("knncell", expr(
+        // if() evaluates lazily, so the m = 0 guard keeps sequence(0, -1)
+        // (which Spark yields DESCENDING) out of the aggregate.
+        "cast(label as bigint) * shiftleft(1L, m) + " +
+          "if(m = 0, 0L, aggregate(sequence(0, m - 1), 0L, " +
+          "(acc, i) -> acc + if(element_at(e, i + 1) >= 0D, shiftleft(1L, i), 0L)))"))
+    centroidsOver(vc, "knncell")
+  }
+
   /** The kNN-join composition behind [[knnGraph]] with the nprobe knob
     * exposed for the recall spec.
     */
   private[queries] def knnGraphTopk(spark: SparkSession, dir: String,
       nprobe: Int): DataFrame = {
     val v = Q.materialize(vecs(spark, dir))
-    val cent = Q.materialize(centroidsFrom(v))
+    val cent = Q.materialize(knnCentroids(v))
     val assign = assignAgainst(v, cent)
       .select(col("vec_id").as("nid"), col("cell"))
     val probes = cellRanks(v, cent, nprobe)
@@ -1400,7 +1460,7 @@ object Similarity {
       "corpora keep ~half of directed edges; the per-round shuffle is " +
       "|subgraph|, not |corpus|).",
     Some(s"""
-      WITH RECURSIVE n AS ($VecsSql),$CentroidsSql,$AssignSql,
+      WITH RECURSIVE n AS ($VecsSql),$KnnCentroidsSql,$AssignSql,
            probes AS (SELECT vec_id, cell
                       FROM (SELECT vec_id, cell, row_number() OVER (
                               PARTITION BY vec_id

@@ -80,4 +80,60 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(found >= eligible.size - 1,
       s"graph missed ${eligible.size - found} eligible planted neighbors")
   }
+
+  test("above KnnSubCellThreshold the sign-bit split engages; planted " +
+      "neighbors still appear; below it the cells equal the label centroids") {
+    // BELOW the threshold the scale-adaptive centroid table must be
+    // EXACTLY the label-seeded one (bit-identical results at every
+    // correctness SF is the cap contract).
+    val small = Similarity.vecs(spark, "/root/testdata/sf0.01")
+    val a = Similarity.knnCentroids(small)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Similarity.centroidsFrom(small)
+      .collect().map(r => r.get(0).toString.toLong -> r.getSeq[Double](1))
+      .toMap
+    assert(a == b, "below-threshold centroids differ from label centroids")
+
+    // ABOVE it (3 jittered tilings of the 500-vector table + plants =
+    // 1520 > 1280 -> m = 1, 20 cells): the split must actually engage,
+    // and the planted-neighbor plumbing law must hold unchanged.
+    val out = java.nio.file.Files.createTempDirectory("graft_knn_big").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tiled = (0 until 3).map { k =>
+      base.select((col("vec_id") + lit(k * 1000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f * k)).otherwise(x))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    val planted = tiled.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(PlantBase)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+          .as("embedding"),
+        col("label"))
+    tiled.unionByName(planted)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val v = Similarity.vecs(spark, out)
+    val cent = Similarity.knnCentroids(v)
+    assert(cent.count() > 10,
+      "sub-cell split did not engage above the threshold")
+    val ranks = Similarity.cellRanks(v, cent, 2)
+      .select("vec_id", "cell", "rk").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(2)).map(_.get(1))).toMap
+    val eligible = (0L until 20L).filter { q =>
+      ranks(q).take(2).contains(ranks(PlantBase + q).head)
+    }
+    assert(eligible.size >= 10, s"only ${eligible.size}/20 plants eligible")
+    val byQ = Similarity.knnGraphTopk(spark, out, nprobe = 2)
+      .select("qid", "nid").collect().groupBy(_.getLong(0))
+    val found = eligible.count(q =>
+      byQ.getOrElse(q, Array.empty).map(_.getLong(1)).toSet
+        .contains(PlantBase + q))
+    info(s"sub-cell planted-hit: $found/${eligible.size} eligible")
+    assert(found >= eligible.size - 1,
+      s"split graph missed ${eligible.size - found} eligible plants")
+  }
 }

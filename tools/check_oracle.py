@@ -21,7 +21,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # Driver tables are single files; generated probe datasets
+        # (graft.GenData) are Spark-written DIRECTORIES named x.parquet.
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
