@@ -643,7 +643,13 @@ object Dedup {
         // always re-emits through min(v,m)/max(v,m) canonical form);
         // small keeps v <= u PLUS the (u, m) edge itself — dropping it
         // disconnects leaves (2-node components would vanish).
-        def star(ed: DataFrame, large: Boolean): DataFrame = {
+        // `dedup` is false for the intermediate large-star output: the
+        // small-star that consumes it min/groupBys per node anyway, so
+        // duplicate edges change nothing — only the ROUND boundary needs
+        // the canonical distinct form (the set-equality convergence
+        // check). Saves one full edge-set shuffle per round.
+        def star(ed: DataFrame, large: Boolean,
+            dedup: Boolean): DataFrame = {
           val sym = ed.select(col("a").as("u"), col("b").as("v"))
             .union(ed.select(col("b").as("u"), col("a").as("v")))
           val mins = sym.groupBy(col("u"))
@@ -654,16 +660,18 @@ object Dedup {
             else sym.join(mins, "u").filter(col("v") <= col("u"))
               .select(col("v"), col("m"))
               .union(mins.select(col("u").as("v"), col("m")))
-          sel.select(least(col("v"), col("m")).as("a"),
+          val canon = sel.select(least(col("v"), col("m")).as("a"),
               greatest(col("v"), col("m")).as("b"))
-            .filter(col("a") =!= col("b")).distinct()
+            .filter(col("a") =!= col("b"))
+          if (dedup) canon.distinct() else canon
         }
 
         var converged = false
         var iters = 0
         while (!converged && iters < 50) {
-          val next = Q.materializeLoop(star(star(e, large = true),
-            large = false))
+          val next = Q.materializeLoop(star(
+            star(e, large = true, dedup = false),
+            large = false, dedup = true))
           // Set equality: next ⊆ e (anti-join empty) ∧ |next| == |e|.
           val grew = next.join(e, Seq("a", "b"), "left_anti")
             .limit(1).count() > 0
