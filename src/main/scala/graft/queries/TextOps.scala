@@ -906,6 +906,18 @@ object TextOps {
     */
   private[graft] val BpeMerges = 64
 
+  /** Rounds per lineage cut of the BPE loops' symbol frame. MEASURED at
+    * 1 (checkpoint every round): stride 4 saves checkpoint jobs but each
+    * lazy round's topMerge then RE-EXECUTES up to stride−1 rewrite
+    * rounds inside its own job — sf0.1 min-of-3 said 6.5 s at stride 1
+    * vs 7.2 s at stride 4 (and 14.6 s when the 1-row merges were also
+    * left lazy, nesting TakeOrdered trees into every later round). The
+    * loop is driver-latency-bound either way; recompute loses to
+    * checkpointing here because the checkpointed frame is vocabulary-
+    * tiny. Kept as a named constant so the trade stays visible.
+    */
+  private[graft] val BpeLineageStride = 1
+
   /** One BPE merge applied to a space-joined symbol string, in the
     * boundary-sentinel form that is exact for EVERY round: symbols are
     * double-space separated and flanked, the pair is matched with its
@@ -999,14 +1011,26 @@ object TextOps {
           .select(array_join(split(col("word"), ""), " ").as("s"), col("c")))
       var table: org.apache.spark.sql.DataFrame = null
       for (k <- 1 to BpeMerges) {
+        // The winning merge is ALWAYS checkpointed (1 row; it feeds both
+        // the output table and every later round — left lazy it would
+        // nest its TakeOrdered subtree into all of them).
         val m = Q.materializeLoop(topMerge(s))
         val mk = m.select(lit(k.toLong).as("rank"), col("pair"),
           col("merged"), col("cnt"))
         table = if (table == null) mk else table.unionByName(mk)
-        if (k < BpeMerges)
-          s = Q.materializeLoop(s.crossJoin(broadcast(m))
+        if (k < BpeMerges) {
+          val next = s.crossJoin(broadcast(m))
             .select(expr(mergeOnceSql("s", "pair", "merged")).as("s"),
-              col("c")))
+              col("c"))
+          // The symbol frame checkpoints every BpeLineageStride rounds:
+          // each lazy round references s once here and once in the next
+          // topMerge, so the plan holds at most 2^stride copies of the
+          // last checkpoint — bounded at 16 — while the driver
+          // round-trips (the loop's real cost at vocabulary scale) drop
+          // by the stride factor.
+          s = if (k % BpeLineageStride == 0) Q.materializeLoop(next)
+              else next
+        }
       }
       table
     })
@@ -1057,11 +1081,15 @@ object TextOps {
       var s = Q.materialize(tf
         .groupBy(col("word")).agg(sum(col("c")).cast("long").as("c"))
         .withColumn("s", array_join(split(col("word"), ""), " ")))
-      for (_ <- 1 to BpeMerges) {
+      for (k <- 1 to BpeMerges) {
+        // Same shape as bpe_fit: merge always checkpointed (it feeds
+        // every later round), symbol frame strided.
         val m = Q.materializeLoop(topMerge(s.select(col("s"), col("c"))))
-        s = Q.materializeLoop(s.crossJoin(broadcast(m))
+        val next = s.crossJoin(broadcast(m))
           .select(col("word"),
-            expr(mergeOnceSql("s", "pair", "merged")).as("s"), col("c")))
+            expr(mergeOnceSql("s", "pair", "merged")).as("s"), col("c"))
+        s = if (k % BpeLineageStride == 0 || k == BpeMerges)
+          Q.materializeLoop(next) else next
       }
       val syms = s
         .select(col("word"), length(col("word")).cast("long").as("n_chr"),
