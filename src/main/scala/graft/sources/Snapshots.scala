@@ -241,16 +241,31 @@ object Snapshots {
     * files, untouched files carry over byte-for-byte. Driver-side collect
     * is the same metadata-scale file-name list as [[deleteWhere]].
     * `delta` must carry the table's columns (matched by name).
+    *
+    * TOMBSTONES (`deleteFlag`): a CDC feed is upserts AND deletes in one
+    * batch, and they must land in ONE transaction (a reader must never
+    * see the upserts without the deletes). When `deleteFlag` names a
+    * boolean column of `delta`, flagged rows are tombstones: their keys
+    * are REMOVED (they still count toward the touched-file set — a
+    * tombstoned key's file must be rewritten — but contribute no output
+    * row), unflagged rows upsert as usual. The flag column itself is
+    * not written to the table.
     */
   def merge(spark: SparkSession, table: String, delta: DataFrame,
-      key: String): Int = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+      key: String, deleteFlag: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name, not}
     val prev = latestVersion(table)
     require(prev >= 1, s"$table has no committed version to merge into")
     val prevNames = manifestFiles(table, prev)
     val cur = read(spark, table)
-    val aligned = delta.select(cur.columns.map(col).toIndexedSeq: _*)
-    val keys = aligned.select(key).distinct()
+    val upserts = deleteFlag match {
+      case Some(f) => delta.filter(not(col(f)))
+      case None => delta
+    }
+    val aligned = upserts.select(cur.columns.map(col).toIndexedSeq: _*)
+    // Touched files are found against ALL delta keys (tombstoned keys
+    // included — deleting a row rewrites its file too).
+    val keys = delta.select(key).distinct()
     val touched: Set[String] =
       cur.withColumn("_graft_file", input_file_name())
         .join(keys, Seq(key), "left_semi")

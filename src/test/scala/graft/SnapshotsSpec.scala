@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Snapshots
@@ -211,6 +211,41 @@ class SnapshotsSpec extends AnyFunSuite {
     val m2 = Files.readString(Paths.get(table, "_manifests", "v00002.json"))
     assert(m2.contains("v00001-"),
       "merge rewrote untouched files (not copy-on-write)")
+  }
+
+  test("merge with tombstones: upserts and deletes land in one commit") {
+    val table = Files.createTempDirectory("graft_snap13").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    Snapshots.publish(docs.repartitionByRange(4, col("doc_id")), table)
+    val n = docs.count()
+
+    // One CDC batch: 5 updates, 3 inserts, 4 tombstones — one version.
+    val cdc = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id"), (col("n_chars") + 7).as("n_chars"),
+        lit(false).as("is_delete"))
+      .unionByName(docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 900000).as("doc_id"), col("n_chars"),
+          lit(false).as("is_delete")))
+      .unionByName(docs.filter(col("doc_id") >= 10 && col("doc_id") < 14)
+        .select(col("doc_id"), col("n_chars"), lit(true).as("is_delete")))
+    val v2 = Snapshots.merge(spark, table, cdc, "doc_id",
+      deleteFlag = Some("is_delete"))
+    assert(v2 == 2)
+
+    val after = Snapshots.read(spark, table)
+    assert(after.count() == n + 3 - 4, "upsert+delete arithmetic is off")
+    assert(after.filter(col("doc_id") >= 10 && col("doc_id") < 14)
+      .count() == 0, "tombstoned keys survived")
+    assert(after.filter(col("doc_id") < 5)
+      .join(docs.filter(col("doc_id") < 5)
+        .select(col("doc_id"), col("n_chars").as("orig")), "doc_id")
+      .filter(col("n_chars") =!= col("orig") + 7).count() == 0,
+      "updates not applied alongside the deletes")
+    assert(!after.columns.contains("is_delete"),
+      "the tombstone flag leaked into the table schema")
+    // The pre-merge version remains the undo for the WHOLE batch.
+    assert(Snapshots.read(spark, table, Some(1)).count() == n)
   }
 
   test("staged-data debris from a crashed publish does not wedge the retry") {
