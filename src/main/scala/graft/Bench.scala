@@ -19,6 +19,10 @@ object Bench {
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "q7_nation_volume", "q9_product_profit", "q6_forecast_revenue",
     "q14_promo_effect", "q10_returned_items", "q19_discounted_revenue",
+    "q2_min_cost_supplier", "q8_market_share", "q11_important_parts",
+    "q12_priority_class", "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_census", "q17_small_quantity_revenue",
+    "q20_excess_suppliers", "q21_waiting_suppliers", "q22_sales_opportunity",
     "q_top_customers_per_nation", "q_events_sessions",
     "mr_wordcount", "mr_inverted_index", "ta_quality_score",
     "ta_rolling_hash", "ta_winnow",

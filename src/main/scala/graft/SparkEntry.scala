@@ -15,7 +15,7 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    Relational.all ++ EventsOps.all ++ TextOps.all ++ CorpusOps.all ++
+    Relational.all ++ TpchDeck.all ++ EventsOps.all ++ TextOps.all ++ CorpusOps.all ++
       Dedup.all ++ Similarity.all ++ EngineOps.all ++ MultimodalOps.all ++
       GraphOps.all ++ Extras.all
 

@@ -145,7 +145,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "src_zorder_layout",
       // 1-row token-total and weight-sum crosses around the 5-row
       // language frame (r7).
-      "pipeline_lang_mixture")
+      "pipeline_lang_mixture",
+      // TPC-H scalar subqueries (r8): 1-row global-threshold / max /
+      // average-balance aggregates crossing back into their own source
+      // frame — the canonical bounded-broadcast shape.
+      "q11_important_parts", "q15_top_supplier", "q22_sales_opportunity")
     // The only queries allowed an UNPARTITIONED window (single-partition
     // shuffle) — each one's input bound is asserted above. This sweep is
     // what makes the session-wide WindowExec WARN suppression
