@@ -63,7 +63,8 @@ object Bench {
     "graph_pagerank", "graph_triangles", "graph_label_prop",
     "rsm_submit_replay", "ta_bm25",
     "src_warc_ingest", "src_url_filter", "src_webdataset_ingest",
-    "src_zip_ingest", "src_zorder_layout", "src_snapshot_merge")
+    "src_zip_ingest", "src_zorder_layout", "src_snapshot_merge",
+    "src_schema_evolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -672,6 +672,72 @@ object CorpusOps {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     })
 
+  val schemaEvolution = Q(
+    "src_schema_evolution",
+    "SCHEMA EVOLUTION AS TABLE COMMITS — the lifecycle every long-lived " +
+      "production table goes through, exercised end-to-end against " +
+      "graft.sources.Snapshots' versioned-schema metadata: documents " +
+      "PUBLISHED as v1 (doc_id, lang, n_chars), ADD COLUMN (quality " +
+      "double, tokens bigint) commits v2 METADATA-ONLY (same files, no " +
+      "read, no rewrite — O(1) at any table size, because the reader " +
+      "applies the DECLARED schema and pre-evolution files null-fill at " +
+      "scan time; the 100 TB alternative, parquet mergeSchema, is a " +
+      "footer scan of the whole table and cannot even represent a " +
+      "column no file carries yet), an APPEND commits v3 with new rows " +
+      "CARRYING values, and a MERGE backfills the new columns into one " +
+      "slice of pre-evolution rows as v4 — whose copy-on-write path " +
+      "must read old files UNDER the evolved schema or the rewrite " +
+      "fails on exactly the files it needs. The query reads the " +
+      "committed latest: nulls where no write ever supplied a value, " +
+      "values exactly where the append/backfill put them — so a ghost " +
+      "default, a lost backfill, a schema applied to the wrong " +
+      "version, or a null-fill slip all surface as value drift against " +
+      "the oracle's pure-SQL replay. SnapshotsSpec certifies the " +
+      "metadata-only law (file list unchanged), the compat gate " +
+      "(missing column / type drift loud, new columns only under " +
+      "mergeSchema), pre-evolution time travel, and vacuum expiry of " +
+      "schema metadata.",
+    Some("""
+      WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+           appended AS (
+             SELECT doc_id + 1000000 AS doc_id, 'yy' AS lang, n_chars,
+                    round(n_chars / 1000.0 + 1e-6, 2) AS quality,
+                    (n_chars // 5)::BIGINT AS tokens
+             FROM base WHERE doc_id % 100 = 7),
+           backfill AS (
+             SELECT doc_id, lang, n_chars,
+                    round(n_chars / 1000.0 + 1e-6, 2) AS quality,
+                    (n_chars // 5)::BIGINT AS tokens
+             FROM base WHERE doc_id % 10 = 3)
+      SELECT doc_id, lang, n_chars,
+             CAST(NULL AS DOUBLE) AS quality, CAST(NULL AS BIGINT) AS tokens
+      FROM base WHERE doc_id % 10 <> 3
+      UNION ALL SELECT * FROM backfill
+      UNION ALL SELECT * FROM appended""".stripMargin),
+    (spark, dir) => {
+      import graft.sources.Snapshots
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_snapevo_q").toString
+      val base = t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.publish(base.repartitionByRange(4, col("doc_id")), table)
+      Snapshots.addColumns(spark, table,
+        StructField("quality", DoubleType), StructField("tokens", LongType))
+      def widened(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        Det.r2e(col("n_chars") / 1000.0).as("quality"),
+        expr("n_chars div 5").as("tokens"))
+      Snapshots.append(widened(base.filter(col("doc_id") % 100 === 7)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("lang", lit("yy"))), table)
+      Snapshots.merge(spark, table,
+        widened(base.filter(col("doc_id") % 10 === 3)), "doc_id")
+      Snapshots.read(spark, table)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("quality"), col("tokens"))
+    })
+
   val urlFilter = Q(
     "src_url_filter",
     "URL/DOMAIN FILTERING — the provenance gate every published web " +
@@ -1006,5 +1072,5 @@ object CorpusOps {
   val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup,
     bloomIncremental, upsert, cmsTopk, warcIngest, urlFilter,
     webdatasetIngest, zipIngest, dsirSelect, zorderLayout, novelty,
-    snapshotMerge)
+    snapshotMerge, schemaEvolution)
 }

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Manifest-committed snapshot table — the transactional-publish primitive
   * under every lakehouse table format: a reader must see either the table
@@ -22,6 +23,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     by `_latest` — still invisible),
   *  3. flips the `_latest` pointer by ATOMIC RENAME — the single commit
   *     point; before it readers resolve v(N-1), after it v(N).
+  *
+  * SCHEMA EVOLUTION (round 8): every commit records its TABLE SCHEMA as
+  * version metadata (`_schemas/v<N>.json`, published by the same pointer
+  * flip). [[addColumns]] is a METADATA-ONLY commit — same files, wider
+  * schema, O(1) at any table size — and [[read]] applies the version's
+  * declared schema so pre-evolution files null-fill the new columns at
+  * scan time, with no 100 TB footer-merge (`mergeSchema`) pass and no
+  * rewrite. [[append]] gates on schema compatibility (new columns only
+  * under `mergeSchema = true`; type drift always fails); time travel to
+  * a pre-evolution version reads the old schema. Renames/drops are out
+  * of scope, honestly: name-based column resolution cannot express them
+  * — that is precisely what Iceberg-style column IDs buy.
   *
   * Scope, stated honestly: single-writer, POSIX-rename atomicity — the
   * local-FS/HDFS form. Object stores without atomic rename replace step 3
@@ -63,7 +76,26 @@ object Snapshots {
     */
   def publish(df: DataFrame, table: String): Int = {
     val v = latestVersion(table) + 1
-    commit(table, v, stageFiles(df, table, v))
+    commit(table, v, stageFiles(df, table, v), schema = Some(df.schema))
+  }
+
+  private def schemaPath(table: String, v: Int): Path =
+    Paths.get(table, "_schemas", f"v$v%05d.json")
+
+  /** The TABLE SCHEMA committed with version `v`, if one was recorded.
+    * Schema-in-metadata is what makes evolution work at scale: the
+    * reader applies ONE declared schema (absent columns in older files
+    * null-fill) instead of merging every file's footer — at 100 TB,
+    * parquet `mergeSchema` is a scan of every footer in the table just
+    * to start the query, and it cannot represent "this column exists
+    * but no file has it yet" (a metadata-only ADD COLUMN). Tables
+    * published before schema tracking read schema-on-file (None).
+    */
+  def tableSchema(table: String, v: Int): Option[StructType] = {
+    val p = schemaPath(table, v)
+    if (Files.exists(p))
+      Some(DataType.fromJson(Files.readString(p)).asInstanceOf[StructType])
+    else None
   }
 
   /** Manifest file list of a committed version. */
@@ -77,7 +109,13 @@ object Snapshots {
   }
 
   private def commit(table: String, v: Int, names: Seq[String],
-      batchId: Long = -1L): Int = {
+      batchId: Long = -1L, schema: Option[StructType] = None): Int = {
+    // Schema (when tracked) is version metadata like the manifest: both
+    // are mere debris until the pointer flip below publishes them.
+    schema.foreach { s =>
+      Files.writeString(dirOf(table, "_schemas").resolve(f"v$v%05d.json"),
+        s.json)
+    }
     val manifest = dirOf(table, "_manifests").resolve(f"v$v%05d.json")
     Files.writeString(manifest,
       names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
@@ -108,9 +146,47 @@ object Snapshots {
     val prev = latestVersion(table)
     val v = prev + 1
     val prevFiles = if (prev >= 1) manifestFiles(table, prev) else Seq.empty
-    commit(table, v, prevFiles ++ stageFiles(df, table, v), batchId)
+    val sch =
+      if (prev >= 1) checkedSchema(df, table, prev, mergeSchema = false)
+      else Some(df.schema)
+    commit(table, v, prevFiles ++ stageFiles(df, table, v), batchId, sch)
     true
   }
+
+  /** Schema-compat gate for appends into a schema-tracked table: the
+    * incoming frame must carry every table column; extra columns EVOLVE
+    * the schema (appended, nullable) only under `mergeSchema` — without
+    * it they fail loudly instead of silently vanishing behind the
+    * declared read schema. Legacy tables (no tracked schema) pass
+    * through unchecked, as before tracking existed.
+    */
+  private def checkedSchema(df: DataFrame, table: String, prev: Int,
+      mergeSchema: Boolean): Option[StructType] =
+    tableSchema(table, prev).map { cur =>
+      val have = df.schema.fieldNames.toSet
+      val missing = cur.fieldNames.filterNot(have)
+      require(missing.isEmpty,
+        s"append into $table is missing table columns: ${missing.mkString(",")}")
+      // A type drift would stage files the declared read schema can't
+      // decode — fail at commit time, not in some later reader.
+      val drift = cur.fields.flatMap { f =>
+        df.schema.fields.find(_.name == f.name)
+          .filter(_.dataType != f.dataType)
+          .map(g => s"${f.name}: ${g.dataType.simpleString} vs table " +
+            f.dataType.simpleString)
+      }
+      require(drift.isEmpty,
+        s"append into $table changes column types: ${drift.mkString("; ")}")
+      val extra = df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
+      if (extra.isEmpty) cur
+      else {
+        require(mergeSchema,
+          s"append into $table carries new columns " +
+            s"${extra.map(_.name).mkString(",")}; pass mergeSchema = true " +
+            "to evolve the table schema")
+        StructType(cur.fields ++ extra.map(_.copy(nullable = true)))
+      }
+    }
 
   /** Stage `df`'s parquet parts into `data/` under version-prefixed
     * immutable names; returns the new file names (not yet committed).
@@ -155,11 +231,39 @@ object Snapshots {
     * [[publish]], so a reader sees the table without the appended rows or
     * with ALL of them.
     */
-  def append(df: DataFrame, table: String): Int = {
+  def append(df: DataFrame, table: String,
+      mergeSchema: Boolean = false): Int = {
     val prev = latestVersion(table)
     require(prev >= 1, s"$table has no committed version to append to")
     val v = prev + 1
-    commit(table, v, manifestFiles(table, prev) ++ stageFiles(df, table, v))
+    val sch = checkedSchema(df, table, prev, mergeSchema)
+    commit(table, v, manifestFiles(table, prev) ++ stageFiles(df, table, v),
+      schema = sch)
+  }
+
+  /** ADD COLUMN — METADATA-ONLY schema evolution: version latest+1 with
+    * the SAME file list and the schema extended by `fields` (forced
+    * nullable — existing rows have no value). This is an O(1) commit at
+    * any table size: no file is read, rewritten, or moved — the new
+    * column exists because the declared read schema says so, and every
+    * pre-evolution file null-fills it at scan time. Subsequent
+    * [[append]]/[[merge]] commits carry real values; TIME TRAVEL to a
+    * pre-evolution version reads the OLD schema (schema is versioned
+    * with the data it described). Name collisions fail loudly. Legacy
+    * tables (published before schema tracking) get their baseline
+    * schema derived from the current files once, here.
+    */
+  def addColumns(spark: SparkSession, table: String,
+      fields: StructField*): Int = {
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version to evolve")
+    val base = tableSchema(table, prev)
+      .getOrElse(read(spark, table).schema)
+    val clash = fields.map(_.name).filter(base.fieldNames.contains)
+    require(clash.isEmpty,
+      s"$table already has column(s) ${clash.mkString(",")}")
+    val evolved = StructType(base.fields ++ fields.map(_.copy(nullable = true)))
+    commit(table, prev + 1, manifestFiles(table, prev), schema = Some(evolved))
   }
 
   /** COMPACTION commit: rewrite the latest version's rows as `n`
@@ -174,7 +278,8 @@ object Snapshots {
       cols: org.apache.spark.sql.Column*): Int = {
     val v = latestVersion(table) + 1
     val compacted = Compaction.compactToRange(read(spark, table), n, cols: _*)
-    commit(table, v, stageFiles(compacted, table, v))
+    commit(table, v, stageFiles(compacted, table, v),
+      schema = Some(compacted.schema))
   }
 
   /** Z-ORDER compaction commit: the latest version's rows rewritten
@@ -187,8 +292,8 @@ object Snapshots {
   def compactZ(spark: SparkSession, table: String, n: Int,
       a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): Int = {
     val v = latestVersion(table) + 1
-    commit(table, v, stageFiles(ZOrder.compactToZ(read(spark, table), n, a, b),
-      table, v))
+    val z = ZOrder.compactToZ(read(spark, table), n, a, b)
+    commit(table, v, stageFiles(z, table, v), schema = Some(z.schema))
   }
 
   private def baseName(fileUri: String): String =
@@ -223,11 +328,26 @@ object Snapshots {
         .collect().map(r => baseName(r.getString(0))).toSet
     if (touched.isEmpty) return prev
     val keep = prevNames.filterNot(touched)
-    val touchedPaths = prevNames.filter(touched)
-      .map(n => Paths.get(table, "data", n).toString)
-    val survivors = spark.read.parquet(touchedPaths: _*).filter(not(pred))
+    val survivors = readFiles(spark, table, prev,
+      prevNames.filter(touched)).filter(not(pred))
     val v = prev + 1
-    commit(table, v, keep ++ stageFiles(survivors, table, v))
+    commit(table, v, keep ++ stageFiles(survivors, table, v),
+      schema = tableSchema(table, prev))
+  }
+
+  /** Read a subset of a version's files UNDER THAT VERSION'S SCHEMA —
+    * the rewrite paths (delete/merge) must see evolved columns even in
+    * pre-evolution files (null-filled), or a predicate/projection on an
+    * evolved column would fail against exactly the files it needs to
+    * rewrite.
+    */
+  private def readFiles(spark: SparkSession, table: String, v: Int,
+      names: Seq[String]): DataFrame = {
+    val paths = names.map(n => Paths.get(table, "data", n).toString)
+    tableSchema(table, v) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** MERGE commit (upsert-as-commit, last-writer-wins on `key`): rows of
@@ -272,16 +392,16 @@ object Snapshots {
         .select("_graft_file").distinct()
         .collect().map(r => baseName(r.getString(0))).toSet
     val keep = prevNames.filterNot(touched)
-    val touchedPaths = prevNames.filter(touched)
-      .map(n => Paths.get(table, "data", n).toString)
+    val touchedNames = prevNames.filter(touched)
     val newData =
-      if (touchedPaths.isEmpty) aligned
-      else spark.read.parquet(touchedPaths: _*)
+      if (touchedNames.isEmpty) aligned
+      else readFiles(spark, table, prev, touchedNames)
         .join(keys, Seq(key), "left_anti")
         .select(cur.columns.map(col).toIndexedSeq: _*)
         .unionByName(aligned)
     val v = prev + 1
-    commit(table, v, keep ++ stageFiles(newData, table, v))
+    commit(table, v, keep ++ stageFiles(newData, table, v),
+      schema = tableSchema(table, prev))
   }
 
   /** Read a committed version (default: latest). Only manifest-listed
@@ -299,9 +419,7 @@ object Snapshots {
     // like expired ones, or a reader silently sees uncommitted data.
     require(v <= latest,
       s"version $v of $table is not committed (latest is $latest)")
-    val paths = manifestFiles(table, v)
-      .map(n => Paths.get(table, "data", n).toString)
-    spark.read.parquet(paths: _*)
+    readFiles(spark, table, v, manifestFiles(table, v))
   }
 
   /** VACUUM — the lifecycle step correctness deliberately leaves out of
@@ -337,6 +455,16 @@ object Snapshots {
       val v = m.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt
       if (v < keepFrom) Files.delete(m)
     } finally ml.close()
+    // Schema metadata expires with its manifest: an expired version must
+    // fail at resolution, not resolve to files read under a ghost schema.
+    val schemaDir = Paths.get(table, "_schemas")
+    if (Files.isDirectory(schemaDir)) {
+      val sl = Files.list(schemaDir)
+      try sl.iterator().asScala.toSeq.foreach { m =>
+        val v = m.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt
+        if (v < keepFrom) Files.delete(m)
+      } finally sl.close()
+    }
     // 2. delete unreferenced data files and crashed-stage leftovers.
     val dataDir = Paths.get(table, "data")
     val dl = Files.list(dataDir)

@@ -338,4 +338,114 @@ class SnapshotsSpec extends AnyFunSuite {
       assert(Snapshots.latestVersion(table2) == 2)
     } finally q.stop()
   }
+
+  test("ADD COLUMN is metadata-only; old files null-fill; time travel " +
+      "reads the old schema") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    val table = Files.createTempDirectory("graft_snap_evo").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Snapshots.publish(docs, table)
+
+    def dataFiles() = {
+      val l = Files.list(Paths.get(table, "data"))
+      try { val s = new java.util.ArrayList[String]()
+        l.forEach(p => { s.add(p.getFileName.toString); () }); s }
+      finally l.close()
+    }
+    val filesBefore = dataFiles()
+
+    // Metadata-only: v2 exists, NOT ONE data file was written or moved.
+    val v2 = Snapshots.addColumns(spark, table,
+      StructField("quality", DoubleType), StructField("tokens", LongType))
+    assert(v2 == 2)
+    assert(dataFiles() == filesBefore, "ADD COLUMN touched data files")
+
+    // The evolved column exists, null-filled, in every pre-evolution row.
+    val latest = Snapshots.read(spark, table)
+    assert(latest.schema.fieldNames.toSeq ==
+      Seq("doc_id", "lang", "n_chars", "quality", "tokens"))
+    assert(latest.filter(col("quality").isNotNull).count() == 0)
+    assert(latest.count() == docs.count())
+
+    // Time travel to v1 reads the PRE-evolution schema.
+    assert(Snapshots.read(spark, table, Some(1)).schema.fieldNames.toSeq ==
+      Seq("doc_id", "lang", "n_chars"))
+
+    // A colliding ADD fails loudly.
+    intercept[IllegalArgumentException] {
+      Snapshots.addColumns(spark, table, StructField("lang", DoubleType))
+    }
+  }
+
+  test("appends and merges after evolution carry values; compat gate " +
+      "rejects drift") {
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    val table = Files.createTempDirectory("graft_snap_evo2").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Snapshots.publish(docs.filter(col("doc_id") < 100), table)
+    Snapshots.addColumns(spark, table, StructField("quality", DoubleType))
+
+    // Appending the OLD shape now fails: the frame misses a table column.
+    intercept[IllegalArgumentException] {
+      Snapshots.append(docs.filter(col("doc_id") >= 100), table)
+    }
+    // Appending with a NEW column fails without mergeSchema=true ...
+    val extra = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      .withColumn("quality", lit(0.5))
+      .withColumn("extra_col", lit(1L))
+    intercept[IllegalArgumentException] { Snapshots.append(extra, table) }
+    // ... and evolves the schema with it.
+    Snapshots.append(extra, table, mergeSchema = true)
+    val afterMerge = Snapshots.read(spark, table)
+    assert(afterMerge.schema.fieldNames.contains("extra_col"))
+    assert(afterMerge.filter(col("extra_col").isNotNull).count() == 20)
+    // Type drift on an existing column always fails.
+    val drift = extra.withColumn("quality", lit(1))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("quality"), col("extra_col"))
+    intercept[IllegalArgumentException] { Snapshots.append(drift, table) }
+
+    // MERGE backfills the evolved column in pre-evolution files: the
+    // rewrite path must read old files UNDER the evolved schema.
+    val backfill = Snapshots.read(spark, table)
+      .filter(col("doc_id") < 10)
+      .withColumn("quality", lit(0.9))
+    Snapshots.merge(spark, table, backfill, "doc_id")
+    val got = Snapshots.read(spark, table)
+    assert(got.filter(col("doc_id") < 10 && col("quality") =!= 0.9)
+      .count() == 0)
+    assert(got.filter(col("doc_id") >= 10 && col("doc_id") < 100)
+      .filter(col("quality").isNotNull).count() == 0,
+      "merge invented values outside the backfill slice")
+    // ... and deleteWhere on the evolved column prunes correctly even
+    // though most files predate it.
+    Snapshots.deleteWhere(spark, table, col("quality") === 0.5)
+    assert(Snapshots.read(spark, table)
+      .filter(col("quality") === 0.5).count() == 0)
+  }
+
+  test("vacuum expires schema metadata with its manifest") {
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    val table = Files.createTempDirectory("graft_snap_evo3").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    Snapshots.publish(docs.filter(col("doc_id") < 50), table)   // v1
+    Snapshots.addColumns(spark, table, StructField("q", DoubleType)) // v2
+    Snapshots.publish(docs.filter(col("doc_id") < 20)
+      .withColumn("q", lit(1.0)), table)                        // v3
+    Snapshots.publish(docs.filter(col("doc_id") < 10)
+      .withColumn("q", lit(2.0)), table)                        // v4
+    Snapshots.vacuum(table, retainLast = 2)
+    // Retained versions read under their schemas; expired fail loudly.
+    assert(Snapshots.read(spark, table, Some(3)).count() == 20)
+    assert(Snapshots.read(spark, table, Some(4)).count() == 10)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, table, Some(2))
+    }
+    assert(Snapshots.tableSchema(table, 2).isEmpty,
+      "expired version's schema metadata survived the vacuum")
+    assert(Snapshots.tableSchema(table, 4).nonEmpty)
+  }
 }
