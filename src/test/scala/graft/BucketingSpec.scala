@@ -1,69 +1,88 @@
 package graft
 
-import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Bucketing — the co-located-join contract at 100 TB: writing both join
-  * sides bucketed by the join key lets the sort-merge join read
-  * bucket-aligned files with NO shuffle exchange at query time. A fact
-  * table joined every day against another fact pays the shuffle once at
-  * write time instead of per query. This spec proves the engine's tables
-  * round-trip through bucketed storage and that the bucketed join plan is
-  * exchange-free where the unbucketed one shuffles both sides.
+import graft.sources.Bucketing
+
+/** The bucketed-layout contract: a same-bucket-count equi join needs NO
+  * shuffle exchange on either side (the write pre-paid it), while the
+  * identical join over plain parquet exchanges both sides — and both
+  * produce the same rows. Auto-broadcast is disabled inside these legs:
+  * at test SF the dimension side would broadcast and the claim under
+  * test (exchange elimination on a SHUFFLE join) would be vacuous.
   */
 class BucketingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = "/root/testdata/sf0.01"
 
-  test("bucketed-by-key tables join without a shuffle exchange") {
-    val loc = java.nio.file.Files.createTempDirectory("graft-bucket").toString
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '$loc'")
-    try {
-      val orders = graft.queries.Tables.t(spark, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val lineitem = graft.queries.Tables.t(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"))
-      orders.write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("bucketdb.orders_b")
-      lineitem.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("bucketdb.lineitem_b")
+  private def withNoBroadcast[A](f: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try f finally spark.conf.set(key, prev)
+  }
 
-      val joined = spark.table("bucketdb.orders_b")
-        .join(spark.table("bucketdb.lineitem_b"),
-          col("o_orderkey") === col("l_orderkey"))
-      val rows = joined.count()
-      assert(rows == orders.join(lineitem,
-        col("o_orderkey") === col("l_orderkey")).count())
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
 
-      // The bucketed plan must be exchange-free (bucket-aligned SMJ);
-      // disable auto-broadcast so the small test tables don't sidestep
-      // the comparison, and AQE so the pre-execution plan is inspectable.
-      val broadcastKey = "spark.sql.autoBroadcastJoinThreshold"
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val prevB = spark.conf.get(broadcastKey)
-      val prevA = spark.conf.get(aqeKey)
-      spark.conf.set(broadcastKey, "-1")
-      spark.conf.set(aqeKey, "false")
-      try {
-        val bucketedPlan = spark.table("bucketdb.orders_b")
-          .join(spark.table("bucketdb.lineitem_b"),
-            col("o_orderkey") === col("l_orderkey"))
-          .queryExecution.executedPlan.toString
-        assert(!bucketedPlan.contains("Exchange"),
-          s"bucketed join still shuffles:\n$bucketedPlan")
-        val unbucketedPlan = orders
-          .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-          .queryExecution.executedPlan.toString
-        assert(unbucketedPlan.contains("Exchange"),
-          "control: the unbucketed join should shuffle")
-      } finally {
-        spark.conf.set(broadcastKey, prevB)
-        spark.conf.set(aqeKey, prevA)
-      }
-    } finally {
-      spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+  test("bucketed equi join plans with zero shuffles; plain parquet " +
+      "shuffles both sides; results identical") {
+    val tmp = Files.createTempDirectory("graft_bucket_spec").toString
+    val tag = tmp.substring(tmp.lastIndexOf('/') + 1)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Bucketing.writeBucketed(li, s"li_$tag", s"$tmp/li", 8, "l_orderkey")
+    Bucketing.writeBucketed(ord, s"ord_$tag", s"$tmp/ord", 8, "o_orderkey")
+
+    withNoBroadcast {
+      val bucketed = spark.table(s"li_$tag")
+        .join(spark.table(s"ord_$tag"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+
+      // The load-bearing claim AND its control: same join, same SF, same
+      // session — the only difference is the layout.
+      assert(shuffles(bucketed) == 0,
+        "bucketed join still shuffles:\n" +
+          bucketed.queryExecution.executedPlan)
+      assert(shuffles(plain) == 2,
+        "control is broken — the plain join should exchange both sides")
+
+      // Row-identical: bucket routing reuses the shuffle's hash, so a
+      // disagreement here means rows landed in (or joined across) the
+      // wrong bucket.
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getDouble(1), r.getString(3))
+      assert(bucketed.collect().map(key).sorted.toSeq ==
+        plain.collect().map(key).sorted.toSeq)
+    }
+  }
+
+  test("a bucket-count mismatch falls back to shuffling one side only") {
+    val tmp = Files.createTempDirectory("graft_bucket_mis").toString
+    val tag = tmp.substring(tmp.lastIndexOf('/') + 1)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Bucketing.writeBucketed(li, s"li_$tag", s"$tmp/li", 8, "l_orderkey")
+    Bucketing.writeBucketed(ord, s"ord_$tag", s"$tmp/ord", 4, "o_orderkey")
+    withNoBroadcast {
+      val joined = spark.table(s"li_$tag")
+        .join(spark.table(s"ord_$tag"),
+          col("l_orderkey") === col("o_orderkey"))
+      // Spark repartitions the coarser side into the finer bucket count
+      // (or shuffles one side) — never both: the 8-bucket layout still
+      // pays for itself.
+      assert(shuffles(joined) == 1,
+        "mismatched bucket counts should shuffle exactly one side:\n" +
+          joined.queryExecution.executedPlan)
     }
   }
 }
