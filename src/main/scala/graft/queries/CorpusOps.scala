@@ -837,6 +837,96 @@ object CorpusOps {
           Det.r2e(col("sum_value")).as("sum_value"))
     })
 
+  val changeFeed = Q(
+    "src_change_feed",
+    "CHANGE DATA FEED over the snapshot table — the reader-side dual of " +
+      "incremental view maintenance: a downstream consumer asks 'what " +
+      "changed since version N?' and gets the exact insert/delete rows, " +
+      "derived from NOTHING but the committed manifests — no commit-time " +
+      "change log, because immutable files + per-version manifests make " +
+      "the change set recomputable: per version step, rows of added " +
+      "files are candidate inserts, rows of removed files candidate " +
+      "deletes, and the bag-difference (exceptAll) cancels every row a " +
+      "copy-on-write rewrite merely CARRIED into a new file. The table " +
+      "here lives three commits: documents published (v1), a GDPR-style " +
+      "range DELETE (v2, one file rewritten), and a CDC MERGE (v3: 10 " +
+      "updates + 5 inserts — each update surfacing as its delete+insert " +
+      "pair, the file-granularity CoW truth). Cost per step is O(files " +
+      "the commit touched), never O(table) — the same bound the writers " +
+      "guarantee — so at 100 TB a day's feed costs what the day's " +
+      "commits cost, while the alternative (diff two full snapshots) " +
+      "scans the table twice. The oracle replays the expected change " +
+      "set in pure SQL: a carried row that failed to cancel, a lost " +
+      "delete, a step attributed to the wrong version, or an update " +
+      "that surfaced one-sided all break the hash.",
+    Some("""
+      WITH base AS (SELECT doc_id, n_chars FROM documents),
+           upd AS (SELECT doc_id, n_chars FROM base
+                   WHERE doc_id BETWEEN 50 AND 59)
+      SELECT doc_id, n_chars, 'delete' AS change_type,
+             2::BIGINT AS commit_version
+      FROM base WHERE doc_id < 50
+      UNION ALL SELECT doc_id, n_chars, 'delete', 3::BIGINT FROM upd
+      UNION ALL SELECT doc_id, n_chars + 1000, 'insert', 3::BIGINT FROM upd
+      UNION ALL SELECT doc_id + 1000000, n_chars, 'insert', 3::BIGINT
+      FROM base WHERE doc_id < 5""".stripMargin),
+    (spark, dir) => {
+      import graft.sources.Snapshots
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_cdf_q").toString
+      val base = t(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      Snapshots.publish(base.repartitionByRange(4, col("doc_id")), table)
+      Snapshots.deleteWhere(spark, table, col("doc_id") < 50)
+      val upd = base.filter(col("doc_id").between(50, 59))
+        .select(col("doc_id"), (col("n_chars") + 1000L).as("n_chars"))
+      val ins = base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars"))
+      Snapshots.merge(spark, table, upd.unionByName(ins), "doc_id")
+      Snapshots.changesBetween(spark, table, 1)
+        .select(col("doc_id"), col("n_chars"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+    })
+
+  val statsPrunedScan = Q(
+    "src_stats_pruned_scan",
+    "MANIFEST-STATS FILE SKIPPING — the metadata-only scan planning " +
+      "every production table format lives on: each commit records " +
+      "per-file numeric min/max lifted from the parquet footers the " +
+      "writer already produced (O(new files) per commit, carried files " +
+      "inherit their immutable entries), and a range read consults ONE " +
+      "small stats file to skip every file whose [min,max] provably " +
+      "cannot intersect the predicate — BEFORE Spark lists or opens " +
+      "them. Here documents is published range-clustered on doc_id " +
+      "(8 files), and the query reads doc_id IN [10, 299] through " +
+      "Snapshots.readRange: the pruned scan opens only the overlapping " +
+      "files (SnapshotsStatsSpec pins the strict-subset law, the " +
+      "conservative keep-when-stat-less rule, and row-equality with the " +
+      "full-scan filter). At 100 TB this is the difference between a " +
+      "range query that reads N footers to plan and one that reads a " +
+      "manifest: clustered + stats = O(matching files), which is why " +
+      "compact/compactZ layout commits and stats pruning are one " +
+      "feature, not two. The oracle applies the same predicate to the " +
+      "raw table: a file skipped wrongly (row loss) or a bound read " +
+      "inclusively/exclusively wrong shows up as drift.",
+    Some("""
+      SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      FROM documents WHERE doc_id BETWEEN 10 AND 299
+      GROUP BY lang""".stripMargin),
+    (spark, dir) => {
+      import graft.sources.Snapshots
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_stats_q").toString
+      val base = t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.publish(base.repartitionByRange(8, col("doc_id")), table)
+      Snapshots.readRange(spark, table, "doc_id", 10, 299)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    })
+
   val urlFilter = Q(
     "src_url_filter",
     "URL/DOMAIN FILTERING — the provenance gate every published web " +
@@ -1171,5 +1261,6 @@ object CorpusOps {
   val all: Seq[Q] = Seq(repetition, spanDedup, decontaminate, cdcDedup,
     bloomIncremental, upsert, cmsTopk, warcIngest, urlFilter,
     webdatasetIngest, zipIngest, dsirSelect, zorderLayout, novelty,
-    snapshotMerge, schemaEvolution, bucketedJoin, incrementalAgg)
+    snapshotMerge, schemaEvolution, bucketedJoin, incrementalAgg,
+    changeFeed, statsPrunedScan)
 }

@@ -4,8 +4,8 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 /** Manifest-committed snapshot table — the transactional-publish primitive
   * under every lakehouse table format: a reader must see either the table
@@ -108,6 +108,79 @@ object Snapshots {
       .filter(_.nonEmpty).toSeq
   }
 
+  /** Per-file column min/max recorded at commit time (`_stats/v<N>.tsv`,
+    * one `file col tag min max` line per numeric top-level column; tag
+    * `L` = integral, `D` = floating). The stats come from the parquet
+    * FOOTERS the writer already produced — no data pass — and a file's
+    * entry is computed ONCE: carried-over files inherit their entry from
+    * the previous version's stats (files are immutable, so their stats
+    * are too), so a commit's stats cost is O(new files), matching the
+    * O(new data) commit contract. This is the Iceberg/Delta manifest-
+    * stats idea: at 100 TB a reader must be able to PLAN a range query
+    * from metadata alone — [[pruneFiles]]/[[readRange]] skip files whose
+    * [min,max] cannot intersect the predicate without opening them,
+    * turning a clustered table's point/range read into an O(matching
+    * files) operation instead of an O(table) footer crawl.
+    */
+  private def statsPath(table: String, v: Int): Path =
+    Paths.get(table, "_stats", f"v$v%05d.tsv")
+
+  /** Parsed stats of version `v`: file -> column -> (tag, min, max).
+    * Absent file (legacy/pre-stats version) reads as empty — every
+    * consumer treats missing stats as "cannot prune" (conservative).
+    */
+  def statsFor(table: String, v: Int): Map[String, Map[String, (String, String, String)]] = {
+    val p = statsPath(table, v)
+    if (v < 1 || !Files.exists(p)) return Map.empty
+    Files.readString(p).split("\n").filter(_.nonEmpty).toSeq
+      .map(_.split("\t", -1))
+      .groupBy(_(0))
+      .map { case (file, rows) =>
+        file -> rows.filter(_(1) != "-")
+          .map(r => r(1) -> ((r(2), r(3), r(4)))).toMap
+      }
+  }
+
+  /** Footer-read min/max for one data file's numeric top-level columns.
+    * Row-group stats combine per column; a column whose every chunk is
+    * null-only (or non-numeric) gets no entry and is never pruned on.
+    * NULL rows can't satisfy a range predicate, so min/max over non-null
+    * values alone is a sound pruning bound.
+    */
+  private def footerStats(p: Path): Map[String, (String, String, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val perChunk = reader.getFooter.getBlocks.asScala.flatMap { b =>
+        b.getColumns.asScala.flatMap { c =>
+          val s = c.getStatistics
+          if (c.getPath.size != 1 || s == null || !s.hasNonNullValue) None
+          else c.getPrimitiveType.getPrimitiveTypeName match {
+            case INT64 | INT32 =>
+              Some((c.getPath.toDotString,
+                ("L", s.genericGetMin.toString, s.genericGetMax.toString)))
+            case DOUBLE | FLOAT =>
+              Some((c.getPath.toDotString,
+                ("D", s.genericGetMin.toString, s.genericGetMax.toString)))
+            case _ => None
+          }
+        }
+      }
+      perChunk.groupBy(_._1).map { case (col, chunks) =>
+        val tag = chunks.head._2._1
+        def num(x: String) = BigDecimal(x)
+        col -> ((tag,
+          chunks.map(c => num(c._2._2)).min.bigDecimal.toPlainString,
+          chunks.map(c => num(c._2._3)).max.bigDecimal.toPlainString))
+      }.toMap
+    } finally reader.close()
+  }
+
   private def commit(table: String, v: Int, names: Seq[String],
       batchId: Long = -1L, schema: Option[StructType] = None): Int = {
     // Schema (when tracked) is version metadata like the manifest: both
@@ -116,6 +189,20 @@ object Snapshots {
       Files.writeString(dirOf(table, "_schemas").resolve(f"v$v%05d.json"),
         s.json)
     }
+    // File stats: inherit carried files' entries, footer-read only the
+    // new ones (a `-` marker remembers a genuinely stat-less file so it
+    // is never re-read). Metadata like the schema: debris until the flip.
+    val prevStats = statsFor(table, v - 1)
+    val statLines = names.flatMap { n =>
+      val cols = prevStats.getOrElse(n,
+        footerStats(Paths.get(table, "data", n)))
+      if (cols.isEmpty) Seq(s"$n\t-\t-\t-\t-")
+      else cols.toSeq.sortBy(_._1).map { case (c, (tag, mn, mx)) =>
+        s"$n\t$c\t$tag\t$mn\t$mx"
+      }
+    }
+    Files.writeString(dirOf(table, "_stats").resolve(f"v$v%05d.tsv"),
+      statLines.mkString("\n"))
     val manifest = dirOf(table, "_manifests").resolve(f"v$v%05d.json")
     Files.writeString(manifest,
       names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
@@ -404,6 +491,109 @@ object Snapshots {
       schema = tableSchema(table, prev))
   }
 
+  /** Partition version `v`'s files into (kept, skipped) for a range
+    * predicate `column BETWEEN lo AND hi`, using only the committed
+    * per-file stats — no file is opened. A file is skipped ONLY when its
+    * recorded [min,max] provably cannot intersect [lo,hi]; files with no
+    * stats for `column` (legacy versions, non-numeric or all-null
+    * columns) are conservatively kept. On a [[compact]]/[[compactZ]]-
+    * clustered table this is the metadata-only file skipping that makes
+    * a 100 TB range read O(matching files): the driver reads one small
+    * TSV, not N footers.
+    */
+  def pruneFiles(table: String, column: String, lo: Long, hi: Long,
+      version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    val v = version.getOrElse(latestVersion(table))
+    val stats = statsFor(table, v)
+    manifestFiles(table, v).partition { n =>
+      stats.get(n).flatMap(_.get(column)) match {
+        case Some(("L", mn, mx)) => !(mx.toLong < lo || mn.toLong > hi)
+        case Some((_, mn, mx)) => !(mx.toDouble < lo || mn.toDouble > hi)
+        case None => true // no stats: cannot prove non-overlap, keep
+      }
+    }
+  }
+
+  /** Range read with manifest-stats file skipping: scan only the files
+    * [[pruneFiles]] keeps, then apply `column BETWEEN lo AND hi` as the
+    * residual row filter (stats bound files, not rows). Semantically
+    * identical to `read(...).filter(between)` — SnapshotsStatsSpec pins
+    * the equality — but the plan's file list is pruned before Spark ever
+    * lists or opens a skipped file.
+    */
+  def readRange(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val latest = latestVersion(table)
+    val v = version.getOrElse(latest)
+    require(v >= 1 && v <= latest,
+      s"version $v of $table is not committed (latest is $latest)")
+    val (keep, _) = pruneFiles(table, column, lo, hi, Some(v))
+    if (keep.isEmpty) {
+      val sch = tableSchema(table, v).getOrElse(read(spark, table, Some(v)).schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    } else readFiles(spark, table, v, keep)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** CHANGE DATA FEED: the rows that changed AFTER `fromVersion`, up to
+    * and including `toVersion` (default latest), tagged `_change_type`
+    * ('insert' | 'delete' — an update is its delete+insert pair) and
+    * `_commit_version`. Because data files are immutable and every
+    * version is a manifest, the feed needs NO commit-time change log:
+    * per version step, rows of (manifest(v) \ manifest(v-1)) files are
+    * candidate inserts, rows of (manifest(v-1) \ manifest(v)) candidate
+    * deletes, and the bag-difference (`exceptAll`) cancels the rows a
+    * copy-on-write rewrite merely CARRIED into a new file — so a
+    * compaction (same rows, new files) correctly yields an EMPTY feed,
+    * and a metadata-only commit diffs as nothing without reading a byte.
+    * Cost per step is O(files the commit touched), never O(table) —
+    * exactly the bound the copy-on-write writers guarantee — and the
+    * diff is one hash-exchange over those rows (exceptAll), no window,
+    * no driver rows. Both sides of a step read under the LATER version's
+    * schema (schemas only widen), so an evolved-column backfill diffs as
+    * the value change it is. This is the reader-side dual of
+    * incremental view maintenance: a downstream aggregate consumes the
+    * feed instead of rescanning history (`pipeline_incremental_agg`
+    * holds the writer-side half).
+    */
+  def changesBetween(spark: SparkSession, table: String, fromVersion: Int,
+      toVersion: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val latest = latestVersion(table)
+    val to = toVersion.getOrElse(latest)
+    require(fromVersion >= 1 && fromVersion <= to && to <= latest,
+      s"change range ($fromVersion, $to] outside committed range [1, $latest]")
+    val steps = ((fromVersion + 1) to to).flatMap { v =>
+      val prevF = manifestFiles(table, v - 1).toSet
+      val curF = manifestFiles(table, v).toSet
+      val added = (curF -- prevF).toSeq.sorted
+      val removed = (prevF -- curF).toSeq.sorted
+      def tag(df: DataFrame, typ: String) =
+        df.withColumn("_change_type", lit(typ))
+          .withColumn("_commit_version", lit(v.toLong))
+      (added.nonEmpty, removed.nonEmpty) match {
+        case (false, false) => Seq.empty // metadata-only commit
+        case (true, false) =>
+          Seq(tag(readFiles(spark, table, v, added), "insert"))
+        case (false, true) =>
+          Seq(tag(readFiles(spark, table, v, removed), "delete"))
+        case _ =>
+          val a = readFiles(spark, table, v, added)
+          val r = readFiles(spark, table, v, removed)
+          Seq(tag(a.exceptAll(r), "insert"), tag(r.exceptAll(a), "delete"))
+      }
+    }
+    steps.reduceOption(_.unionByName(_)).getOrElse {
+      val base = tableSchema(table, to)
+        .getOrElse(read(spark, table, Some(to)).schema)
+      val sch = StructType(base.fields ++ Seq(
+        StructField("_change_type", StringType),
+        StructField("_commit_version", LongType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    }
+  }
+
   /** Read a committed version (default: latest). Only manifest-listed
     * files are loaded — orphaned data files are invisible by design.
     */
@@ -455,15 +645,19 @@ object Snapshots {
       val v = m.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt
       if (v < keepFrom) Files.delete(m)
     } finally ml.close()
-    // Schema metadata expires with its manifest: an expired version must
-    // fail at resolution, not resolve to files read under a ghost schema.
-    val schemaDir = Paths.get(table, "_schemas")
-    if (Files.isDirectory(schemaDir)) {
-      val sl = Files.list(schemaDir)
-      try sl.iterator().asScala.toSeq.foreach { m =>
-        val v = m.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt
-        if (v < keepFrom) Files.delete(m)
-      } finally sl.close()
+    // Schema and stats metadata expire with their manifest: an expired
+    // version must fail at resolution, not resolve to files read under a
+    // ghost schema or pruned by ghost stats.
+    for (sub <- Seq("_schemas", "_stats")) {
+      val mdDir = Paths.get(table, sub)
+      if (Files.isDirectory(mdDir)) {
+        val sl = Files.list(mdDir)
+        try sl.iterator().asScala.toSeq.foreach { m =>
+          val v = m.getFileName.toString.stripPrefix("v")
+            .stripSuffix(".json").stripSuffix(".tsv").toInt
+          if (v < keepFrom) Files.delete(m)
+        } finally sl.close()
+      }
     }
     // 2. delete unreferenced data files and crashed-stage leftovers.
     val dataDir = Paths.get(table, "data")
