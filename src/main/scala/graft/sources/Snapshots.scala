@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
@@ -14,34 +14,57 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, 
   *
   * Mechanics (the Delta/Iceberg idea reduced to its load-bearing core):
   * data files are immutable and carry no meaning by themselves — a file
-  * EXISTS in the table only if a committed manifest lists it. A publish
+  * EXISTS in the table only if a committed manifest lists it. A commit
   *  1. stages the DataFrame's parquet files into `data/` under
-  *     version-prefixed names (crash here leaves ORPHANS — garbage, not
-  *     corruption: no manifest references them, so readers never see them),
-  *  2. writes the manifest `_manifests/v<N>.json` listing exactly its
-  *     files (crash here: manifest absent or half-written and unreferenced
-  *     by `_latest` — still invisible),
-  *  3. flips the `_latest` pointer by ATOMIC RENAME — the single commit
-  *     point; before it readers resolve v(N-1), after it v(N).
+  *     version-AND-ATTEMPT-prefixed immutable names (crash here leaves
+  *     ORPHANS — garbage, not corruption: no manifest references them, so
+  *     readers never see them; attempt-unique names mean two racing
+  *     writers can never clobber each other's staged files),
+  *  2. writes the COMPLETE commit record — file list, streaming batch
+  *     watermark, table schema — to a temp file,
+  *  3. publishes it by ATOMIC CREATE-IF-ABSENT of `_manifests/v<N>.json`
+  *     (a hard link to the fully-written temp: POSIX link(2) fails with
+  *     EEXIST atomically, the local-FS form of an object-store
+  *     compare-and-swap). The manifest's appearance IS the commit: a
+  *     version exists iff its manifest does, so there is no pointer to
+  *     flip and no crash window between "data committed" and "commit
+  *     recorded".
   *
-  * SCHEMA EVOLUTION (round 8): every commit records its TABLE SCHEMA as
-  * version metadata (`_schemas/v<N>.json`, published by the same pointer
-  * flip). [[addColumns]] is a METADATA-ONLY commit — same files, wider
-  * schema, O(1) at any table size — and [[read]] applies the version's
-  * declared schema so pre-evolution files null-fill the new columns at
-  * scan time, with no 100 TB footer-merge (`mergeSchema`) pass and no
-  * rewrite. [[append]] gates on schema compatibility (new columns only
-  * under `mergeSchema = true`; type drift always fails); time travel to
-  * a pre-evolution version reads the old schema. Renames/drops are out
-  * of scope, honestly: name-based column resolution cannot express them
-  * — that is precisely what Iceberg-style column IDs buy.
+  * MULTI-WRITER optimistic concurrency (round 8): the create-if-absent
+  * commit gives versions a total order, and losing the race is DETECTED,
+  * not silent. Conflict resolution is per-operation, the Delta taxonomy:
+  *  - [[publish]] (blind overwrite) and [[append]]/[[appendBatch]] (blind
+  *    add) auto-RETRY against the new latest — an append rebases its
+  *    manifest on the winner's file list (staged files are reusable:
+  *    immutable, attempt-unique) and re-runs the schema gate and batch
+  *    watermark check each attempt;
+  *  - read-modify-write commits ([[deleteWhere]], [[merge]], [[compact]],
+  *    [[compactZ]], [[addColumns]]) throw ConcurrentModificationException
+  *    on a lost race — their staged content was derived from a version
+  *    that is no longer latest (serializable semantics; the caller re-runs
+  *    the whole operation against the new base).
   *
-  * Scope, stated honestly: single-writer, POSIX-rename atomicity — the
-  * local-FS/HDFS form. Object stores without atomic rename replace step 3
-  * with a compare-and-swap on a log entry (the actual difference between
-  * this sketch and a production table format); the READER contract —
-  * manifest-listed files only, orphans invisible, versions immutable — is
-  * identical and is what SnapshotsSpec certifies.
+  * SCHEMA EVOLUTION: every commit records its TABLE SCHEMA inside the
+  * manifest (atomic with the commit). [[addColumns]] is a METADATA-ONLY
+  * commit — same files, wider schema, O(1) at any table size — and
+  * [[read]] applies the version's declared schema so pre-evolution files
+  * null-fill the new columns at scan time, with no 100 TB footer-merge
+  * (`mergeSchema`) pass and no rewrite. [[append]] gates on schema
+  * compatibility (new columns only under `mergeSchema = true`; type drift
+  * always fails); time travel to a pre-evolution version reads the old
+  * schema. Renames/drops are out of scope, honestly: name-based column
+  * resolution cannot express them — that is precisely what Iceberg-style
+  * column IDs buy.
+  *
+  * Scope, stated honestly: multi-writer on any filesystem with atomic
+  * create-if-absent (POSIX link/O_EXCL, HDFS create). Object stores
+  * without it implement the same CAS against a log/catalog entry (the
+  * actual difference between this sketch and a production format); the
+  * READER contract — manifest-listed files only, orphans invisible,
+  * versions immutable — is identical and is what SnapshotsSpec certifies.
+  * VACUUM remains a single-maintenance-process operation (it deletes;
+  * racing two vacuums is out of scope, racing vacuum with READERS is in:
+  * expired manifests go first so readers fail loudly, never partially).
   */
 object Snapshots {
 
@@ -51,62 +74,139 @@ object Snapshots {
     p
   }
 
-  /** Highest committed version per `_latest`, or 0 if never published.
-    * The pointer file carries "version [batchId]" — one atomic rename
-    * commits BOTH, which is what makes the streaming append exactly-once
-    * (a separate batch-tracking file would open a crash window between
-    * the data commit and the batch record).
+  private def manifestPath(table: String, v: Int): Path =
+    Paths.get(table, "_manifests", f"v$v%05d.json")
+
+  private val ManifestName = "v(\\d{5})\\.json".r
+
+  /** Highest committed version, or 0 if never published. A version is
+    * committed iff its manifest exists (manifests appear only by atomic
+    * create-if-absent of a complete record, so existence is commitment —
+    * there is no pointer that could lag or wedge). One directory listing,
+    * metadata-scale.
     */
   def latestVersion(table: String): Int = {
-    val ptr = Paths.get(table, "_latest")
-    if (Files.exists(ptr)) Files.readString(ptr).trim.split("\\s+")(0).toInt
-    else 0
+    val dir = Paths.get(table, "_manifests")
+    if (!Files.isDirectory(dir)) return 0
+    val l = Files.list(dir)
+    try l.iterator().asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case ManifestName(d) => Some(d.toInt)
+        case _ => None // .tmp-* staging debris is not a commit
+      }
+    }.foldLeft(0)(math.max)
+    finally l.close()
   }
 
-  /** Highest streaming batchId committed into `table`, or -1. */
+  /** One committed version's full record: the streaming batch watermark,
+    * the exact file list, the CHECK constraints, and the table schema —
+    * all published by the single atomic create, so none can be observed
+    * without the others.
+    */
+  private case class Manifest(batch: Long, files: Seq[String],
+      constraints: Seq[(String, String)], schema: Option[StructType])
+
+  /** Wire format (written single-line, parsed positionally — `batch` is a
+    * number, file names are [g0-9a-f.-]+, and constraints are base64 (a
+    * CHECK expression is free-form SQL that could contain any
+    * delimiter), so the first ',' and the first two '['/']' pairs are
+    * unambiguous; the free-form schema JSON comes LAST):
+    * `{"batch":N,"files":["..."],"checks":["<b64>"],"schema":{...}|null}`
+    */
+  private def renderManifest(m: Manifest): String = {
+    val files = m.files.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val b64 = java.util.Base64.getEncoder
+    val checks = m.constraints.map { case (name, e) =>
+      "\"" + b64.encodeToString(s"$name\t$e".getBytes("UTF-8")) + "\""
+    }.mkString("[", ",", "]")
+    val schema = m.schema.map(_.json).getOrElse("null")
+    s"""{"batch":${m.batch},"files":$files,"checks":$checks,"schema":$schema}"""
+  }
+
+  private def readManifest(table: String, v: Int): Manifest = {
+    val p = manifestPath(table, v)
+    require(Files.exists(p),
+      s"version $v of $table is not committed (never written, or vacuumed)")
+    val s = Files.readString(p)
+    val batch = s.substring(s.indexOf("\"batch\":") + 8, s.indexOf(',')).trim.toLong
+    def arr(from: Int): (Seq[String], Int) = {
+      val a = s.indexOf('[', from); val b = s.indexOf(']', a)
+      (s.substring(a + 1, b).split(",").map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSeq, b)
+    }
+    val (files, filesEnd) = arr(0)
+    val (checksRaw, _) =
+      if (s.contains("\"checks\":")) arr(filesEnd) else (Seq.empty, filesEnd)
+    val b64 = java.util.Base64.getDecoder
+    val constraints = checksRaw.map { c =>
+      val Array(name, e) = new String(b64.decode(c), "UTF-8").split("\t", 2)
+      (name, e)
+    }
+    val schemaJson = s.substring(s.indexOf("\"schema\":") + 9, s.length - 1)
+    val schema =
+      if (schemaJson == "null") None
+      else Some(DataType.fromJson(schemaJson).asInstanceOf[StructType])
+    Manifest(batch, files, constraints, schema)
+  }
+
+  /** The CHECK constraints committed with version `v` (name -> SQL
+    * expression), empty for uncommitted/vacuumed versions. Versioned
+    * like the schema: constraints added at v bind commits FROM v on.
+    */
+  def constraintsFor(table: String, v: Int): Seq[(String, String)] =
+    if (v < 1 || !Files.exists(manifestPath(table, v))) Seq.empty
+    else readManifest(table, v).constraints
+
+  /** Enforce `checks` on data about to be committed. SQL CHECK
+    * semantics: a row violates only when the expression evaluates FALSE
+    * — NULL passes (use an explicit `x IS NOT NULL` check for
+    * non-nullability). All constraints evaluate in ONE aggregation pass
+    * over the new data (never the table), and the pass is skipped
+    * entirely when no constraints exist, so the unconstrained commit
+    * path pays nothing.
+    */
+  private def enforce(df: DataFrame, checks: Seq[(String, String)],
+      table: String): Unit = {
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val counts = df.agg(
+      sum(lit(0L)).as("_z"), // anchor so agg() compiles for any arity
+      checks.map { case (name, e) =>
+        sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(name)
+      }: _*).collect()(0)
+    checks.zipWithIndex.foreach { case ((name, e), i) =>
+      val bad = if (counts.isNullAt(i + 1)) 0L else counts.getLong(i + 1)
+      require(bad == 0,
+        s"CHECK constraint '$name' ($e) violated by $bad incoming row(s) " +
+          s"for $table — commit refused, table unchanged")
+    }
+  }
+
+  /** Highest streaming batchId committed into `table`, or -1. Rides IN
+    * the manifest, so the data commit and the batch record are one atomic
+    * create — the exactly-once hinge of [[appendBatch]].
+    */
   def lastBatchId(table: String): Long = {
-    val ptr = Paths.get(table, "_latest")
-    if (!Files.exists(ptr)) return -1L
-    val parts = Files.readString(ptr).trim.split("\\s+")
-    if (parts.length > 1) parts(1).toLong else -1L
+    val latest = latestVersion(table)
+    if (latest < 1) -1L else readManifest(table, latest).batch
   }
 
-  /** Publish `df` as version latest+1 of `table` (a FULL-rewrite commit:
-    * the manifest lists only this version's files); returns the version.
+  /** The TABLE SCHEMA committed with version `v`, if one was recorded
+    * (None for vacuumed/never-committed versions and schema-less legacy
+    * commits). Schema-in-manifest is what makes evolution work at scale:
+    * the reader applies ONE declared schema (absent columns in older
+    * files null-fill) instead of merging every file's footer — at 100 TB,
+    * parquet `mergeSchema` is a scan of every footer in the table just to
+    * start the query, and it cannot represent "this column exists but no
+    * file has it yet" (a metadata-only ADD COLUMN).
     */
-  def publish(df: DataFrame, table: String): Int = {
-    val v = latestVersion(table) + 1
-    commit(table, v, stageFiles(df, table, v), schema = Some(df.schema))
-  }
-
-  private def schemaPath(table: String, v: Int): Path =
-    Paths.get(table, "_schemas", f"v$v%05d.json")
-
-  /** The TABLE SCHEMA committed with version `v`, if one was recorded.
-    * Schema-in-metadata is what makes evolution work at scale: the
-    * reader applies ONE declared schema (absent columns in older files
-    * null-fill) instead of merging every file's footer — at 100 TB,
-    * parquet `mergeSchema` is a scan of every footer in the table just
-    * to start the query, and it cannot represent "this column exists
-    * but no file has it yet" (a metadata-only ADD COLUMN). Tables
-    * published before schema tracking read schema-on-file (None).
-    */
-  def tableSchema(table: String, v: Int): Option[StructType] = {
-    val p = schemaPath(table, v)
-    if (Files.exists(p))
-      Some(DataType.fromJson(Files.readString(p)).asInstanceOf[StructType])
-    else None
-  }
+  def tableSchema(table: String, v: Int): Option[StructType] =
+    if (!Files.exists(manifestPath(table, v))) None
+    else readManifest(table, v).schema
 
   /** Manifest file list of a committed version. */
-  private def manifestFiles(table: String, v: Int): Seq[String] = {
-    val manifest = Paths.get(table, "_manifests", f"v$v%05d.json")
-    require(Files.exists(manifest), s"version $v of $table was never committed")
-    Files.readString(manifest).trim
-      .stripPrefix("[").stripSuffix("]").split(",")
-      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
-  }
+  private def manifestFiles(table: String, v: Int): Seq[String] =
+    readManifest(table, v).files
 
   /** Per-file column min/max recorded at commit time (`_stats/v<N>.tsv`,
     * one `file col tag min max` line per numeric top-level column; tag
@@ -121,13 +221,18 @@ object Snapshots {
     * [min,max] cannot intersect the predicate without opening them,
     * turning a clustered table's point/range read into an O(matching
     * files) operation instead of an O(table) footer crawl.
+    *
+    * Stats are written AFTER the winning commit (a racing loser must
+    * never clobber the winner's stats file): a reader can observe a
+    * committed version whose stats are not yet — or, after a crash in
+    * that window, never — present, and every consumer treats missing
+    * stats as "cannot prune" (conservative, correct).
     */
   private def statsPath(table: String, v: Int): Path =
     Paths.get(table, "_stats", f"v$v%05d.tsv")
 
   /** Parsed stats of version `v`: file -> column -> (tag, min, max).
-    * Absent file (legacy/pre-stats version) reads as empty — every
-    * consumer treats missing stats as "cannot prune" (conservative).
+    * Absent file reads as empty — conservative everywhere.
     */
   def statsFor(table: String, v: Int): Map[String, Map[String, (String, String, String)]] = {
     val p = statsPath(table, v)
@@ -181,17 +286,7 @@ object Snapshots {
     } finally reader.close()
   }
 
-  private def commit(table: String, v: Int, names: Seq[String],
-      batchId: Long = -1L, schema: Option[StructType] = None): Int = {
-    // Schema (when tracked) is version metadata like the manifest: both
-    // are mere debris until the pointer flip below publishes them.
-    schema.foreach { s =>
-      Files.writeString(dirOf(table, "_schemas").resolve(f"v$v%05d.json"),
-        s.json)
-    }
-    // File stats: inherit carried files' entries, footer-read only the
-    // new ones (a `-` marker remembers a genuinely stat-less file so it
-    // is never re-read). Metadata like the schema: debris until the flip.
+  private def writeStats(table: String, v: Int, names: Seq[String]): Unit = {
     val prevStats = statsFor(table, v - 1)
     val statLines = names.flatMap { n =>
       val cols = prevStats.getOrElse(n,
@@ -203,41 +298,109 @@ object Snapshots {
     }
     Files.writeString(dirOf(table, "_stats").resolve(f"v$v%05d.tsv"),
       statLines.mkString("\n"))
-    val manifest = dirOf(table, "_manifests").resolve(f"v$v%05d.json")
-    Files.writeString(manifest,
-      names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
-    val tmp = Paths.get(table, s"_latest.tmp-$v")
-    // Carry forward the streaming batch watermark on non-streaming
-    // commits so an interleaved publish/compact can't reopen replayed
-    // batches.
+  }
+
+  private def attemptToken(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  /** ONE commit attempt at version `v`: write the complete record to a
+    * temp file, then atomically create-if-absent the manifest as a hard
+    * link to it. Returns true iff THIS attempt committed `v`; false means
+    * a concurrent writer owns `v` (the caller decides: rebase or abort).
+    * `batchId < 0` carries the previous watermark forward, resolved at
+    * attempt time so a rebase picks up the winner's watermark too.
+    */
+  private def tryCommit(table: String, v: Int, names: Seq[String],
+      batchId: Long, schema: Option[StructType],
+      constraints: Seq[(String, String)]): Boolean = {
     val bid = if (batchId >= 0) batchId else lastBatchId(table)
-    Files.writeString(tmp, s"$v $bid")
-    Files.move(tmp, Paths.get(table, "_latest"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val dir = dirOf(table, "_manifests")
+    val tmp = dir.resolve(s".tmp-${attemptToken()}")
+    Files.writeString(tmp, renderManifest(Manifest(bid, names, constraints, schema)))
+    try {
+      try { Files.createLink(manifestPath(table, v), tmp); }
+      catch { case _: FileAlreadyExistsException => return false }
+      // Winner's post-commit stats (losers returned above, never here).
+      writeStats(table, v, names)
+      true
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Commit for the read-modify-write operations: one shot at `v`; a
+    * lost race means the staged content was derived from a stale base —
+    * serializable failure, caller re-runs against the new latest.
+    */
+  private def commitOrConflict(table: String, v: Int, names: Seq[String],
+      schema: Option[StructType],
+      constraints: Seq[(String, String)]): Int = {
+    if (!tryCommit(table, v, names, -1L, schema, constraints))
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed concurrently; re-run this " +
+          "operation against the new latest version")
     v
+  }
+
+  private val MaxCasRetries = 50
+
+  /** Publish `df` as a new version of `table` (a FULL-rewrite commit: the
+    * manifest lists only this version's files); returns the version.
+    * A blind overwrite depends on no prior state, so a lost commit race
+    * safely RETRIES at the next version (last overwrite wins).
+    */
+  def publish(df: DataFrame, table: String): Int = {
+    var enforced: Option[Seq[(String, String)]] = None
+    var names: Seq[String] = null
+    var tries = 0
+    while (tries < MaxCasRetries) {
+      val prev = latestVersion(table)
+      // Constraints persist across overwrites (table properties, not
+      // data); enforce on the incoming frame — re-checked only if a
+      // concurrent commit changed the constraint set between attempts.
+      val cons = constraintsFor(table, prev)
+      if (!enforced.contains(cons)) { enforce(df, cons, table); enforced = Some(cons) }
+      if (names == null) names = stageFiles(df, table)
+      if (tryCommit(table, prev + 1, names, -1L, Some(df.schema), cons))
+        return prev + 1
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"publish to $table lost $MaxCasRetries commit races")
   }
 
   /** EXACTLY-ONCE streaming append — the transactional-sink recipe for
     * `writeStream.foreachBatch`: Structured Streaming re-runs a batch
     * after a failure, so the sink must make `(batchId, data) -> commit`
-    * idempotent. The committed batchId rides IN the `_latest` pointer, so
-    * the data commit and the batch record are ONE atomic rename — a
-    * replayed batch (batchId <= the committed watermark) is a no-op, and
-    * there is no crash window where data committed but the batch record
-    * didn't (the flaw of tracking batches in a second file). Returns
-    * true iff this call committed.
+    * idempotent. The committed batchId rides IN the manifest, so the data
+    * commit and the batch record are ONE atomic create — a replayed batch
+    * (batchId <= the committed watermark) is a no-op, and there is no
+    * crash window where data committed but the batch record didn't.
+    * A lost commit race rebases like [[append]] and RE-CHECKS the
+    * watermark (the racer may have been the same batch's replay — then
+    * this attempt's staged files become vacuum-collectable orphans).
+    * Returns true iff this call committed.
     */
   def appendBatch(df: DataFrame, table: String, batchId: Long): Boolean = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     if (batchId <= lastBatchId(table)) return false
-    val prev = latestVersion(table)
-    val v = prev + 1
-    val prevFiles = if (prev >= 1) manifestFiles(table, prev) else Seq.empty
-    val sch =
-      if (prev >= 1) checkedSchema(df, table, prev, mergeSchema = false)
-      else Some(df.schema)
-    commit(table, v, prevFiles ++ stageFiles(df, table, v), batchId, sch)
-    true
+    var enforced: Option[Seq[(String, String)]] = None
+    var names: Seq[String] = null
+    var tries = 0
+    while (tries < MaxCasRetries) {
+      if (batchId <= lastBatchId(table)) return false
+      val prev = latestVersion(table)
+      val sch =
+        if (prev >= 1) checkedSchema(df, table, prev, mergeSchema = false)
+        else Some(df.schema)
+      val cons = constraintsFor(table, prev)
+      if (!enforced.contains(cons)) { enforce(df, cons, table); enforced = Some(cons) }
+      if (names == null) names = stageFiles(df, table)
+      val base = if (prev >= 1) manifestFiles(table, prev) else Seq.empty
+      if (tryCommit(table, prev + 1, base ++ names, batchId, sch, cons))
+        return true
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"appendBatch($batchId) to $table lost $MaxCasRetries commit races")
   }
 
   /** Schema-compat gate for appends into a schema-tracked table: the
@@ -275,12 +438,15 @@ object Snapshots {
       }
     }
 
-  /** Stage `df`'s parquet parts into `data/` under version-prefixed
-    * immutable names; returns the new file names (not yet committed).
+  /** Stage `df`'s parquet parts into `data/` under attempt-unique
+    * immutable names; returns the new file names (not yet committed —
+    * orphans until a manifest references them, reusable across commit
+    * retries because no other writer can ever produce the same names).
     */
-  private def stageFiles(df: DataFrame, table: String, v: Int): Seq[String] = {
+  private def stageFiles(df: DataFrame, table: String): Seq[String] = {
+    val tok = attemptToken()
     val dataDir = dirOf(table, "data")
-    val stage = Files.createTempDirectory(Paths.get(table), s"stage-v$v-")
+    val stage = Files.createTempDirectory(Paths.get(table), s"stage-$tok-")
     def write(d: DataFrame): Seq[Path] = {
       d.write.mode("overwrite").parquet(stage.toString)
       val listing = Files.list(stage)
@@ -295,14 +461,10 @@ object Snapshots {
     // return. Force one schema-only part instead so an empty commit stays
     // readable as an empty table.
     val parts = if (first.nonEmpty) first else write(df.repartition(1))
-    require(parts.nonEmpty, s"no parquet part could be staged for $table v$v")
+    require(parts.nonEmpty, s"no parquet part could be staged for $table")
     val names = parts.zipWithIndex.map { case (p, i) =>
-      val name = f"v$v%05d-part$i%05d.parquet"
-      // REPLACE_EXISTING: names are version-scoped, so under the stated
-      // single-writer model a collision can only be debris from our own
-      // crashed attempt at this same (uncommitted) version — without it
-      // the retry wedges on FileAlreadyExistsException until a vacuum.
-      Files.move(p, dataDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      val name = f"g$tok-part$i%05d.parquet"
+      Files.move(p, dataDir.resolve(name))
       name
     }
     val walk = Files.walk(stage)
@@ -311,34 +473,46 @@ object Snapshots {
     names
   }
 
-  /** APPEND commit: version latest+1 whose manifest is the previous
-    * version's file list PLUS `df`'s new files — existing data files are
-    * reused byte-for-byte (manifests share immutable files; only the new
-    * rows are written). The atomic-rename commit point is identical to
-    * [[publish]], so a reader sees the table without the appended rows or
-    * with ALL of them.
+  /** APPEND commit: a new version whose manifest is the latest version's
+    * file list PLUS `df`'s new files — existing data files are reused
+    * byte-for-byte (manifests share immutable files; only the new rows
+    * are written). A blind append composes with any concurrent commit, so
+    * a lost race REBASES: same staged files, the winner's file list as
+    * the new base, schema gate re-run against the winner's schema.
     */
   def append(df: DataFrame, table: String,
       mergeSchema: Boolean = false): Int = {
-    val prev = latestVersion(table)
-    require(prev >= 1, s"$table has no committed version to append to")
-    val v = prev + 1
-    val sch = checkedSchema(df, table, prev, mergeSchema)
-    commit(table, v, manifestFiles(table, prev) ++ stageFiles(df, table, v),
-      schema = sch)
+    require(latestVersion(table) >= 1,
+      s"$table has no committed version to append to")
+    var enforced: Option[Seq[(String, String)]] = None
+    var names: Seq[String] = null
+    var tries = 0
+    while (tries < MaxCasRetries) {
+      val prev = latestVersion(table)
+      val sch = checkedSchema(df, table, prev, mergeSchema)
+      val cons = constraintsFor(table, prev)
+      if (!enforced.contains(cons)) { enforce(df, cons, table); enforced = Some(cons) }
+      if (names == null) names = stageFiles(df, table)
+      if (tryCommit(table, prev + 1, manifestFiles(table, prev) ++ names,
+          -1L, sch, cons)) return prev + 1
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"append to $table lost $MaxCasRetries commit races")
   }
 
-  /** ADD COLUMN — METADATA-ONLY schema evolution: version latest+1 with
-    * the SAME file list and the schema extended by `fields` (forced
-    * nullable — existing rows have no value). This is an O(1) commit at
-    * any table size: no file is read, rewritten, or moved — the new
-    * column exists because the declared read schema says so, and every
-    * pre-evolution file null-fills it at scan time. Subsequent
-    * [[append]]/[[merge]] commits carry real values; TIME TRAVEL to a
-    * pre-evolution version reads the OLD schema (schema is versioned
-    * with the data it described). Name collisions fail loudly. Legacy
-    * tables (published before schema tracking) get their baseline
-    * schema derived from the current files once, here.
+  /** ADD COLUMN — METADATA-ONLY schema evolution: a new version with the
+    * SAME file list and the schema extended by `fields` (forced nullable
+    * — existing rows have no value). This is an O(1) commit at any table
+    * size: no file is read, rewritten, or moved — the new column exists
+    * because the declared read schema says so, and every pre-evolution
+    * file null-fills it at scan time. Subsequent [[append]]/[[merge]]
+    * commits carry real values; TIME TRAVEL to a pre-evolution version
+    * reads the OLD schema (schema is versioned with the data it
+    * described). Name collisions fail loudly; a lost commit race is a
+    * CONFLICT (the winner may itself have changed the schema). Legacy
+    * tables (committed before schema tracking) get their baseline schema
+    * derived from the current files once, here.
     */
   def addColumns(spark: SparkSession, table: String,
       fields: StructField*): Int = {
@@ -350,7 +524,47 @@ object Snapshots {
     require(clash.isEmpty,
       s"$table already has column(s) ${clash.mkString(",")}")
     val evolved = StructType(base.fields ++ fields.map(_.copy(nullable = true)))
-    commit(table, prev + 1, manifestFiles(table, prev), schema = Some(evolved))
+    commitOrConflict(table, prev + 1, manifestFiles(table, prev),
+      Some(evolved), constraintsFor(table, prev))
+  }
+
+  /** ADD CHECK CONSTRAINT — a table invariant enforced AT COMMIT TIME on
+    * every subsequent write (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * semantics): `sqlExpr` is any boolean SQL expression over the table's
+    * columns; a publish/append/appendBatch/merge whose incoming rows
+    * violate it is REFUSED before anything commits (table unchanged). SQL
+    * CHECK null semantics: a row passes when the expression is NULL —
+    * non-nullability is its own explicit `x IS NOT NULL` check.
+    * Adding the constraint first VALIDATES the current table (one scan —
+    * the unavoidable Delta-identical cost of promising an invariant over
+    * existing data), then commits METADATA-ONLY: constraints ride in the
+    * manifest, atomic with the commit, versioned like the schema (time
+    * travel to an earlier version sees that version's constraints; a
+    * constraint added at v binds commits FROM v on). Rewrite commits
+    * (delete/compact/compactZ) carry rows that were valid when committed
+    * and skip re-validation. A lost commit race is a conflict.
+    */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      sqlExpr: String): Int = {
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version to constrain")
+    val cons = constraintsFor(table, prev)
+    require(!cons.exists(_._1 == name),
+      s"$table already has a constraint named '$name'")
+    enforce(read(spark, table), Seq((name, sqlExpr)), table)
+    commitOrConflict(table, prev + 1, manifestFiles(table, prev),
+      tableSchema(table, prev), cons :+ ((name, sqlExpr)))
+  }
+
+  /** DROP CHECK CONSTRAINT — metadata-only; unknown names fail loudly. */
+  def dropConstraint(spark: SparkSession, table: String, name: String): Int = {
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version")
+    val cons = constraintsFor(table, prev)
+    require(cons.exists(_._1 == name),
+      s"$table has no constraint named '$name'")
+    commitOrConflict(table, prev + 1, manifestFiles(table, prev),
+      tableSchema(table, prev), cons.filterNot(_._1 == name))
   }
 
   /** COMPACTION commit: rewrite the latest version's rows as `n`
@@ -359,14 +573,14 @@ object Snapshots {
     * and the pre-compaction version stays readable (time travel is the
     * undo). The old files are NOT deleted: vacuuming uncommitted/old
     * files is a separate concern from correctness, exactly as in
-    * production formats.
+    * production formats. Read-modify-write: a lost race is a conflict.
     */
   def compact(spark: SparkSession, table: String, n: Int,
       cols: org.apache.spark.sql.Column*): Int = {
-    val v = latestVersion(table) + 1
+    val prev = latestVersion(table)
     val compacted = Compaction.compactToRange(read(spark, table), n, cols: _*)
-    commit(table, v, stageFiles(compacted, table, v),
-      schema = Some(compacted.schema))
+    commitOrConflict(table, prev + 1, stageFiles(compacted, table),
+      Some(compacted.schema), constraintsFor(table, prev))
   }
 
   /** Z-ORDER compaction commit: the latest version's rows rewritten
@@ -374,20 +588,21 @@ object Snapshots {
     * version — the two-dimensional sibling of [[compact]], committing
     * files whose footer min/max bound BOTH caller-normalized keys (the
     * layout ZOrderSpec certifies), with the pre-compaction version as
-    * the undo. Same stage/manifest/pointer-flip path as every commit.
+    * the undo. Same stage→CAS commit path as every commit.
     */
   def compactZ(spark: SparkSession, table: String, n: Int,
       a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): Int = {
-    val v = latestVersion(table) + 1
+    val prev = latestVersion(table)
     val z = ZOrder.compactToZ(read(spark, table), n, a, b)
-    commit(table, v, stageFiles(z, table, v), schema = Some(z.schema))
+    commitOrConflict(table, prev + 1, stageFiles(z, table), Some(z.schema),
+      constraintsFor(table, prev))
   }
 
   private def baseName(fileUri: String): String =
     fileUri.substring(fileUri.lastIndexOf('/') + 1)
 
-  /** DELETE commit (row-level, copy-on-write): version latest+1 without
-    * the rows matching `pred`. Only files that CONTAIN a matching row are
+  /** DELETE commit (row-level, copy-on-write): a new version without the
+    * rows matching `pred`. Only files that CONTAIN a matching row are
     * rewritten (filtered); every untouched file is carried into the new
     * manifest byte-for-byte — file-granularity copy-on-write, the shape
     * production formats run for GDPR-style deletes, with the pre-delete
@@ -399,6 +614,7 @@ object Snapshots {
     * predicate columns) and the rewrite touches only matching files.
     * A delete that matches nothing commits NO new version and returns the
     * current one (the Delta semantics: empty commits are elided).
+    * Read-modify-write: a lost commit race is a conflict.
     */
   def deleteWhere(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column): Int = {
@@ -417,9 +633,8 @@ object Snapshots {
     val keep = prevNames.filterNot(touched)
     val survivors = readFiles(spark, table, prev,
       prevNames.filter(touched)).filter(not(pred))
-    val v = prev + 1
-    commit(table, v, keep ++ stageFiles(survivors, table, v),
-      schema = tableSchema(table, prev))
+    commitOrConflict(table, prev + 1, keep ++ stageFiles(survivors, table),
+      tableSchema(table, prev), constraintsFor(table, prev))
   }
 
   /** Read a subset of a version's files UNDER THAT VERSION'S SCHEMA —
@@ -440,14 +655,15 @@ object Snapshots {
   /** MERGE commit (upsert-as-commit, last-writer-wins on `key`): rows of
     * `delta` REPLACE current rows sharing their key and INSERT otherwise,
     * as one transactional version — the `pipeline_upsert` decision rule
-    * committed under the same stage→manifest→pointer contract, with the
-    * pre-merge version as undo. File-granularity copy-on-write: touched
-    * files = files holding a key present in `delta` (one scan semi-joined
+    * committed under the same stage→CAS contract, with the pre-merge
+    * version as undo. File-granularity copy-on-write: touched files =
+    * files holding a key present in `delta` (one scan semi-joined
     * against the delta keys — broadcast when delta is dimension-sized);
     * only their non-delta-key rows are rewritten, delta rows become new
     * files, untouched files carry over byte-for-byte. Driver-side collect
     * is the same metadata-scale file-name list as [[deleteWhere]].
     * `delta` must carry the table's columns (matched by name).
+    * Read-modify-write: a lost commit race is a conflict.
     *
     * TOMBSTONES (`deleteFlag`): a CDC feed is upserts AND deletes in one
     * batch, and they must land in ONE transaction (a reader must never
@@ -470,6 +686,11 @@ object Snapshots {
       case None => delta
     }
     val aligned = upserts.select(cur.columns.map(col).toIndexedSeq: _*)
+    // CHECK constraints bind the incoming upserts (tombstones remove
+    // rows — they are not data and are exempt); carried rewritten rows
+    // were valid when committed.
+    val cons = constraintsFor(table, prev)
+    enforce(aligned, cons, table)
     // Touched files are found against ALL delta keys (tombstoned keys
     // included — deleting a row rewrites its file too).
     val keys = delta.select(key).distinct()
@@ -486,16 +707,15 @@ object Snapshots {
         .join(keys, Seq(key), "left_anti")
         .select(cur.columns.map(col).toIndexedSeq: _*)
         .unionByName(aligned)
-    val v = prev + 1
-    commit(table, v, keep ++ stageFiles(newData, table, v),
-      schema = tableSchema(table, prev))
+    commitOrConflict(table, prev + 1, keep ++ stageFiles(newData, table),
+      tableSchema(table, prev), cons)
   }
 
   /** Partition version `v`'s files into (kept, skipped) for a range
     * predicate `column BETWEEN lo AND hi`, using only the committed
     * per-file stats — no file is opened. A file is skipped ONLY when its
     * recorded [min,max] provably cannot intersect [lo,hi]; files with no
-    * stats for `column` (legacy versions, non-numeric or all-null
+    * stats for `column` (crashed stats window, non-numeric or all-null
     * columns) are conservatively kept. On a [[compact]]/[[compactZ]]-
     * clustered table this is the metadata-only file skipping that makes
     * a 100 TB range read O(matching files): the driver reads one small
@@ -524,10 +744,8 @@ object Snapshots {
   def readRange(spark: SparkSession, table: String, column: String,
       lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val latest = latestVersion(table)
-    val v = version.getOrElse(latest)
-    require(v >= 1 && v <= latest,
-      s"version $v of $table is not committed (latest is $latest)")
+    val v = version.getOrElse(latestVersion(table))
+    require(v >= 1, s"$table has no committed version")
     val (keep, _) = pruneFiles(table, column, lo, hi, Some(v))
     if (keep.isEmpty) {
       val sch = tableSchema(table, v).getOrElse(read(spark, table, Some(v)).schema)
@@ -595,20 +813,16 @@ object Snapshots {
   }
 
   /** Read a committed version (default: latest). Only manifest-listed
-    * files are loaded — orphaned data files are invisible by design.
+    * files are loaded — orphaned data files are invisible by design, and
+    * a version EXISTS exactly when its manifest does (manifests appear
+    * only by atomic create of a complete record, so there is no
+    * "manifest present but uncommitted" state to guard against; absent
+    * or vacuumed versions fail loudly at manifest resolution).
     */
   def read(spark: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {
-    val latest = latestVersion(table)
-    val v = version.getOrElse(latest)
+    val v = version.getOrElse(latestVersion(table))
     require(v >= 1, s"$table has no committed version")
-    // A manifest file alone is NOT a commit — after a crash between the
-    // manifest write and the pointer flip, a v(latest+1) manifest exists
-    // (possibly truncated-but-parseable) while `_latest` still says
-    // latest. Time travel must fail loudly on such versions, exactly
-    // like expired ones, or a reader silently sees uncommitted data.
-    require(v <= latest,
-      s"version $v of $table is not committed (latest is $latest)")
     readFiles(spark, table, v, manifestFiles(table, v))
   }
 
@@ -616,13 +830,14 @@ object Snapshots {
     * the commit path: drop manifests older than the newest `retainLast`
     * versions, then delete every file under `data/` that NO retained
     * manifest references (expired versions' exclusive files, crashed-
-    * stage orphans) plus leftover stage directories. The deletion rule
-    * is allow-list shaped — anything referenced by ANY retained manifest
+    * stage orphans, lost-race staged files) plus leftover stage
+    * directories and manifest temp debris. The deletion rule is
+    * allow-list shaped — anything referenced by ANY retained manifest
     * survives, whatever its name — so shared files from append chains
     * are never pulled out from under a retained version. Returns the
     * deleted data-file names. After a vacuum, retained versions read
     * byte-identically and expired versions fail LOUDLY (manifest gone),
-    * never partially.
+    * never partially. Single-maintenance-process by contract.
     */
   def vacuum(table: String, retainLast: Int = 2): Seq[String] = {
     require(retainLast >= 1, "must retain at least the latest version")
@@ -635,29 +850,29 @@ object Snapshots {
         // Retention INCREASED after a tighter vacuum: versions below the
         // previous keepFrom have no manifest anymore. They are expired,
         // not corrupt — skip them instead of aborting the whole vacuum.
-        val m = manifestDir.resolve(f"v$v%05d.json")
-        if (Files.exists(m)) manifestFiles(table, v) else Seq.empty
+        if (Files.exists(manifestPath(table, v))) manifestFiles(table, v)
+        else Seq.empty
       }.toSet
     // 1. expire old manifests FIRST: a reader racing the vacuum fails at
     // manifest resolution (loud), never on a half-deleted file list.
+    // Manifest temp debris (crashed commit attempts) goes with them.
     val ml = Files.list(manifestDir)
     try ml.iterator().asScala.toSeq.foreach { m =>
-      val v = m.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt
-      if (v < keepFrom) Files.delete(m)
-    } finally ml.close()
-    // Schema and stats metadata expire with their manifest: an expired
-    // version must fail at resolution, not resolve to files read under a
-    // ghost schema or pruned by ghost stats.
-    for (sub <- Seq("_schemas", "_stats")) {
-      val mdDir = Paths.get(table, sub)
-      if (Files.isDirectory(mdDir)) {
-        val sl = Files.list(mdDir)
-        try sl.iterator().asScala.toSeq.foreach { m =>
-          val v = m.getFileName.toString.stripPrefix("v")
-            .stripSuffix(".json").stripSuffix(".tsv").toInt
-          if (v < keepFrom) Files.delete(m)
-        } finally sl.close()
+      m.getFileName.toString match {
+        case ManifestName(d) if d.toInt < keepFrom => Files.delete(m)
+        case n if n.startsWith(".tmp-") => Files.delete(m)
+        case _ =>
       }
+    } finally ml.close()
+    // Stats metadata expires with its manifest: an expired version must
+    // fail at resolution, never resolve half-pruned by ghost stats.
+    val statsDir = Paths.get(table, "_stats")
+    if (Files.isDirectory(statsDir)) {
+      val sl = Files.list(statsDir)
+      try sl.iterator().asScala.toSeq.foreach { m =>
+        val v = m.getFileName.toString.stripPrefix("v").stripSuffix(".tsv").toInt
+        if (v < keepFrom) Files.delete(m)
+      } finally sl.close()
     }
     // 2. delete unreferenced data files and crashed-stage leftovers.
     val dataDir = Paths.get(table, "data")

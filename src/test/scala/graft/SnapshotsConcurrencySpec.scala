@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Snapshots
+
+/** MULTI-WRITER optimistic concurrency: the commit point is an atomic
+  * create-if-absent of the complete manifest record, so racing writers
+  * get a total order of versions and a lost race is DETECTED, never a
+  * lost update. Blind operations (publish/append/appendBatch) auto-retry
+  * or rebase; read-modify-write operations surface
+  * ConcurrentModificationException (serializable semantics). These tests
+  * drive REAL racing threads through the public API — every assertion is
+  * a serializability law, not a timing accident: they hold whichever
+  * writer wins each race.
+  */
+class SnapshotsConcurrencySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+  /** Run `n` thunks on `n` threads released together; returns each
+    * thunk's Try. */
+  private def race[T](thunks: Seq[() => T]): Seq[Try[T]] = {
+    val pool = Executors.newFixedThreadPool(thunks.size)
+    val start = new CountDownLatch(1)
+    try {
+      val futures = thunks.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Try[T]] {
+          def call(): Try[T] = { start.await(); Try(f()) }
+        })
+      }
+      start.countDown()
+      futures.map(_.get(300, TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+  }
+
+  test("racing blind appends all commit; history is serializable") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_conc1").toString
+    Snapshots.publish(Seq(0L).toDF("doc_id"), table)
+
+    val nWriters = 6
+    val batches: Seq[Set[Long]] = (0 until nWriters).map(w =>
+      ((w * 100 + 1) to (w * 100 + 5)).map(_.toLong).toSet)
+    val results = race(batches.map(b => () =>
+      Snapshots.append(b.toSeq.sorted.toDF("doc_id"), table)))
+
+    // Every append succeeded (blind adds compose; losers rebased).
+    val versions = results.map {
+      case Success(v) => v
+      case Failure(e) => fail(s"blind append must never lose an update: $e")
+    }
+    assert(versions.toSet == (2 to nWriters + 1).toSet,
+      s"appends did not serialize into a gapless version chain: $versions")
+    // Final state is the union — no batch lost, none duplicated.
+    assert(ids(Snapshots.read(spark, table)) ==
+      batches.flatten.toSet + 0L)
+    // SERIALIZABILITY: each version adds EXACTLY one whole batch to its
+    // predecessor, whatever order the races resolved in.
+    var prev = ids(Snapshots.read(spark, table, Some(1)))
+    for (v <- 2 to nWriters + 1) {
+      val cur = ids(Snapshots.read(spark, table, Some(v)))
+      val delta = cur -- prev
+      assert(batches.contains(delta),
+        s"v$v's delta is not one writer's whole batch: $delta")
+      assert(prev.subsetOf(cur), s"v$v dropped committed rows")
+      prev = cur
+    }
+  }
+
+  test("racing publishes: every committed version is exactly one " +
+      "writer's frame, never a mixture") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_conc2").toString
+    val nWriters = 4
+    val frames: Seq[Set[Long]] = (0 until nWriters).map(w =>
+      ((w * 1000) to (w * 1000 + 9)).map(_.toLong).toSet)
+    val results = race(frames.map(f => () =>
+      Snapshots.publish(f.toSeq.sorted.toDF("doc_id"), table)))
+    val versions = results.map(_.get) // blind overwrite: all succeed
+    assert(versions.toSet == (1 to nWriters).toSet)
+    for (v <- 1 to nWriters)
+      assert(frames.contains(ids(Snapshots.read(spark, table, Some(v)))),
+        s"v$v is not exactly one writer's frame (atomicity broken)")
+    assert(frames.contains(ids(Snapshots.read(spark, table))))
+  }
+
+  test("racing read-modify-write: a lost race is a loud conflict, and a " +
+      "re-run against the new base succeeds") {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_conc3").toString
+    Snapshots.publish(Seq(1L, 2L, 3L).toDF("doc_id"), table)
+
+    val fields = Seq(StructField("extra_a", LongType),
+      StructField("extra_b", LongType))
+    val results = race(fields.map(f => () =>
+      Snapshots.addColumns(spark, table, f)))
+    // Each writer either committed (its column is in the final schema)
+    // or conflicted loudly — and a conflicted writer's RE-RUN lands.
+    results.zip(fields).foreach {
+      case (Success(_), _) =>
+      case (Failure(_: java.util.ConcurrentModificationException), f) =>
+        Snapshots.addColumns(spark, table, f)
+      case (Failure(e), _) => fail(s"unexpected failure mode: $e")
+    }
+    val finalSchema = Snapshots.read(spark, table).schema.fieldNames.toSet
+    assert(Set("extra_a", "extra_b").subsetOf(finalSchema),
+      s"an acknowledged schema change was lost: $finalSchema")
+  }
+
+  test("racing appendBatch replays of the SAME batch: exactly one commits") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_conc4").toString
+    Snapshots.appendBatch(Seq(0L).toDF("doc_id"), table, 0L)
+
+    // Two replicas replay batch 1 concurrently (the speculative-retry /
+    // zombie-driver scenario): the batchId watermark rides in the same
+    // atomic create as the data, so exactly ONE commit happens and the
+    // rows land exactly once.
+    val batch = Seq(10L, 11L, 12L)
+    val results = race(Seq.fill(2)(() =>
+      Snapshots.appendBatch(batch.toDF("doc_id"), table, 1L)))
+    val committed = results.map(_.get)
+    assert(committed.count(identity) == 1,
+      s"same-batch replay must commit exactly once, got $committed")
+    val rows = Snapshots.read(spark, table)
+      .groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).count()
+    assert(rows == 0, "a replayed batch duplicated rows")
+    assert(ids(Snapshots.read(spark, table)) == Set(0L, 10L, 11L, 12L))
+    assert(Snapshots.lastBatchId(table) == 1L)
+  }
+}

@@ -84,7 +84,7 @@ class SnapshotsFuzzSpec extends AnyFunSuite {
             val live = (minRetained to latest).flatMap { v =>
               val m = java.nio.file.Paths.get(table, "_manifests",
                 f"v$v%05d.json")
-              "v\\d{5}-part\\d{5}\\.parquet".r
+              "g[0-9a-f]{8}-part\\d{5}\\.parquet".r
                 .findAllIn(Files.readString(m)).toSeq
             }.toSet
             assert(removed.toSet.intersect(live).isEmpty,

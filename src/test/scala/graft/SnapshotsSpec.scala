@@ -20,6 +20,12 @@ class SnapshotsSpec extends AnyFunSuite {
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
 
+  /** Data-file names listed by version `v`'s committed manifest. */
+  private def mfiles(table: String, v: Int): Set[String] =
+    "g[0-9a-f]{8}-part\\d{5}\\.parquet".r
+      .findAllIn(Files.readString(
+        Paths.get(table, "_manifests", f"v$v%05d.json"))).toSet
+
   test("publish/read round-trip, snapshot isolation, time travel") {
     val table = Files.createTempDirectory("graft_snap").toString
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -38,7 +44,7 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.latestVersion(table) == 2)
   }
 
-  test("a crashed publish is invisible: orphans and uncommitted manifests") {
+  test("a crashed commit is invisible: orphans and manifest temp debris") {
     val table = Files.createTempDirectory("graft_snap2").toString
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     Snapshots.publish(docs, table)
@@ -49,19 +55,23 @@ class SnapshotsSpec extends AnyFunSuite {
     Files.list(Paths.get(s"$table/crash_stage")).forEach { p =>
       if (p.getFileName.toString.endsWith(".parquet"))
         Files.move(p, Paths.get(table, "data",
-          "v99999-orphan-" + p.getFileName.toString))
+          "gdeadbeef-orphan-" + p.getFileName.toString))
     }
     assert(ids(Snapshots.read(spark, table)) == before,
       "orphan data files leaked into the read")
 
-    // Crash between manifest and pointer flip: manifest exists but
-    // _latest still names v1 — the default read must not see v2.
-    Files.writeString(Paths.get(table, "_manifests", "v00002.json"), "[]")
+    // Crash between the manifest-record write and the atomic create: a
+    // temp manifest (never linked into place) is staging debris, not a
+    // commit — the protocol has NO "manifest present but uncommitted"
+    // state, because only the atomic create of a COMPLETE record makes a
+    // v*.json appear; un-linked temps must be invisible to version
+    // resolution.
+    Files.writeString(Paths.get(table, "_manifests", ".tmp-deadbeef"),
+      """{"batch":-1,"files":["ghost.parquet"],"schema":null}""")
     assert(Snapshots.latestVersion(table) == 1)
     assert(ids(Snapshots.read(spark, table)) == before,
-      "uncommitted manifest leaked into the default read")
-    // ...and TIME TRAVEL to the uncommitted version must fail loudly —
-    // a manifest alone is staging debris, not a commit.
+      "manifest temp debris leaked into the default read")
+    // ...and TIME TRAVEL to the never-committed version must fail loudly.
     intercept[IllegalArgumentException] {
       Snapshots.read(spark, table, Some(2))
     }
@@ -84,10 +94,10 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(ids(Snapshots.read(spark, table)) == ids(docs))
     assert(ids(Snapshots.read(spark, table, Some(1))) == ids(half1))
     // Append reuses v1's data files byte-for-byte: v2's manifest must
-    // reference v1-prefixed names (immutable-file sharing, the thing
-    // that makes appends O(new data) instead of O(table)).
-    val m2 = Files.readString(Paths.get(table, "_manifests", "v00002.json"))
-    assert(m2.contains("v00001-") && m2.contains("v00002-"))
+    // list every v1 file PLUS new ones (immutable-file sharing, the
+    // thing that makes appends O(new data) instead of O(table)).
+    assert(mfiles(table, 1).subsetOf(mfiles(table, 2)))
+    assert((mfiles(table, 2) -- mfiles(table, 1)).nonEmpty)
 
     // (compaction leg below; streaming exactly-once in its own test)
     // Compaction: same rows, range layout, old version still readable.
@@ -95,10 +105,9 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(v3 == 3)
     assert(ids(Snapshots.read(spark, table)) == ids(docs))
     assert(ids(Snapshots.read(spark, table, Some(2))) == ids(docs))
-    val m3 = Files.readString(Paths.get(table, "_manifests", "v00003.json"))
-    assert(!m3.contains("v00001-") && !m3.contains("v00002-"),
+    assert(mfiles(table, 3).intersect(mfiles(table, 2)).isEmpty,
       "compaction manifest still references pre-compaction files")
-    assert(m3.split(",").length == 2, "compaction did not produce 2 files")
+    assert(mfiles(table, 3).size == 2, "compaction did not produce 2 files")
   }
 
   test("vacuum deletes only what no retained manifest references") {
@@ -113,6 +122,7 @@ class SnapshotsSpec extends AnyFunSuite {
     val v2Rows = ids(Snapshots.read(spark, table, Some(2)))
     val v3Rows = ids(Snapshots.read(spark, table, Some(3)))
 
+    val v1Files = mfiles(table, 1)
     val removed = Snapshots.vacuum(table, retainLast = 2)
     // retained versions byte-identical; expired version fails loudly
     assert(ids(Snapshots.read(spark, table, Some(2))) == v2Rows)
@@ -121,15 +131,15 @@ class SnapshotsSpec extends AnyFunSuite {
       Snapshots.read(spark, table, Some(1))
     }
     // v1's files SURVIVE (v2's manifest references them — the shared-file
-    // allow-list rule), so nothing v1-prefixed was removed...
-    assert(!removed.exists(_.startsWith("v00001-")),
+    // allow-list rule), so none of them was removed...
+    assert(removed.toSet.intersect(v1Files).isEmpty,
       s"vacuum deleted files a retained manifest references: $removed")
     // ...and the crashed stage directory is gone.
     assert(!Files.exists(Paths.get(s"$table/stage-vX-crash")))
 
     // Retaining only the latest drops v2 and now v1's files DO go.
     val removed2 = Snapshots.vacuum(table, retainLast = 1)
-    assert(removed2.exists(_.startsWith("v00001-")))
+    assert(removed2.toSet.intersect(v1Files).nonEmpty)
     assert(ids(Snapshots.read(spark, table)) == v3Rows)
     intercept[IllegalArgumentException] {
       Snapshots.read(spark, table, Some(2))
@@ -150,8 +160,7 @@ class SnapshotsSpec extends AnyFunSuite {
         .select(col("event_id"), col("user_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows(2) == rows(1))
-    val m2 = Files.readString(Paths.get(table, "_manifests", "v00002.json"))
-    assert(m2.split(",").length == 4, "z-compaction did not produce 4 files")
+    assert(mfiles(table, 2).size == 4, "z-compaction did not produce 4 files")
   }
 
   test("deleteWhere is copy-on-write: only touched files rewritten") {
@@ -169,14 +178,13 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(ids(Snapshots.read(spark, table, Some(1))) == before)
     // Copy-on-write at FILE granularity: untouched v1 files carry over
     // byte-for-byte (by name), and at least one v1 file was dropped.
-    val m1 = Files.readString(Paths.get(table, "_manifests", "v00001.json"))
-    val m2 = Files.readString(Paths.get(table, "_manifests", "v00002.json"))
-    val v1Files = "v\\d{5}-part\\d{5}\\.parquet".r.findAllIn(m1).toSet
-    val v2Carried = v1Files.count(m2.contains)
+    val v1Files = mfiles(table, 1)
+    val v2Carried = v1Files.intersect(mfiles(table, 2)).size
     assert(v2Carried >= 1 && v2Carried < v1Files.size,
       s"expected a strict subset of v1 files carried over, got " +
         s"$v2Carried of ${v1Files.size}")
-    assert(m2.contains("v00002-"), "no rewritten file in the new manifest")
+    assert((mfiles(table, 2) -- v1Files).nonEmpty,
+      "no rewritten file in the new manifest")
 
     // An empty delete commits NO new version (Delta semantics).
     assert(Snapshots.deleteWhere(spark, table, col("doc_id") < 0) == 2)
@@ -208,8 +216,7 @@ class SnapshotsSpec extends AnyFunSuite {
       "updates not last-writer-wins")
     // Pre-merge version intact; untouched files carried over.
     assert(Snapshots.read(spark, table, Some(1)).count() == n)
-    val m2 = Files.readString(Paths.get(table, "_manifests", "v00002.json"))
-    assert(m2.contains("v00001-"),
+    assert(mfiles(table, 1).intersect(mfiles(table, 2)).nonEmpty,
       "merge rewrote untouched files (not copy-on-write)")
   }
 
@@ -248,19 +255,23 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, table, Some(1)).count() == n)
   }
 
-  test("staged-data debris from a crashed publish does not wedge the retry") {
+  test("staged-data debris from a crashed commit does not wedge the retry") {
     val table = Files.createTempDirectory("graft_snap10").toString
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     Snapshots.publish(docs, table)
-    // Crash AFTER staging moved parts into data/ under the next version's
-    // names but BEFORE the pointer flip: the retry publishes the same
-    // version number and must overwrite its own debris, not throw.
-    Files.writeString(Paths.get(table, "data", "v00002-part00000.parquet"),
+    // Crash AFTER staging moved parts into data/ but BEFORE the commit:
+    // attempt-unique names mean the debris can never collide with any
+    // later attempt's files — the retry commits cleanly and the debris
+    // stays an invisible orphan until vacuum collects it.
+    Files.writeString(Paths.get(table, "data", "gdeadbeef-part00000.parquet"),
       "crashed-attempt debris, not parquet")
     val subset = docs.filter(col("doc_id") < 100)
     val v2 = Snapshots.publish(subset, table)
     assert(v2 == 2)
     assert(ids(Snapshots.read(spark, table)) == ids(subset))
+    // vacuum collects it (unreferenced by any retained manifest).
+    assert(Snapshots.vacuum(table, retainLast = 2)
+      .contains("gdeadbeef-part00000.parquet"))
   }
 
   test("vacuum tolerates a retention increase after a tighter vacuum") {
@@ -424,6 +435,72 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.deleteWhere(spark, table, col("quality") === 0.5)
     assert(Snapshots.read(spark, table)
       .filter(col("quality") === 0.5).count() == 0)
+  }
+
+  test("CHECK constraints gate every write path at commit time") {
+    import org.apache.spark.sql.functions.lit
+    val table = Files.createTempDirectory("graft_snap_check").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    Snapshots.publish(docs, table)                                   // v1
+
+    // Adding a constraint the CURRENT data violates is refused outright.
+    intercept[IllegalArgumentException] {
+      Snapshots.addConstraint(spark, table, "impossible", "doc_id < 0")
+    }
+    assert(Snapshots.latestVersion(table) == 1)
+
+    // A valid constraint commits metadata-only and binds from v2 on.
+    val v2 = Snapshots.addConstraint(spark, table, "ids_bounded",
+      "doc_id >= 0 AND doc_id < 2000000")                            // v2
+    assert(v2 == 2)
+    assert(mfiles(table, 1) == mfiles(table, 2), "constraint moved data")
+    assert(Snapshots.constraintsFor(table, 1).isEmpty,
+      "constraints leaked into a pre-constraint version (not versioned)")
+
+    // Violating APPEND refused, table unchanged; valid append lands.
+    val bad = docs.select((col("doc_id") + 5000000L).as("doc_id"),
+      col("n_chars"))
+    intercept[IllegalArgumentException] { Snapshots.append(bad, table) }
+    assert(Snapshots.latestVersion(table) == 2)
+    Snapshots.append(docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars")),
+      table)                                                          // v3
+
+    // Violating MERGE refused (upserts checked; table unchanged)...
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, table, bad.limit(3), "doc_id")
+    }
+    assert(Snapshots.latestVersion(table) == 3)
+    // ...but tombstones are exempt: removing rows is not data.
+    Snapshots.merge(spark, table,
+      docs.filter(col("doc_id") < 3)
+        .select(col("doc_id"), col("n_chars"), lit(true).as("del")),
+      "doc_id", deleteFlag = Some("del"))                             // v4
+    assert(Snapshots.read(spark, table).filter(col("doc_id") < 3)
+      .count() == 0)
+
+    // Violating streaming batch refused loudly (a silent false would
+    // mark the batch consumed and LOSE it); valid batch commits.
+    intercept[IllegalArgumentException] {
+      Snapshots.appendBatch(bad.limit(2), table, 7L)
+    }
+    assert(Snapshots.appendBatch(docs.filter(col("doc_id") === 9L), table, 7L))
+
+    // NULL passes (SQL CHECK semantics) — pinned explicitly.
+    import spark.implicits._
+    Snapshots.addConstraint(spark, table, "chars_pos", "n_chars > 0")
+    Snapshots.append(Seq((1500000L, Option.empty[Long]))
+      .toDF("doc_id", "n_chars"), table)
+
+    // DROP lifts the gate; unknown names are loud.
+    intercept[IllegalArgumentException] {
+      Snapshots.dropConstraint(spark, table, "nope")
+    }
+    Snapshots.dropConstraint(spark, table, "ids_bounded")
+    Snapshots.append(bad.limit(2), table)
+    assert(Snapshots.read(spark, table)
+      .filter(col("doc_id") >= 5000000L).count() == 2)
   }
 
   test("vacuum expires schema metadata with its manifest") {

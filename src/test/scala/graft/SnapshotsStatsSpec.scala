@@ -100,7 +100,7 @@ class SnapshotsStatsSpec extends AnyFunSuite {
     for (v <- 1 to 4) {
       val m = Files.readString(
         Paths.get(table, "_manifests", f"v$v%05d.json"))
-      val inManifest = "v\\d{5}-part\\d{5}\\.parquet".r.findAllIn(m).toSet
+      val inManifest = "g[0-9a-f]{8}-part\\d{5}\\.parquet".r.findAllIn(m).toSet
       assert(Snapshots.statsFor(table, v).keySet == inManifest,
         s"v$v stats out of sync with its manifest")
     }
