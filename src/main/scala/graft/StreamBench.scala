@@ -195,7 +195,37 @@ object StreamBench {
       // Welford triple + the open bucket per ACTIVE type — single digits,
       // however many rows stream through.
       run[Event]("anomaly", event)(in =>
-        Streams.anomalyStream(spark, in.toDS(), ttlSeconds = 7200).toDF()))
+        Streams.anomalyStream(spark, in.toDS(), ttlSeconds = 7200).toDF()),
+      // Snapshot-table tail: the change-feed SOURCE driven by real table
+      // commits (one append-commit per batch). Throughput here is
+      // source+WRITER combined — each batch pays the parquet stage + CAS
+      // commit AND the feed read — which is the honest number: tailing is
+      // gated by commit throughput, the source adds one manifest diff +
+      // bounded file read per batch. Stateless by design (offsets live in
+      // the query checkpoint): state_rows pinned 0.
+      {
+        import graft.sources.Snapshots
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_sb_tail").toString
+        val rows = perBatch
+        var fed = 0L
+        val t0 = System.nanoTime()
+        Snapshots.publish(spark.range(rows).toDF("doc_id"), table)
+        val q = spark.readStream.format("graft-snapshot").load(table)
+          .writeStream.format("noop").outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          fed += rows
+          for (_ <- 1 until batches) {
+            Snapshots.append(
+              spark.range(fed, fed + rows).toDF("doc_id"), table)
+            q.processAllAvailable()
+            fed += rows
+          }
+          Result("snapshot_tail", fed, (System.nanoTime() - t0) / 1e9,
+            0L, 0L, 0L)
+        } finally q.stop()
+      })
 
     val qs = results.map { r =>
       val rps = if (r.secs > 0) r.rows / r.secs else 0.0

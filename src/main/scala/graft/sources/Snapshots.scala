@@ -780,10 +780,14 @@ object Snapshots {
     import org.apache.spark.sql.functions.lit
     val latest = latestVersion(table)
     val to = toVersion.getOrElse(latest)
-    require(fromVersion >= 1 && fromVersion <= to && to <= latest,
+    // fromVersion = 0 is the BOOTSTRAP read: version 1's full content
+    // surfaces as the first step's inserts (the "starting snapshot +
+    // subsequent changes" contract a streaming consumer needs).
+    require(fromVersion >= 0 && fromVersion <= to && to <= latest,
       s"change range ($fromVersion, $to] outside committed range [1, $latest]")
     val steps = ((fromVersion + 1) to to).flatMap { v =>
-      val prevF = manifestFiles(table, v - 1).toSet
+      val prevF =
+        if (v == 1) Set.empty[String] else manifestFiles(table, v - 1).toSet
       val curF = manifestFiles(table, v).toSet
       val added = (curF -- prevF).toSeq.sorted
       val removed = (prevF -- curF).toSeq.sorted
@@ -825,6 +829,33 @@ object Snapshots {
     require(v >= 1, s"$table has no committed version")
     readFiles(spark, table, v, manifestFiles(table, v))
   }
+
+  /** TIMESTAMP time travel — resolve the newest version whose commit
+    * record was written at or before `asOfMillis` (manifest file mtime,
+    * exactly Delta's TIMESTAMP AS OF mechanics, with the same honest
+    * caveats: wall-clock resolution is the filesystem's, and under
+    * concurrent commits two adjacent versions can share a millisecond —
+    * ties resolve to the HIGHEST qualifying version, the serialization
+    * order). Vacuumed versions no longer qualify (their manifests are
+    * gone); a timestamp before the oldest retained commit fails loudly.
+    */
+  def versionAsOf(table: String, asOfMillis: Long): Int = {
+    val latest = latestVersion(table)
+    require(latest >= 1, s"$table has no committed version")
+    val ok = (1 to latest).filter { v =>
+      val p = manifestPath(table, v)
+      Files.exists(p) && Files.getLastModifiedTime(p).toMillis <= asOfMillis
+    }
+    require(ok.nonEmpty,
+      s"no retained version of $table was committed at or before " +
+        s"$asOfMillis (oldest retained commit is newer, or the range " +
+        "was vacuumed)")
+    ok.max
+  }
+
+  /** `SELECT ... TIMESTAMP AS OF` — [[read]] at [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, table: String, asOfMillis: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(table, asOfMillis)))
 
   /** VACUUM — the lifecycle step correctness deliberately leaves out of
     * the commit path: drop manifests older than the newest `retainLast`

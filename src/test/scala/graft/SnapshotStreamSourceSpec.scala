@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Snapshots
+
+/** The snapshot table as a Structured Streaming SOURCE: offsets are
+  * committed version numbers, micro-batches serve the change feed, and
+  * exactly-once falls out of the checkpointed offset log because
+  * `changesBetween` is a pure function of immutable manifests (replay
+  * re-derives identical rows). These tests drive the REAL streaming
+  * machinery — readStream through MicroBatchExecution into a memory
+  * sink — not the source class in isolation.
+  */
+class SnapshotStreamSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+    .select(col("doc_id"), col("n_chars"))
+
+  private def feedRows(name: String): Set[(Long, Long, String, Long)] =
+    spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2), r.getLong(3))).toSet
+
+  test("tailing delivers the bootstrap snapshot, then each commit's " +
+      "exact change set") {
+    val table = Files.createTempDirectory("graft_tail1").toString
+    Snapshots.publish(docs.repartitionByRange(4, col("doc_id")), table)
+
+    val q = spark.readStream.format("graft-snapshot").load(table)
+      .writeStream.format("memory").queryName("snap_tail1")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val orig = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // Bootstrap: v1's full content as inserts.
+      assert(feedRows("snap_tail1") ==
+        orig.map { case (d, n) => (d, n, "insert", 1L) }.toSet)
+
+      // Two more commits while the stream runs: a delete and a merge.
+      Snapshots.deleteWhere(spark, table, col("doc_id") < 50)          // v2
+      Snapshots.merge(spark, table,
+        docs.filter(col("doc_id").between(50, 54))
+          .select(col("doc_id"), (col("n_chars") + 1000L).as("n_chars")),
+        "doc_id")                                                      // v3
+      q.processAllAvailable()
+
+      val expect =
+        orig.map { case (d, n) => (d, n, "insert", 1L) }.toSet ++
+        orig.filter(_._1 < 50).map { case (d, n) =>
+          (d, n, "delete", 2L) }.toSet ++
+        orig.filter(k => k._1 >= 50 && k._1 <= 54).flatMap { case (d, n) =>
+          Seq((d, n, "delete", 3L), (d, n + 1000L, "insert", 3L)) }.toSet
+      assert(feedRows("snap_tail1") == expect)
+    } finally q.stop()
+  }
+
+  test("exactly-once across restart: the checkpointed offset resumes, " +
+      "nothing re-delivered, nothing lost") {
+    val table = Files.createTempDirectory("graft_tail2").toString
+    val cp = Files.createTempDirectory("graft_tail2_cp").toString
+    val out = Files.createTempDirectory("graft_tail2_out").toString
+    Snapshots.publish(docs.filter(col("doc_id") < 100), table)         // v1
+
+    // A RECOVERABLE sink (file), because recovery is the point here.
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-snapshot").load(table)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 100)
+
+    // Commits land while the consumer is DOWN...
+    Snapshots.append(docs.filter(col("doc_id") >= 100
+      && col("doc_id") < 110), table)                                  // v2
+    Snapshots.deleteWhere(spark, table, col("doc_id") === 5L)          // v3
+
+    // ...and the restarted query (same checkpoint) delivers EXACTLY the
+    // missed range: the final output holds every change ONCE — a
+    // re-delivery would duplicate the v1 bootstrap, a gap would lose
+    // v2/v3.
+    run()
+    val result = spark.read.parquet(out)
+    assert(result.count() == 100 + 10 + 1)
+    assert(result.groupBy(col("doc_id"), col("_change_type"),
+      col("_commit_version")).count().filter(col("count") > 1)
+      .count() == 0, "restart re-delivered already-committed offsets")
+    assert(result.filter(col("_commit_version") === 2L).count() == 10)
+    assert(result.filter(col("_commit_version") === 3L
+      && col("_change_type") === "delete").count() == 1)
+  }
+
+  test("startingVersion=latest tails only future commits") {
+    val table = Files.createTempDirectory("graft_tail3").toString
+    Snapshots.publish(docs.filter(col("doc_id") < 200), table)         // v1
+    Snapshots.deleteWhere(spark, table, col("doc_id") < 10)            // v2
+
+    val q = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "latest").load(table)
+      .writeStream.format("memory").queryName("snap_tail3")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_tail3").count() == 0,
+        "history leaked past startingVersion=latest")
+      Snapshots.append(docs.filter(col("doc_id") === 300L), table)     // v3
+      q.processAllAvailable()
+      assert(feedRows("snap_tail3").map(r => (r._1, r._3, r._4)) ==
+        Set((300L, "insert", 3L)))
+    } finally q.stop()
+  }
+}

@@ -503,6 +503,40 @@ class SnapshotsSpec extends AnyFunSuite {
       .filter(col("doc_id") >= 5000000L).count() == 2)
   }
 
+  test("TIMESTAMP AS OF resolves on manifest commit times") {
+    import java.nio.file.attribute.FileTime
+    val table = Files.createTempDirectory("graft_snap_asof").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Snapshots.publish(docs.filter(col("doc_id") < 100), table)   // v1
+    Snapshots.publish(docs.filter(col("doc_id") < 200), table)   // v2
+    Snapshots.publish(docs.filter(col("doc_id") < 300), table)   // v3
+    // Pin synthetic commit times (deterministic — no sleeps): the
+    // resolver reads manifest mtimes, which is exactly Delta's
+    // TIMESTAMP AS OF mechanics.
+    for ((v, t) <- Seq(1 -> 1000L, 2 -> 2000L, 3 -> 3000L))
+      Files.setLastModifiedTime(
+        Paths.get(table, "_manifests", f"v$v%05d.json"),
+        FileTime.fromMillis(t))
+
+    assert(Snapshots.versionAsOf(table, 1000L) == 1) // inclusive bound
+    assert(Snapshots.versionAsOf(table, 1999L) == 1)
+    assert(Snapshots.versionAsOf(table, 2500L) == 2)
+    assert(Snapshots.versionAsOf(table, 999999L) == 3)
+    assert(ids(Snapshots.readAsOf(spark, table, 2500L)) ==
+      ids(docs.filter(col("doc_id") < 200)))
+    // Before the first commit: loud.
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(table, 999L)
+    }
+    // Vacuumed versions no longer qualify — a pre-retention timestamp
+    // fails loudly instead of silently resolving to a wrong version.
+    Snapshots.vacuum(table, retainLast = 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(table, 2500L)
+    }
+    assert(Snapshots.versionAsOf(table, 999999L) == 3)
+  }
+
   test("vacuum expires schema metadata with its manifest") {
     import org.apache.spark.sql.types.{DoubleType, StructField}
     val table = Files.createTempDirectory("graft_snap_evo3").toString

@@ -160,10 +160,14 @@ class SnapshotsStatsSpec extends AnyFunSuite {
     assert(empty.count() == 0)
     assert(empty.columns.contains("_change_type"))
 
-    // An empty range [from, from] is legal and empty; out-of-range loud.
+    // An empty range [from, from] is legal and empty; from=0 is the
+    // BOOTSTRAP read (v1's content as inserts); out-of-range loud.
     assert(Snapshots.changesBetween(spark, table, 5).count() == 0)
+    val boot = Snapshots.changesBetween(spark, table, 0, Some(1))
+    assert(boot.filter(col("_change_type") === "insert").count() ==
+      boot.count() && boot.count() == 500)
     intercept[IllegalArgumentException] {
-      Snapshots.changesBetween(spark, table, 0)
+      Snapshots.changesBetween(spark, table, -1)
     }
     intercept[IllegalArgumentException] {
       Snapshots.changesBetween(spark, table, 2, Some(99))
