@@ -722,14 +722,28 @@ object Snapshots {
     * TSV, not N footers.
     */
   def pruneFiles(table: String, column: String, lo: Long, hi: Long,
+      version: Option[Int] = None): (Seq[String], Seq[String]) =
+    pruneFilesMulti(table, Seq((column, lo, hi)), version)
+
+  /** Multi-dimensional [[pruneFiles]]: a file survives only if its stats
+    * overlap EVERY (column, lo, hi) range (conjunctive predicate). This
+    * is where the [[compactZ]] Morton layout pays off: a Z-ordered
+    * table's files bound BOTH curve dimensions tightly, so a 2-D range
+    * probe skips on whichever dimension excludes the file — the
+    * single-dimension range layout can only ever skip on its sort key.
+    */
+  def pruneFilesMulti(table: String, ranges: Seq[(String, Long, Long)],
       version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    require(ranges.nonEmpty, "at least one (column, lo, hi) range")
     val v = version.getOrElse(latestVersion(table))
     val stats = statsFor(table, v)
     manifestFiles(table, v).partition { n =>
-      stats.get(n).flatMap(_.get(column)) match {
-        case Some(("L", mn, mx)) => !(mx.toLong < lo || mn.toLong > hi)
-        case Some((_, mn, mx)) => !(mx.toDouble < lo || mn.toDouble > hi)
-        case None => true // no stats: cannot prove non-overlap, keep
+      ranges.forall { case (column, lo, hi) =>
+        stats.get(n).flatMap(_.get(column)) match {
+          case Some(("L", mn, mx)) => !(mx.toLong < lo || mn.toLong > hi)
+          case Some((_, mn, mx)) => !(mx.toDouble < lo || mn.toDouble > hi)
+          case None => true // no stats: cannot prove non-overlap, keep
+        }
       }
     }
   }
@@ -742,16 +756,27 @@ object Snapshots {
     * lists or opens a skipped file.
     */
   def readRange(spark: SparkSession, table: String, column: String,
-      lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
+      lo: Long, hi: Long, version: Option[Int] = None): DataFrame =
+    readRanges(spark, table, Seq((column, lo, hi)), version)
+
+  /** Conjunctive multi-range read over [[pruneFilesMulti]]'s kept files,
+    * with every range applied as a residual row filter. On a Z-ordered
+    * table this is the 2-D point/box query the Morton layout exists for.
+    */
+  def readRanges(spark: SparkSession, table: String,
+      ranges: Seq[(String, Long, Long)],
+      version: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val v = version.getOrElse(latestVersion(table))
     require(v >= 1, s"$table has no committed version")
-    val (keep, _) = pruneFiles(table, column, lo, hi, Some(v))
+    val (keep, _) = pruneFilesMulti(table, ranges, Some(v))
     if (keep.isEmpty) {
       val sch = tableSchema(table, v).getOrElse(read(spark, table, Some(v)).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
-    } else readFiles(spark, table, v, keep)
-      .filter(col(column) >= lo && col(column) <= hi)
+    } else ranges.foldLeft(readFiles(spark, table, v, keep)) {
+      case (df, (column, lo, hi)) =>
+        df.filter(col(column) >= lo && col(column) <= hi)
+    }
   }
 
   /** CHANGE DATA FEED: the rows that changed AFTER `fromVersion`, up to

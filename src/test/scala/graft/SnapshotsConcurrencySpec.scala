@@ -117,6 +117,57 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
       s"an acknowledged schema change was lost: $finalSchema")
   }
 
+  test("seeded concurrent publish/append mixes serialize: every version " +
+      "is one writer's whole operation") {
+    import spark.implicits._
+    // Property fuzz over RACING schedules (the single-writer lifecycle
+    // fuzz lives in SnapshotsFuzzSpec): random mixes of blind ops race
+    // from one latch, then the committed HISTORY must be explainable as
+    // a serial order — each version is exactly one append's delta over
+    // its predecessor or exactly one publish's frame, with every writer
+    // appearing exactly once. Seed-windowed like the other fuzz suites
+    // (tools/stress.sh varies SPARK_GRAFT_STRESS_SEED).
+    for (w <- 0 until 3) {
+      val seed = SparkTestBase.stressSeed * 100 + w
+      val rnd = new scala.util.Random(seed)
+      val table = Files.createTempDirectory(s"graft_concfuzz_$seed").toString
+      Snapshots.publish(Seq(-1L).toDF("doc_id"), table)            // v1
+      val nWriters = 4
+      val ops: Seq[(String, Set[Long])] = (0 until nWriters).map { i =>
+        val n = 3 + rnd.nextInt(3)
+        val idSet = ((i * 1000 + 1) to (i * 1000 + n)).map(_.toLong).toSet
+        (if (rnd.nextBoolean()) "append" else "publish") -> idSet
+      }
+      val results = race(ops.map { case (kind, s) => () =>
+        val df = s.toSeq.sorted.toDF("doc_id")
+        if (kind == "append") Snapshots.append(df, table)
+        else Snapshots.publish(df, table)
+      })
+      results.foreach(r => assert(r.isSuccess,
+        s"seed=$seed: blind op failed: $r"))
+
+      val latest = Snapshots.latestVersion(table)
+      assert(latest == 1 + nWriters, s"seed=$seed: version gap")
+      val appendSets = ops.filter(_._1 == "append").map(_._2)
+      val publishSets = ops.filter(_._1 == "publish").map(_._2)
+      var used = List.empty[Set[Long]]
+      var prev = ids(Snapshots.read(spark, table, Some(1)))
+      for (v <- 2 to latest) {
+        val cur = ids(Snapshots.read(spark, table, Some(v)))
+        val delta = cur -- prev
+        val asAppend = prev.subsetOf(cur) && appendSets.contains(delta) &&
+          !used.contains(delta)
+        val asPublish = publishSets.contains(cur) && !used.contains(cur)
+        assert(asAppend || asPublish,
+          s"seed=$seed: v$v is not one writer's whole operation " +
+            s"(cur=$cur, prev=$prev)")
+        used ::= (if (asAppend) delta else cur)
+        prev = cur
+      }
+      assert(used.size == nWriters, s"seed=$seed: a writer never landed")
+    }
+  }
+
   test("racing appendBatch replays of the SAME batch: exactly one commits") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_conc4").toString

@@ -115,6 +115,45 @@ class SnapshotsStatsSpec extends AnyFunSuite {
     assert(Snapshots.statsFor(table, 4).nonEmpty)
   }
 
+  test("multi-range pruning on a Z-ordered table skips on both dimensions") {
+    val table = Files.createTempDirectory("graft_stats_z").toString
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"))
+    Snapshots.publish(ev.repartition(8), table)
+    Snapshots.compactZ(spark, table, 8,
+      col("user_id") * 256, col("event_id") % 65536)
+
+    val r = ev.agg(org.apache.spark.sql.functions.min(col("user_id")),
+      org.apache.spark.sql.functions.max(col("user_id")),
+      org.apache.spark.sql.functions.min(col("event_id")),
+      org.apache.spark.sql.functions.max(col("event_id"))).collect()(0)
+    val (uMin, uMax, eMin, eMax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def band(lo: Long, hi: Long): (Long, Long) =
+      (lo + (hi - lo) * 3 / 8, lo + (hi - lo) * 5 / 8)
+    val (u0, u1) = band(uMin, uMax)
+    val (e0, e1) = band(eMin, eMax)
+    val ranges = Seq(("user_id", u0, u1), ("event_id", e0, e1))
+
+    // The 2-D box must skip files — that is what the Morton layout buys
+    // (a 1-D range layout could only ever skip on its sort key) — and
+    // the conjunctive prune is at least as tight as either dimension.
+    val (keepM, skipM) = Snapshots.pruneFilesMulti(table, ranges)
+    assert(skipM.nonEmpty, "2-D box skipped nothing on the Z layout")
+    val (keepU, _) = Snapshots.pruneFiles(table, "user_id", u0, u1)
+    val (keepE, _) = Snapshots.pruneFiles(table, "event_id", e0, e1)
+    assert(keepM.size <= math.min(keepU.size, keepE.size))
+
+    // Row-identical to the full-scan conjunctive filter.
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("event_id"), col("user_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(rows(Snapshots.readRanges(spark, table, ranges)) ==
+      rows(Snapshots.read(spark, table)
+        .filter(col("user_id").between(u0, u1)
+          && col("event_id").between(e0, e1))))
+  }
+
   test("changesBetween replays deletes, updates, and inserts; carried " +
       "rows cancel") {
     val table = Files.createTempDirectory("graft_cdf1").toString

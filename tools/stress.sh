@@ -14,7 +14,8 @@ N=${1:-5}
 SUITES="graft.MapReduceGoldenSpec graft.CrashRecoverySpec \
 graft.SchedulerIntrospectionSpec graft.StreamsSpec graft.KvStreamSpec \
 graft.CdcSpec graft.KvLinearizabilitySpec graft.DeterminismSpec \
-graft.SnapshotsFuzzSpec"
+graft.SnapshotsFuzzSpec graft.SnapshotsConcurrencySpec \
+graft.SnapshotStreamSourceSpec"
 for i in $(seq 1 "$N"); do
   parts=$((2 + (i * 7) % 15))
   echo "=== stress trial $i/$N (seed window $i, shuffle.partitions $parts) ==="
