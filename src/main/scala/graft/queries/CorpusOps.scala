@@ -927,6 +927,62 @@ object CorpusOps {
           sum(col("n_chars")).cast("long").as("sum_chars"))
     })
 
+  val zorderPrunedScan = Q(
+    "src_zorder_pruned_scan",
+    "TWO-DIMENSIONAL FILE SKIPPING ON A Z-ORDERED TABLE — the payoff " +
+      "query of the Morton layout: src_stats_pruned_scan's 1-D range " +
+      "prune can only skip on the table's one sort key, while a " +
+      "Z-ordered table's files bound BOTH curve dimensions, so a 2-D " +
+      "box probe (Snapshots.readRanges, conjunctive per-file min/max " +
+      "overlap on EVERY range) skips a file on whichever dimension " +
+      "excludes it. The pipeline is the full production shape run " +
+      "end-to-end: events is published into a snapshot table carrying " +
+      "min/max-NORMALIZED curve keys (computed in-plan via a 1-row " +
+      "aggregate broadcast cross at write time — raw ids fill a " +
+      "fraction of 16 bits and would starve one dimension's high " +
+      "bits), compactZ commits the Morton layout as a new version, and " +
+      "the read plans a (user_id, event_id) box from the manifest " +
+      "stats alone before Spark lists or opens a file. " +
+      "SnapshotsStatsSpec pins the skip laws (2-D prune skips files " +
+      "the layout localizes, is at least as tight as either single " +
+      "dimension, and is row-identical to the full-scan conjunctive " +
+      "filter); the oracle applies the same box to the raw table, so " +
+      "a wrongly skipped file (row loss) or an inclusive/exclusive " +
+      "bound error shows up as drift. At 100 TB this is the " +
+      "two-predicate dashboard/point-lookup pattern: O(box-overlapping " +
+      "files) instead of O(table).",
+    Some("""
+      SELECT user_id, count(*)::BIGINT AS n_events,
+             sum(event_id)::BIGINT AS sum_eid
+      FROM events
+      WHERE user_id BETWEEN 3 AND 9 AND event_id BETWEEN 100 AND 799
+      GROUP BY user_id""".stripMargin),
+    (spark, dir) => {
+      import graft.sources.Snapshots
+      import org.apache.spark.sql.functions.broadcast
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_zprune_q").toString
+      val raw = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"))
+      // Write-time normalization: order-preserving min/max scale of each
+      // dimension into the full 16-bit range morton2 interleaves (the
+      // same 1-row stats cross src_zorder_layout documents; it runs once
+      // at publish, so the READ plan below contains no cross at all).
+      val mm = raw.agg(min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
+        min(col("event_id")).as("e0"), max(col("event_id")).as("e1"))
+      val scaled = raw.crossJoin(broadcast(mm))
+        .select(col("event_id"), col("user_id"),
+          expr("(user_id - u0) * 65535 div greatest(u1 - u0, 1)").as("zu"),
+          expr("(event_id - e0) * 65535 div greatest(e1 - e0, 1)").as("ze"))
+      Snapshots.publish(scaled.repartition(8), table)
+      Snapshots.compactZ(spark, table, 8, col("zu"), col("ze"))
+      Snapshots.readRanges(spark, table,
+          Seq(("user_id", 3L, 9L), ("event_id", 100L, 799L)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("event_id")).cast("long").as("sum_eid"))
+    })
+
   val urlFilter = Q(
     "src_url_filter",
     "URL/DOMAIN FILTERING — the provenance gate every published web " +
@@ -1262,5 +1318,5 @@ object CorpusOps {
     bloomIncremental, upsert, cmsTopk, warcIngest, urlFilter,
     webdatasetIngest, zipIngest, dsirSelect, zorderLayout, novelty,
     snapshotMerge, schemaEvolution, bucketedJoin, incrementalAgg,
-    changeFeed, statsPrunedScan)
+    changeFeed, statsPrunedScan, zorderPrunedScan)
 }

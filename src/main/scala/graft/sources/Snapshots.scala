@@ -246,16 +246,25 @@ object Snapshots {
       }
   }
 
-  /** Footer-read min/max for one data file's numeric top-level columns.
-    * Row-group stats combine per column; a column whose every chunk is
-    * null-only (or non-numeric) gets no entry and is never pruned on.
-    * NULL rows can't satisfy a range predicate, so min/max over non-null
-    * values alone is a sound pruning bound.
+  /** Footer-read min/max for one data file's numeric and string
+    * top-level columns. Row-group stats combine per column; a column
+    * whose every chunk is null-only (or an unsupported type) gets no
+    * entry and is never pruned on. NULL rows can't satisfy a range or
+    * equality predicate, so min/max over non-null values alone is a
+    * sound pruning bound.
+    *
+    * String (UTF8 BINARY) stats are tagged `S` and stored Base64-encoded
+    * (tab/newline-safe in the TSV); their order is parquet-mr's UNSIGNED
+    * lexicographic byte comparator, and all consumers compare the same
+    * way ([[bytesCompare]]). parquet-mr may TRUNCATE long binary stats —
+    * min truncates down, max truncates up — which widens the bound and
+    * stays sound for pruning.
     */
   private def footerStats(p: Path): Map[String, (String, String, String)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri),
       new org.apache.hadoop.conf.Configuration())
@@ -272,18 +281,46 @@ object Snapshots {
             case DOUBLE | FLOAT =>
               Some((c.getPath.toDotString,
                 ("D", s.genericGetMin.toString, s.genericGetMax.toString)))
+            case BINARY if c.getPrimitiveType.getLogicalTypeAnnotation ==
+                LogicalTypeAnnotation.stringType() =>
+              val b64 = java.util.Base64.getEncoder
+              Some((c.getPath.toDotString, ("S",
+                b64.encodeToString(
+                  s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes),
+                b64.encodeToString(
+                  s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))))
             case _ => None
           }
         }
       }
       perChunk.groupBy(_._1).map { case (col, chunks) =>
         val tag = chunks.head._2._1
-        def num(x: String) = BigDecimal(x)
-        col -> ((tag,
-          chunks.map(c => num(c._2._2)).min.bigDecimal.toPlainString,
-          chunks.map(c => num(c._2._3)).max.bigDecimal.toPlainString))
+        if (tag == "S") {
+          val b64 = java.util.Base64.getDecoder
+          def bytes(x: String) = b64.decode(x)
+          val ord = new Ordering[String] {
+            def compare(a: String, b: String) = bytesCompare(bytes(a), bytes(b))
+          }
+          col -> ((tag, chunks.map(_._2._2).min(ord), chunks.map(_._2._3).max(ord)))
+        } else {
+          def num(x: String) = BigDecimal(x)
+          col -> ((tag,
+            chunks.map(c => num(c._2._2)).min.bigDecimal.toPlainString,
+            chunks.map(c => num(c._2._3)).max.bigDecimal.toPlainString))
+        }
       }.toMap
     } finally reader.close()
+  }
+
+  /** Unsigned lexicographic byte comparison — parquet's UTF8 stat order. */
+  private def bytesCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
   }
 
   private def writeStats(table: String, v: Int, names: Seq[String]): Unit = {
@@ -741,6 +778,7 @@ object Snapshots {
       ranges.forall { case (column, lo, hi) =>
         stats.get(n).flatMap(_.get(column)) match {
           case Some(("L", mn, mx)) => !(mx.toLong < lo || mn.toLong > hi)
+          case Some(("S", _, _)) => true // string stat, numeric range: keep
           case Some((_, mn, mx)) => !(mx.toDouble < lo || mn.toDouble > hi)
           case None => true // no stats: cannot prove non-overlap, keep
         }
@@ -777,6 +815,50 @@ object Snapshots {
       case (df, (column, lo, hi)) =>
         df.filter(col(column) >= lo && col(column) <= hi)
     }
+  }
+
+  /** STRING-EQUALITY file pruning — the `lang = 'en'` point-read shape a
+    * corpus table serves constantly. A file is skipped when the predicate
+    * value falls outside its recorded UTF8 [min,max] under the SAME
+    * unsigned-byte order parquet used to compute them ([[bytesCompare]]
+    * both sides — mixing orderings here is the classic stats-pruning
+    * correctness bug). Files with no string stat for the column (legacy
+    * version, all-null chunk set) are kept conservatively; a NULL
+    * predicate value matches nothing and is rejected loudly.
+    */
+  def pruneFilesEq(table: String, column: String, value: String,
+      version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    require(value != null, "equality pruning on NULL matches no row")
+    val v = version.getOrElse(latestVersion(table))
+    val stats = statsFor(table, v)
+    val vb = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b64 = java.util.Base64.getDecoder
+    manifestFiles(table, v).partition { n =>
+      stats.get(n).flatMap(_.get(column)) match {
+        case Some(("S", mn, mx)) =>
+          bytesCompare(vb, b64.decode(mn)) >= 0 &&
+            bytesCompare(vb, b64.decode(mx)) <= 0
+        case _ => true // numeric/absent stat: cannot prove exclusion, keep
+      }
+    }
+  }
+
+  /** Point read `column = value` over [[pruneFilesEq]]'s kept files with
+    * the equality as the residual row filter. On a table clustered on
+    * `column` (e.g. [[compact]] range layout) this opens O(matching
+    * files); unclustered layouts degrade to a full scan, never to a
+    * wrong answer.
+    */
+  def readEq(spark: SparkSession, table: String, column: String,
+      value: String, version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = version.getOrElse(latestVersion(table))
+    require(v >= 1, s"$table has no committed version")
+    val (keep, _) = pruneFilesEq(table, column, value, Some(v))
+    if (keep.isEmpty) {
+      val sch = tableSchema(table, v).getOrElse(read(spark, table, Some(v)).schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    } else readFiles(spark, table, v, keep).filter(col(column) === value)
   }
 
   /** CHANGE DATA FEED: the rows that changed AFTER `fromVersion`, up to

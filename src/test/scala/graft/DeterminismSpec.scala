@@ -62,7 +62,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_events_scd2" -> sfSmoke,       // ordered change detection + lead chain (r7)
     "sim_topk_ivfpq_residual" -> sfSmoke, // per-cell LUT ADC ranking ties (r7)
     "src_change_feed" -> sfSmoke,     // exceptAll bag-difference layout (r8)
-    "src_stats_pruned_scan" -> sfSmoke) // file pruning + residual filter (r8)
+    "src_stats_pruned_scan" -> sfSmoke, // file pruning + residual filter (r8)
+    "src_zorder_pruned_scan" -> sfSmoke) // 2-D Morton prune + residual box (r8)
 
   private def runAt(name: String, dir: String, partitions: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -154,6 +154,49 @@ class SnapshotsStatsSpec extends AnyFunSuite {
           && col("event_id").between(e0, e1))))
   }
 
+  test("string-equality pruning skips files on a lang-clustered table " +
+      "and stays row-identical") {
+    val table = Files.createTempDirectory("graft_stats_s").toString
+    Snapshots.publish(docs.repartitionByRange(6, col("lang"), col("doc_id")),
+      table)
+
+    // String stats recorded (tag S) for the lang column on every file.
+    val stats = Snapshots.statsFor(table, 1)
+    assert(stats.values.forall(_.get("lang").exists(_._1 == "S")),
+      "lang string stats missing from some file")
+
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(langs.length >= 3, s"need a multi-lang corpus, got ${langs.toSeq}")
+    var skippedAny = false
+    for (l <- langs) {
+      val (keep, skip) = Snapshots.pruneFilesEq(table, "lang", l)
+      skippedAny ||= skip.nonEmpty
+      // Row-identical to the full-scan filter — a wrongly skipped file
+      // is row LOSS, the one unforgivable stats-pruning failure.
+      assert(ids(Snapshots.readEq(spark, table, "lang", l)) ==
+        ids(Snapshots.read(spark, table).filter(col("lang") === l)),
+        s"readEq($l) drifted from the full-scan filter")
+      assert(keep.nonEmpty, s"every file pruned for present lang $l")
+    }
+    assert(skippedAny,
+      "no lang value skipped any file on a lang-clustered 6-file table")
+
+    // A value absent from the corpus prunes everything (empty frame,
+    // schema preserved) — and never errors.
+    val none = Snapshots.readEq(spark, table, "lang", "zz-absent")
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("doc_id", "lang", "n_chars"))
+
+    // Numeric range pruning is unaffected by the string stat rows, and
+    // a numeric-range probe of a STRING column keeps conservatively.
+    val (k0, s0) = Snapshots.pruneFilesEq(table, "lang", langs.head)
+    val total = k0.size + s0.size
+    val (keepN, _) = Snapshots.pruneFilesMulti(table, Seq(("lang", 0L, 1L)))
+    assert(keepN.size == total,
+      "numeric range over a string column must keep every file")
+  }
+
   test("changesBetween replays deletes, updates, and inserts; carried " +
       "rows cancel") {
     val table = Files.createTempDirectory("graft_cdf1").toString
