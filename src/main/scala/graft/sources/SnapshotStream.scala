@@ -24,6 +24,17 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    "initial snapshot + subsequent changes" contract), `latest`
   *    resolves to the current version at stream start (tail only
   *    future commits).
+  *  - `maxVersionsPerBatch` (default unbounded): ADMISSION CONTROL —
+  *    cap how many committed versions one micro-batch may cover (the
+  *    Kafka `maxOffsetsPerTrigger` / Delta `maxFilesPerTrigger` knob).
+  *    Without it, a consumer resuming after long downtime gets ONE
+  *    batch spanning its whole lag — at 100 TB that is an unbounded
+  *    shuffle where the operator wanted a paced catch-up. The cap's
+  *    high-water mark persists in the query's checkpoint (metadataPath),
+  *    so pacing survives restart; a crash between the mark and the
+  *    engine's own offset log at worst widens one batch to two caps'
+  *    worth — batch BOUNDS always come from the engine's log, so
+  *    exactly-once is untouched.
   *
   * Contracts, stated honestly (all Delta-CDF-shaped):
   *  - VACUUM RETENTION bounds consumer lag: a restart that asks for a
@@ -61,7 +72,10 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
       case Some(v) => v.toInt
       case None => 0
     }
-    new SnapshotChangesSource(sqlContext, table, starting)
+    val cap = parameters.get("maxVersionsPerBatch").map(_.toInt)
+      .getOrElse(Int.MaxValue)
+    require(cap >= 1, s"maxVersionsPerBatch must be >= 1, got $cap")
+    new SnapshotChangesSource(sqlContext, table, starting, cap, metadataPath)
   }
 }
 
@@ -91,16 +105,47 @@ object SnapshotSourceProvider {
   * both (replay-identical by construction).
   */
 class SnapshotChangesSource(sqlContext: SQLContext, table: String,
-    startingVersion: Int) extends Source {
+    startingVersion: Int, maxVersionsPerBatch: Int = Int.MaxValue,
+    metadataPath: String = "") extends Source {
 
   private val declared = SnapshotSourceProvider.feedSchema(table)
 
   override def schema: StructType = declared
 
+  /** Pacing high-water mark: the highest version this source has OFFERED
+    * as a batch end. Persisted in the query's checkpoint (metadataPath)
+    * so the cap keeps pacing across restart — without it a restarted
+    * source would re-offer `committed + cap` from scratch, which is
+    * still correct (bounds come from the engine's offset log) but could
+    * momentarily widen a batch. The mark is advisory, never a
+    * correctness input: getBatch serves exactly the (start, end] the
+    * ENGINE asks for, whatever the mark says.
+    */
+  private def hwmFile: Option[java.nio.file.Path] =
+    if (metadataPath.isEmpty || maxVersionsPerBatch == Int.MaxValue) None
+    else Some(java.nio.file.Paths.get(
+      metadataPath.stripPrefix("file:")).resolve("graft-pacing-hwm"))
+
+  private def readHwm(): Int = hwmFile match {
+    case Some(p) if java.nio.file.Files.exists(p) =>
+      java.nio.file.Files.readString(p).trim.toInt
+    case _ => startingVersion
+  }
+
+  private def writeHwm(v: Int): Unit = hwmFile.foreach { p =>
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, v.toString)
+  }
+
   override def getOffset: Option[V1Offset] = {
     val latest = Snapshots.latestVersion(table)
-    if (latest <= math.max(startingVersion, 0)) None
-    else Some(LongOffset(latest.toLong))
+    val cur = math.max(math.max(startingVersion, 0), readHwm())
+    if (latest <= cur) None
+    else {
+      val next = math.min(latest.toLong, cur.toLong + maxVersionsPerBatch).toInt
+      if (next > cur) writeHwm(next)
+      Some(LongOffset(next.toLong))
+    }
   }
 
   private def versionOf(o: V1Offset): Int = o match {
@@ -111,6 +156,10 @@ class SnapshotChangesSource(sqlContext: SQLContext, table: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
+    // A restart replay can carry an engine-logged end beyond our mark
+    // (crash between the engine's offset write and ours): re-sync so the
+    // next getOffset paces from what was actually served.
+    if (to > readHwm()) writeHwm(to)
     val feed = Snapshots.changesBetween(
       sqlContext.sparkSession, table, from, Some(to))
     // Bind to the DECLARED schema: steps that predate an evolved column

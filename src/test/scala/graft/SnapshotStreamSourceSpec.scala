@@ -96,6 +96,51 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       && col("_change_type") === "delete").count() == 1)
   }
 
+  test("maxVersionsPerBatch paces catch-up into capped micro-batches, " +
+      "and the pacing survives restart") {
+    val table = Files.createTempDirectory("graft_tail4").toString
+    val cp = Files.createTempDirectory("graft_tail4_cp").toString
+    val out = Files.createTempDirectory("graft_tail4_out").toString
+    Snapshots.publish(docs.filter(col("doc_id") < 10), table)          // v1
+    for (i <- 0 until 4)                                               // v2..v5
+      Snapshots.append(docs.filter(col("doc_id") === (10L + i)), table)
+
+    def offsetsLogged(): Int = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(cp, "offsets"))
+      try s.iterator().asScala.count(_.getFileName.toString.forall(_.isDigit))
+      finally s.close()
+    }
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("maxVersionsPerBatch", "2").load(table)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // 5 versions at cap 2 from startingVersion 0 → ends 2, 4, 5: three
+    // micro-batches, never one unbounded catch-up — and the content is
+    // the complete feed regardless of the pacing.
+    assert(offsetsLogged() == 3,
+      s"expected 3 capped batches, offset log has ${offsetsLogged()}")
+    assert(spark.read.parquet(out).count() == 10 + 4)
+
+    // Consumer down, 4 more commits land; the restart (same checkpoint)
+    // paces the missed range too: 5→7, 9 adds two more offset entries.
+    for (i <- 4 until 8)                                               // v6..v9
+      Snapshots.append(docs.filter(col("doc_id") === (10L + i)), table)
+    run()
+    assert(offsetsLogged() == 5,
+      s"restart catch-up not paced: offset log has ${offsetsLogged()}")
+    val result = spark.read.parquet(out)
+    assert(result.count() == 10 + 8)
+    assert(result.groupBy(col("doc_id"), col("_commit_version")).count()
+      .filter(col("count") > 1).count() == 0,
+      "paced restart re-delivered or duplicated rows")
+  }
+
   test("startingVersion=latest tails only future commits") {
     val table = Files.createTempDirectory("graft_tail3").toString
     Snapshots.publish(docs.filter(col("doc_id") < 200), table)         // v1
