@@ -983,6 +983,152 @@ object CorpusOps {
           sum(col("event_id")).cast("long").as("sum_eid"))
     })
 
+  val deletionVectors = Q(
+    "src_deletion_vectors",
+    "MERGE-ON-READ DELETES (DELETION VECTORS) — the modern lakehouse " +
+      "delete shape and the one that matters at 100 TB: copy-on-write " +
+      "(src_snapshot_merge's deleteWhere) rewrites every file that " +
+      "holds a matching row, so deleting one row from a 1 GB file " +
+      "costs a 1 GB rewrite; Snapshots.deleteWhereDV instead commits " +
+      "ONLY a parquet of masked physical addresses (file, row_index " +
+      "from the scan's _metadata column) — O(matched rows) written, " +
+      "ZERO data files moved, fully distributed with no driver row " +
+      "collect — and every reader applies the masks as one left-anti " +
+      "join (AQE-broadcast while deletes are small; a DV-less version " +
+      "reads with zero added operators). The pipeline runs the full " +
+      "lifecycle: documents published range-clustered (v1), two " +
+      "successive DV deletes (v2, v3 — vectors are cumulative and " +
+      "append-shaped: each commit adds one DV parquet, rewriting " +
+      "nothing), an APPEND whose new rows the masks must never touch " +
+      "(v4), then OPTIMIZE (v5) — the bin-packing small-file " +
+      "compaction that PURGES the accumulated masks from the files it " +
+      "rewrites, reading them DV-applied. The query reads the " +
+      "committed latest; the oracle replays both predicates and the " +
+      "append in pure SQL — a mask applied to the wrong file, a " +
+      "row_index off-by-one, a resurrected row after optimize, or a " +
+      "mask leaking onto appended rows all surface as row/hash drift. " +
+      "SnapshotsDvSpec pins the mechanism laws (file list unchanged " +
+      "by a DV commit, time-travel undo, re-delete elision, change-" +
+      "feed attribution, vacuum retention of masks).",
+    Some("""
+      WITH base AS (SELECT doc_id, lang, n_chars FROM documents)
+      SELECT doc_id, lang, n_chars FROM base
+      WHERE doc_id % 10 <> 4 AND n_chars % 7 <> 2
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'zz' AS lang, n_chars
+      FROM base WHERE doc_id % 100 = 7""".stripMargin),
+    (spark, dir) => {
+      import graft.sources.Snapshots
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_dv_q").toString
+      val base = t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.publish(base.repartitionByRange(6, col("doc_id")), table)
+      Snapshots.deleteWhereDV(spark, table, col("doc_id") % 10 === 4)
+      Snapshots.deleteWhereDV(spark, table, col("n_chars") % 7 === 2)
+      val extra = base.filter(col("doc_id") % 100 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("zz").as("lang"), col("n_chars"))
+      Snapshots.append(extra, table)
+      Snapshots.optimize(spark, table, 256L * 1024 * 1024)
+      Snapshots.read(spark, table)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    })
+
+  val metadataCount = Q(
+    "src_metadata_count",
+    "METADATA-ONLY COUNT(*) — the Iceberg/Delta property that a 100 TB " +
+      "table's cardinality is a manifest read, not a scan: every commit " +
+      "records per-file footer row counts and per-file DV-masked " +
+      "counts in the same stats sidecar the range pruner uses, so " +
+      "Snapshots.rowCount answers COUNT(*) for ANY retained version " +
+      "from one small TSV without opening a data file. The table " +
+      "lives four commits — publish (v1), append (v2), a merge-on-" +
+      "read DV delete (v3: counts must SUBTRACT the masked rows " +
+      "without a scan), and OPTIMIZE (v4: rewritten files get fresh " +
+      "footer counts, purged masks must not be double-subtracted) — " +
+      "and the query emits one row per version with its metadata " +
+      "count. The oracle recomputes each version's expected " +
+      "cardinality in pure SQL: a count taken from the wrong " +
+      "version's manifest, a stale masked count surviving a rewrite, " +
+      "or an inherited footer count going missing all break exact " +
+      "equality. SnapshotsDvSpec additionally pins rowCount == " +
+      "read().count() across the whole commit-type matrix.",
+    Some("""
+      WITH base AS (SELECT doc_id FROM documents),
+           n1 AS (SELECT count(*)::BIGINT AS n FROM base),
+           napp AS (SELECT count(*)::BIGINT AS n FROM base
+                    WHERE doc_id % 100 = 7),
+           ndel AS (SELECT count(*)::BIGINT AS n FROM base
+                    WHERE doc_id % 10 = 4)
+      SELECT 1::BIGINT AS version, (SELECT n FROM n1) AS n_rows
+      UNION ALL SELECT 2,
+        (SELECT n FROM n1) + (SELECT n FROM napp)
+      UNION ALL SELECT 3,
+        (SELECT n FROM n1) + (SELECT n FROM napp) - (SELECT n FROM ndel)
+      UNION ALL SELECT 4,
+        (SELECT n FROM n1) + (SELECT n FROM napp) - (SELECT n FROM ndel)
+      """.stripMargin),
+    (spark, dir) => {
+      import graft.sources.Snapshots
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_cnt_q").toString
+      val base = t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.publish(base.repartition(6), table)                  // v1
+      val extra = base.filter(col("doc_id") % 100 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("lang"), col("n_chars"))
+      Snapshots.append(extra, table)                                 // v2
+      Snapshots.deleteWhereDV(spark, table,
+        col("doc_id") % 10 === 4 && col("doc_id") < 1000000L)        // v3
+      Snapshots.optimize(spark, table, 256L * 1024 * 1024)           // v4
+      import spark.implicits._
+      (1 to Snapshots.latestVersion(table)).map { v =>
+        (v.toLong, Snapshots.rowCount(table, Some(v)).get)
+      }.toDF("version", "n_rows")
+    })
+
+  val restoreCommit = Q(
+    "src_restore",
+    "RESTORE AS A COMMIT — the rollback verb that completes the table " +
+      "lifecycle (Delta RESTORE TABLE ... TO VERSION AS OF): a bad " +
+      "write at 100 TB is undone by republishing a retained version's " +
+      "exact state — file list, schema, deletion vectors, constraints " +
+      "— as a NEW metadata-only commit. Zero bytes of data move " +
+      "(files are immutable and shared across manifests), history " +
+      "stays intact (the restore is itself undoable), and readers " +
+      "flip atomically under the same create-if-absent contract as " +
+      "every commit. The pipeline: documents published (v1), a " +
+      "merge-on-read DV delete (v2), an append of rows that later " +
+      "prove unwanted (v3), then RESTORE to v2 (v4) — the query reads " +
+      "the committed latest, and the oracle is v2's exact content: if " +
+      "restore dropped the deletion vectors the masked rows " +
+      "resurrect, if it resolved the wrong version the v3 rows " +
+      "survive, and either breaks the hash. SnapshotsDvSpec " +
+      "additionally pins history intactness, metadata-count " +
+      "consistency after restore, the no-op/out-of-range edges, and " +
+      "the loud failure on a vacuumed target.",
+    Some("""
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id % 10 <> 4""".stripMargin),
+    (spark, dir) => {
+      import graft.sources.Snapshots
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_restore_q").toString
+      val base = t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.publish(base.repartitionByRange(4, col("doc_id")), table)
+      Snapshots.deleteWhereDV(spark, table, col("doc_id") % 10 === 4) // v2
+      val extra = base.filter(col("doc_id") % 100 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("lang"), col("n_chars"))
+      Snapshots.append(extra, table)                                  // v3
+      Snapshots.restore(table, 2)                                     // v4
+      Snapshots.read(spark, table)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    })
+
   val urlFilter = Q(
     "src_url_filter",
     "URL/DOMAIN FILTERING — the provenance gate every published web " +
@@ -1318,5 +1464,6 @@ object CorpusOps {
     bloomIncremental, upsert, cmsTopk, warcIngest, urlFilter,
     webdatasetIngest, zipIngest, dsirSelect, zorderLayout, novelty,
     snapshotMerge, schemaEvolution, bucketedJoin, incrementalAgg,
-    changeFeed, statsPrunedScan, zorderPrunedScan)
+    changeFeed, statsPrunedScan, zorderPrunedScan,
+    deletionVectors, metadataCount, restoreCommit)
 }

@@ -99,19 +99,20 @@ object Snapshots {
   }
 
   /** One committed version's full record: the streaming batch watermark,
-    * the exact file list, the CHECK constraints, and the table schema —
-    * all published by the single atomic create, so none can be observed
-    * without the others.
+    * the exact file list, the CHECK constraints, the DELETION-VECTOR file
+    * list, and the table schema — all published by the single atomic
+    * create, so none can be observed without the others.
     */
   private case class Manifest(batch: Long, files: Seq[String],
-      constraints: Seq[(String, String)], schema: Option[StructType])
+      constraints: Seq[(String, String)], schema: Option[StructType],
+      dvs: Seq[String] = Seq.empty)
 
   /** Wire format (written single-line, parsed positionally — `batch` is a
     * number, file names are [g0-9a-f.-]+, and constraints are base64 (a
     * CHECK expression is free-form SQL that could contain any
-    * delimiter), so the first ',' and the first two '['/']' pairs are
+    * delimiter), so the first ',' and the leading '['/']' pairs are
     * unambiguous; the free-form schema JSON comes LAST):
-    * `{"batch":N,"files":["..."],"checks":["<b64>"],"schema":{...}|null}`
+    * `{"batch":N,"files":[...],"checks":[...],"dvs":[...],"schema":...}`
     */
   private def renderManifest(m: Manifest): String = {
     val files = m.files.map(n => "\"" + n + "\"").mkString("[", ",", "]")
@@ -119,8 +120,10 @@ object Snapshots {
     val checks = m.constraints.map { case (name, e) =>
       "\"" + b64.encodeToString(s"$name\t$e".getBytes("UTF-8")) + "\""
     }.mkString("[", ",", "]")
+    val dvs = m.dvs.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val schema = m.schema.map(_.json).getOrElse("null")
-    s"""{"batch":${m.batch},"files":$files,"checks":$checks,"schema":$schema}"""
+    s"""{"batch":${m.batch},"files":$files,"checks":$checks,""" +
+      s""""dvs":$dvs,"schema":$schema}"""
   }
 
   private def readManifest(table: String, v: Int): Manifest = {
@@ -135,8 +138,10 @@ object Snapshots {
         .stripSuffix("\"")).filter(_.nonEmpty).toSeq, b)
     }
     val (files, filesEnd) = arr(0)
-    val (checksRaw, _) =
+    val (checksRaw, checksEnd) =
       if (s.contains("\"checks\":")) arr(filesEnd) else (Seq.empty, filesEnd)
+    val (dvs, _) =
+      if (s.contains("\"dvs\":")) arr(checksEnd) else (Seq.empty, checksEnd)
     val b64 = java.util.Base64.getDecoder
     val constraints = checksRaw.map { c =>
       val Array(name, e) = new String(b64.decode(c), "UTF-8").split("\t", 2)
@@ -146,8 +151,15 @@ object Snapshots {
     val schema =
       if (schemaJson == "null") None
       else Some(DataType.fromJson(schemaJson).asInstanceOf[StructType])
-    Manifest(batch, files, constraints, schema)
+    Manifest(batch, files, constraints, schema, dvs)
   }
+
+  /** Deletion-vector parquet names committed with version `v` (empty for
+    * pre-DV manifests and uncommitted versions).
+    */
+  private def dvFiles(table: String, v: Int): Seq[String] =
+    if (v < 1 || !Files.exists(manifestPath(table, v))) Seq.empty
+    else readManifest(table, v).dvs
 
   /** The CHECK constraints committed with version `v` (name -> SQL
     * expression), empty for uncommitted/vacuumed versions. Versioned
@@ -323,15 +335,70 @@ object Snapshots {
     a.length - b.length
   }
 
-  private def writeStats(table: String, v: Int, names: Seq[String]): Unit = {
-    val prevStats = statsFor(table, v - 1)
-    val statLines = names.flatMap { n =>
-      val cols = prevStats.getOrElse(n,
-        footerStats(Paths.get(table, "data", n)))
-      if (cols.isEmpty) Seq(s"$n\t-\t-\t-\t-")
-      else cols.toSeq.sortBy(_._1).map { case (c, (tag, mn, mx)) =>
-        s"$n\t$c\t$tag\t$mn\t$mx"
+  /** Footer-read total row count of one parquet file (sum of row-group
+    * counts — exact, metadata-only).
+    */
+  private def footerRowCount(p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration()))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
+  /** Per-file COUNT metadata of version `v`: file -> (footer row count,
+    * DV-masked row count), parsed from the same stats TSV as the min/max
+    * entries (reserved column `-`, tags `R`/`V` — [[statsFor]] filters
+    * the reserved column out, so pruning never sees these lines). Files
+    * committed before count tracking have no entry — consumers treat the
+    * absence as "unknown", never as zero.
+    */
+  def metaFor(table: String, v: Int): Map[String, (Long, Long)] = {
+    val p = statsPath(table, v)
+    if (v < 1 || !Files.exists(p)) return Map.empty
+    val rows = Files.readString(p).split("\n").filter(_.nonEmpty).toSeq
+      .map(_.split("\t", -1)).filter(r => r(1) == "-" && (r(2) == "R" || r(2) == "V"))
+      .groupBy(_(0))
+    rows.flatMap { case (file, ls) =>
+      ls.find(_(2) == "R").map { r =>
+        file -> ((r(3).toLong,
+          ls.find(_(2) == "V").map(_(3).toLong).getOrElse(0L)))
       }
+    }
+  }
+
+  /** Post-commit stats for version `v`. Per file: one `R` line (footer
+    * row count), one `V` line (cumulative DV-masked rows — inherited
+    * count plus this commit's `dvDelta`), then the min/max column lines.
+    * Carried files inherit their whole block from the previous version
+    * (files are immutable, so their footer facts are too); `inheritAlso`
+    * names a second version to inherit from before falling back to a
+    * footer read — [[restore]] passes its target so restored files keep
+    * their masked counts (a footer read cannot know them).
+    */
+  private def writeStats(table: String, v: Int, names: Seq[String],
+      dvDelta: Map[String, Long] = Map.empty,
+      inheritAlso: Option[Int] = None): Unit = {
+    val prevStats = statsFor(table, v - 1)
+    val prevMeta = metaFor(table, v - 1)
+    val alsoStats = inheritAlso.map(statsFor(table, _)).getOrElse(Map.empty)
+    val alsoMeta = inheritAlso.map(metaFor(table, _)).getOrElse(Map.empty)
+    val statLines = names.flatMap { n =>
+      val path = Paths.get(table, "data", n)
+      // `inheritAlso` wins over v-1: a restore republishes the TARGET's
+      // DV list, so its masked counts (not the pre-restore latest's)
+      // are the ones consistent with the committed manifest.
+      val meta = alsoMeta.get(n).orElse(prevMeta.get(n))
+      val rows = meta.map(_._1).getOrElse(footerRowCount(path))
+      val masked = meta.map(_._2).getOrElse(0L) + dvDelta.getOrElse(n, 0L)
+      val cols = prevStats.get(n).orElse(alsoStats.get(n))
+        .getOrElse(footerStats(path))
+      Seq(s"$n\t-\tR\t$rows\t$rows", s"$n\t-\tV\t$masked\t$masked") ++
+        cols.toSeq.sortBy(_._1).map { case (c, (tag, mn, mx)) =>
+          s"$n\t$c\t$tag\t$mn\t$mx"
+        }
     }
     Files.writeString(dirOf(table, "_stats").resolve(f"v$v%05d.tsv"),
       statLines.mkString("\n"))
@@ -349,16 +416,19 @@ object Snapshots {
     */
   private def tryCommit(table: String, v: Int, names: Seq[String],
       batchId: Long, schema: Option[StructType],
-      constraints: Seq[(String, String)]): Boolean = {
+      constraints: Seq[(String, String)], dvs: Seq[String] = Seq.empty,
+      dvDelta: Map[String, Long] = Map.empty,
+      inheritAlso: Option[Int] = None): Boolean = {
     val bid = if (batchId >= 0) batchId else lastBatchId(table)
     val dir = dirOf(table, "_manifests")
     val tmp = dir.resolve(s".tmp-${attemptToken()}")
-    Files.writeString(tmp, renderManifest(Manifest(bid, names, constraints, schema)))
+    Files.writeString(tmp,
+      renderManifest(Manifest(bid, names, constraints, schema, dvs)))
     try {
       try { Files.createLink(manifestPath(table, v), tmp); }
       catch { case _: FileAlreadyExistsException => return false }
       // Winner's post-commit stats (losers returned above, never here).
-      writeStats(table, v, names)
+      writeStats(table, v, names, dvDelta, inheritAlso)
       true
     } finally Files.deleteIfExists(tmp)
   }
@@ -369,8 +439,11 @@ object Snapshots {
     */
   private def commitOrConflict(table: String, v: Int, names: Seq[String],
       schema: Option[StructType],
-      constraints: Seq[(String, String)]): Int = {
-    if (!tryCommit(table, v, names, -1L, schema, constraints))
+      constraints: Seq[(String, String)], dvs: Seq[String] = Seq.empty,
+      dvDelta: Map[String, Long] = Map.empty,
+      inheritAlso: Option[Int] = None): Int = {
+    if (!tryCommit(table, v, names, -1L, schema, constraints, dvs, dvDelta,
+        inheritAlso))
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed concurrently; re-run this " +
           "operation against the new latest version")
@@ -432,7 +505,8 @@ object Snapshots {
       if (!enforced.contains(cons)) { enforce(df, cons, table); enforced = Some(cons) }
       if (names == null) names = stageFiles(df, table)
       val base = if (prev >= 1) manifestFiles(table, prev) else Seq.empty
-      if (tryCommit(table, prev + 1, base ++ names, batchId, sch, cons))
+      if (tryCommit(table, prev + 1, base ++ names, batchId, sch, cons,
+          dvFiles(table, prev)))
         return true
       tries += 1
     }
@@ -531,7 +605,7 @@ object Snapshots {
       if (!enforced.contains(cons)) { enforce(df, cons, table); enforced = Some(cons) }
       if (names == null) names = stageFiles(df, table)
       if (tryCommit(table, prev + 1, manifestFiles(table, prev) ++ names,
-          -1L, sch, cons)) return prev + 1
+          -1L, sch, cons, dvFiles(table, prev))) return prev + 1
       tries += 1
     }
     throw new IllegalStateException(
@@ -562,7 +636,7 @@ object Snapshots {
       s"$table already has column(s) ${clash.mkString(",")}")
     val evolved = StructType(base.fields ++ fields.map(_.copy(nullable = true)))
     commitOrConflict(table, prev + 1, manifestFiles(table, prev),
-      Some(evolved), constraintsFor(table, prev))
+      Some(evolved), constraintsFor(table, prev), dvFiles(table, prev))
   }
 
   /** ADD CHECK CONSTRAINT — a table invariant enforced AT COMMIT TIME on
@@ -590,7 +664,8 @@ object Snapshots {
       s"$table already has a constraint named '$name'")
     enforce(read(spark, table), Seq((name, sqlExpr)), table)
     commitOrConflict(table, prev + 1, manifestFiles(table, prev),
-      tableSchema(table, prev), cons :+ ((name, sqlExpr)))
+      tableSchema(table, prev), cons :+ ((name, sqlExpr)),
+      dvFiles(table, prev))
   }
 
   /** DROP CHECK CONSTRAINT — metadata-only; unknown names fail loudly. */
@@ -601,7 +676,8 @@ object Snapshots {
     require(cons.exists(_._1 == name),
       s"$table has no constraint named '$name'")
     commitOrConflict(table, prev + 1, manifestFiles(table, prev),
-      tableSchema(table, prev), cons.filterNot(_._1 == name))
+      tableSchema(table, prev), cons.filterNot(_._1 == name),
+      dvFiles(table, prev))
   }
 
   /** COMPACTION commit: rewrite the latest version's rows as `n`
@@ -635,8 +711,25 @@ object Snapshots {
       constraintsFor(table, prev))
   }
 
-  private def baseName(fileUri: String): String =
-    fileUri.substring(fileUri.lastIndexOf('/') + 1)
+  /** DV list a rewrite commit should carry: the previous version's —
+    * unless NO carried file still has masked rows (checked from the
+    * per-file masked counts, pure metadata), in which case the list is
+    * dropped entirely and later reads lose the anti-join. This is what
+    * makes "a full optimize purges the masks" true in the PLAN, not just
+    * in the rows: stale vectors for rewritten files never match anything,
+    * but carrying them would keep a useless join operator (and its
+    * broadcast) in every subsequent read. Files predating count tracking
+    * have unknown masked counts and carry conservatively.
+    */
+  private def carriedDvs(table: String, prev: Int,
+      carriedFiles: Seq[String]): Seq[String] = {
+    val dvs = dvFiles(table, prev)
+    if (dvs.isEmpty) return dvs
+    val meta = metaFor(table, prev)
+    val anyMasked = carriedFiles
+      .exists(n => meta.get(n).map(_._2).getOrElse(1L) > 0L)
+    if (anyMasked) dvs else Seq.empty
+  }
 
   /** DELETE commit (row-level, copy-on-write): a new version without the
     * rows matching `pred`. Only files that CONTAIN a matching row are
@@ -655,37 +748,104 @@ object Snapshots {
     */
   def deleteWhere(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column): Int = {
-    import org.apache.spark.sql.functions.{input_file_name, not}
+    import org.apache.spark.sql.functions.not
     val prev = latestVersion(table)
     require(prev >= 1, s"$table has no committed version to delete from")
     val prevNames = manifestFiles(table, prev)
-    // Tag the source file at the SCAN (a projection directly over it —
-    // input_file_name() is unreliable above exchanges), then find the
-    // files holding at least one matching row.
+    // Tag the source file at the SCAN (from the parquet `_metadata`
+    // column — reliable under any exchange, including the DV anti-join),
+    // then find the files holding at least one matching LIVE row.
     val touched: Set[String] =
-      read(spark, table).withColumn("_graft_file", input_file_name())
+      readFilesPos(spark, table, prev, prev, prevNames)
         .filter(pred).select("_graft_file").distinct()
-        .collect().map(r => baseName(r.getString(0))).toSet
+        .collect().map(_.getString(0)).toSet
     if (touched.isEmpty) return prev
     val keep = prevNames.filterNot(touched)
     val survivors = readFiles(spark, table, prev,
       prevNames.filter(touched)).filter(not(pred))
     commitOrConflict(table, prev + 1, keep ++ stageFiles(survivors, table),
-      tableSchema(table, prev), constraintsFor(table, prev))
+      tableSchema(table, prev), constraintsFor(table, prev),
+      carriedDvs(table, prev, keep))
   }
 
   /** Read a subset of a version's files UNDER THAT VERSION'S SCHEMA —
     * the rewrite paths (delete/merge) must see evolved columns even in
     * pre-evolution files (null-filled), or a predicate/projection on an
     * evolved column would fail against exactly the files it needs to
-    * rewrite.
+    * rewrite. DV-masked rows are filtered out ([[readFilesAt]]).
     */
   private def readFiles(spark: SparkSession, table: String, v: Int,
+      names: Seq[String]): DataFrame =
+    readFilesAt(spark, table, v, v, names)
+
+  /** [[readFiles]] with the schema version and the DV version decoupled:
+    * the change feed reads a step's REMOVED files under the later
+    * version's schema but the EARLIER version's deletion vectors (what a
+    * reader of v-1 actually saw).
+    */
+  private def readFilesAt(spark: SparkSession, table: String, schemaV: Int,
+      dvV: Int, names: Seq[String]): DataFrame = {
+    val base = rawRead(spark, table, schemaV, names)
+    if (dvFiles(table, dvV).isEmpty) base
+    else readFilesPos(spark, table, schemaV, dvV, names)
+      .drop("_graft_file", "_graft_pos")
+  }
+
+  /** The plain parquet scan of `names` under version `schemaV`'s declared
+    * schema — NO deletion vectors applied (DV-delete and the change feed
+    * need the raw rows).
+    */
+  private def rawRead(spark: SparkSession, table: String, schemaV: Int,
       names: Seq[String]): DataFrame = {
     val paths = names.map(n => Paths.get(table, "data", n).toString)
-    tableSchema(table, v) match {
+    tableSchema(table, schemaV) match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** Tag each scanned row with its physical address — file base name and
+    * row index within the file — computed AT THE SCAN from the parquet
+    * `_metadata` column (reliable under any later exchange, unlike
+    * `input_file_name()`).
+    */
+  private def withPos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    df.withColumn("_graft_file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("_graft_pos", col("_metadata.row_index"))
+  }
+
+  /** Version `dvV`'s deletion vectors as a DataFrame of masked physical
+    * addresses (`file` base name, `pos` row index), or None when the
+    * version carries none — the common case, where every read path stays
+    * a plain scan with ZERO added operators.
+    */
+  private def deletionVectors(spark: SparkSession, table: String,
+      dvV: Int): Option[DataFrame] = {
+    val dvs = dvFiles(table, dvV)
+    if (dvs.isEmpty) None
+    else Some(spark.read.parquet(
+      dvs.map(n => Paths.get(table, "data", n).toString): _*))
+  }
+
+  /** Position-tagged, DV-applied scan: the version's rows (masked rows
+    * removed by ONE left-anti join against the committed DV set — the
+    * merge-on-read cost, AQE-broadcast when the DV side is small) plus
+    * `_graft_file`/`_graft_pos` physical-address columns. Rows of files
+    * outside `names` never match (file name is part of the join key), and
+    * stale DV entries for files no longer in the manifest match nothing.
+    */
+  private def readFilesPos(spark: SparkSession, table: String, schemaV: Int,
+      dvV: Int, names: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = withPos(rawRead(spark, table, schemaV, names))
+    deletionVectors(spark, table, dvV) match {
+      case None => base
+      case Some(dv) =>
+        val d = dv.select(col("file").as("_dv_file"), col("pos").as("_dv_pos"))
+        base.join(d, base("_graft_file") === d("_dv_file") &&
+          base("_graft_pos") === d("_dv_pos"), "left_anti")
     }
   }
 
@@ -713,7 +873,7 @@ object Snapshots {
     */
   def merge(spark: SparkSession, table: String, delta: DataFrame,
       key: String, deleteFlag: Option[String] = None): Int = {
-    import org.apache.spark.sql.functions.{col, input_file_name, not}
+    import org.apache.spark.sql.functions.{col, not}
     val prev = latestVersion(table)
     require(prev >= 1, s"$table has no committed version to merge into")
     val prevNames = manifestFiles(table, prev)
@@ -732,10 +892,10 @@ object Snapshots {
     // included — deleting a row rewrites its file too).
     val keys = delta.select(key).distinct()
     val touched: Set[String] =
-      cur.withColumn("_graft_file", input_file_name())
+      readFilesPos(spark, table, prev, prev, prevNames)
         .join(keys, Seq(key), "left_semi")
         .select("_graft_file").distinct()
-        .collect().map(r => baseName(r.getString(0))).toSet
+        .collect().map(_.getString(0)).toSet
     val keep = prevNames.filterNot(touched)
     val touchedNames = prevNames.filter(touched)
     val newData =
@@ -745,7 +905,145 @@ object Snapshots {
         .select(cur.columns.map(col).toIndexedSeq: _*)
         .unionByName(aligned)
     commitOrConflict(table, prev + 1, keep ++ stageFiles(newData, table),
-      tableSchema(table, prev), cons)
+      tableSchema(table, prev), cons, carriedDvs(table, prev, keep))
+  }
+
+  /** DELETE commit, MERGE-ON-READ (deletion vectors): mask the rows
+    * matching `pred` WITHOUT rewriting a single data file — the commit
+    * stages only a parquet of masked physical addresses (`file` base
+    * name, `pos` row index from the scan's `_metadata.row_index`) and
+    * publishes a manifest with the SAME data files plus the new DV. This
+    * is the modern Delta/Iceberg delete shape and the one that matters at
+    * 100 TB: copy-on-write pays a full rewrite of every touched file to
+    * delete one row (a 1 GB rewrite per tombstone under a uniform
+    * predicate); merge-on-read pays O(matched rows) at write time and
+    * defers the rewrite to the next [[optimize]]/[[compact]], which
+    * purges the masks. The trade is read amplification until then: every
+    * read of a DV-carrying version adds ONE left-anti join against the
+    * committed DV set (AQE-broadcast while deletes are small; a DV-less
+    * version reads with zero added operators).
+    *
+    * DVs are CUMULATIVE and append-shaped: this commit's manifest lists
+    * the previous DV parquets plus the new one — O(new deletes), nothing
+    * rewritten, fully distributed (no driver row collect at all; even
+    * the empty-match elision reads staged FOOTERS, not rows). Re-deleting
+    * already-masked rows is a no-op by construction: the find pass scans
+    * the DV-applied table, so masked rows cannot rematch. Rows arriving
+    * by later [[append]]/[[merge]] are new files the masks never touch.
+    * The pre-delete version is the time-travel undo; [[restore]] undoes
+    * it as a commit. Read-modify-write: a lost commit race is a conflict.
+    */
+  def deleteWhereDV(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.col
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version to delete from")
+    val names = manifestFiles(table, prev)
+    val hit = readFilesPos(spark, table, prev, prev, names).filter(pred)
+      .select(col("_graft_file").as("file"), col("_graft_pos").as("pos"))
+    val dvNew = stageFiles(hit, table)
+    // Empty-match elision from the staged FOOTERS (no second data scan):
+    // a delete that masked nothing commits no version; the staged parts
+    // become vacuum-collectable orphans like any lost race's.
+    val dvPaths = dvNew.map(n => Paths.get(table, "data", n))
+    if (dvPaths.map(footerRowCount).sum == 0L) return prev
+    // Per-data-file masked counts ride in the stats TSV so [[rowCount]]
+    // stays metadata-only; the collect is bounded by TOUCHED FILE count
+    // (the same metadata scale as findTouchedFiles), never by rows.
+    val maskedPerFile: Map[String, Long] =
+      spark.read.parquet(dvPaths.map(_.toString): _*)
+        .groupBy(col("file")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    commitOrConflict(table, prev + 1, names, tableSchema(table, prev),
+      constraintsFor(table, prev), dvFiles(table, prev) ++ dvNew,
+      maskedPerFile)
+  }
+
+  /** OPTIMIZE — bin-packing small-file compaction, the maintenance
+    * operation a 100 TB table can actually afford to run continuously:
+    * unlike [[compact]]/[[compactZ]] (full-table rewrites that re-cluster
+    * everything), optimize rewrites ONLY files smaller than `targetBytes`,
+    * first-fit-packed into bins of ~`targetBytes` (one coalesced rewrite
+    * job per bin — exactly Delta OPTIMIZE's shape), and carries every
+    * right-sized file into the new manifest byte-for-byte. Cost is
+    * O(small files), whatever the table size; the candidate selection is
+    * pure file-length metadata. Rewritten bins read DV-APPLIED, so
+    * optimize is also the step that PURGES accumulated deletion-vector
+    * masks from the files it touches (carried files keep theirs). Commits
+    * nothing when fewer than two files are packable. Read-modify-write:
+    * a lost commit race is a conflict.
+    */
+  def optimize(spark: SparkSession, table: String,
+      targetBytes: Long): Int = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version to optimize")
+    val names = manifestFiles(table, prev)
+    val small = names
+      .map(n => n -> Files.size(Paths.get(table, "data", n)))
+      .filter(_._2 < targetBytes)
+    if (small.size < 2) return prev
+    // First-fit-decreasing bin packing on the on-disk sizes.
+    val binSize = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val binFiles = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[String]]
+    small.sortBy(-_._2).foreach { case (n, sz) =>
+      val i = binSize.indexWhere(_ + sz <= targetBytes)
+      if (i >= 0) { binSize(i) += sz; binFiles(i) += n }
+      else { binSize += sz; binFiles += scala.collection.mutable.ArrayBuffer(n) }
+    }
+    val packed = binFiles.map(_.toSeq).toSeq
+    val staged = packed.flatMap { bin =>
+      stageFiles(readFiles(spark, table, prev, bin).coalesce(1), table)
+    }
+    val smallSet = small.map(_._1).toSet
+    commitOrConflict(table, prev + 1,
+      names.filterNot(smallSet) ++ staged, tableSchema(table, prev),
+      constraintsFor(table, prev),
+      carriedDvs(table, prev, names.filterNot(smallSet)))
+  }
+
+  /** RESTORE — roll the table back to `toVersion` AS A NEW COMMIT (the
+    * Delta `RESTORE TABLE ... TO VERSION AS OF` semantics): the new
+    * manifest republishes the target's exact file list, schema, deletion
+    * vectors, and CHECK constraints, so `read(latest)` becomes
+    * byte-identical to `read(toVersion)` while history stays intact —
+    * the restore is itself undoable (by another restore), nothing is
+    * deleted, and data files move zero bytes (files are immutable and
+    * shared across manifests; the commit is metadata-only). Requires the
+    * target version to still be retained — a vacuumed target fails
+    * loudly at manifest resolution, never restores silently wrong.
+    * Restoring to the current version is an explicit no-op (returns it).
+    * Read-modify-write: a lost commit race is a conflict.
+    */
+  def restore(table: String, toVersion: Int): Int = {
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version")
+    require(toVersion >= 1 && toVersion <= prev,
+      s"cannot restore $table to version $toVersion (committed range is [1, $prev])")
+    if (toVersion == prev) return prev
+    val m = readManifest(table, toVersion)
+    commitOrConflict(table, prev + 1, m.files, m.schema, m.constraints,
+      m.dvs, Map.empty, Some(toVersion))
+  }
+
+  /** Metadata-only COUNT(*): the version's exact row count computed from
+    * the committed stats alone — per-file footer row counts minus the
+    * per-file DV-masked counts, both recorded at commit time — without
+    * opening a single data file. This is the Iceberg/Delta property that
+    * a 100 TB table's cardinality is a manifest read, not a scan. Returns
+    * None when any manifest file predates count tracking (unknown is
+    * never reported as a number); SnapshotsDvSpec pins equality with
+    * `read(...).count()` across the whole commit-type matrix.
+    */
+  def rowCount(table: String, version: Option[Int] = None): Option[Long] = {
+    val v = version.getOrElse(latestVersion(table))
+    require(v >= 1, s"$table has no committed version")
+    val names = manifestFiles(table, v)
+    val meta = metaFor(table, v)
+    val counts = names.map(meta.get)
+    if (counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.map { case (rows, masked) => rows - masked }.sum)
   }
 
   /** Partition version `v`'s files into (kept, skipped) for a range
@@ -901,17 +1199,41 @@ object Snapshots {
       def tag(df: DataFrame, typ: String) =
         df.withColumn("_change_type", lit(typ))
           .withColumn("_commit_version", lit(v.toLong))
-      (added.nonEmpty, removed.nonEmpty) match {
-        case (false, false) => Seq.empty // metadata-only commit
+      // A merge-on-read DELETE changes no data files — the step's deletes
+      // are the rows this commit's NEW deletion vectors mask, read raw
+      // (unmasked) from the CARRIED files and semi-joined against the DV
+      // delta. File sides read with SIDE-SPECIFIC DVs: removed files
+      // under v-1's vectors (what a reader of v-1 saw), added/carried
+      // under v's — so a compaction that purges masks still diffs empty.
+      val dvAdded = (dvFiles(table, v).toSet --
+        (if (v == 1) Set.empty[String] else dvFiles(table, v - 1).toSet))
+        .toSeq.sorted
+      val dvDeletes =
+        if (dvAdded.isEmpty) Seq.empty
+        else {
+          import org.apache.spark.sql.functions.col
+          val carried = (curF intersect
+            (if (v == 1) curF else prevF)).toSeq.sorted
+          val dv = spark.read.parquet(
+            dvAdded.map(n => Paths.get(table, "data", n).toString): _*)
+            .select(col("file").as("_dv_file"), col("pos").as("_dv_pos"))
+          val raw = withPos(rawRead(spark, table, v, carried))
+          Seq(tag(raw.join(dv, raw("_graft_file") === dv("_dv_file") &&
+            raw("_graft_pos") === dv("_dv_pos"), "left_semi")
+            .drop("_graft_file", "_graft_pos"), "delete"))
+        }
+      val fileSteps = (added.nonEmpty, removed.nonEmpty) match {
+        case (false, false) => Seq.empty // metadata-only or DV-only commit
         case (true, false) =>
           Seq(tag(readFiles(spark, table, v, added), "insert"))
         case (false, true) =>
-          Seq(tag(readFiles(spark, table, v, removed), "delete"))
+          Seq(tag(readFilesAt(spark, table, v, v - 1, removed), "delete"))
         case _ =>
           val a = readFiles(spark, table, v, added)
-          val r = readFiles(spark, table, v, removed)
+          val r = readFilesAt(spark, table, v, v - 1, removed)
           Seq(tag(a.exceptAll(r), "insert"), tag(r.exceptAll(a), "delete"))
       }
+      fileSteps ++ dvDeletes
     }
     steps.reduceOption(_.unionByName(_)).getOrElse {
       val base = tableSchema(table, to)
@@ -988,8 +1310,12 @@ object Snapshots {
         // Retention INCREASED after a tighter vacuum: versions below the
         // previous keepFrom have no manifest anymore. They are expired,
         // not corrupt — skip them instead of aborting the whole vacuum.
-        if (Files.exists(manifestPath(table, v))) manifestFiles(table, v)
-        else Seq.empty
+        // Deletion-vector parquets are manifest-referenced files like any
+        // other: a retained version's masks must survive its data.
+        if (Files.exists(manifestPath(table, v))) {
+          val m = readManifest(table, v)
+          m.files ++ m.dvs
+        } else Seq.empty
       }.toSet
     // 1. expire old manifests FIRST: a reader racing the vacuum fails at
     // manifest resolution (loud), never on a half-deleted file list.
