@@ -59,6 +59,29 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a merge-on-read DV delete streams as its masked rows — the " +
+      "source inherits deletion-vector attribution from the change feed") {
+    val table = Files.createTempDirectory("graft_tail_dv").toString
+    Snapshots.publish(docs.repartitionByRange(4, col("doc_id")), table)
+
+    val q = spark.readStream.format("graft-snapshot").load(table)
+      .writeStream.format("memory").queryName("snap_tail_dv")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // A DV delete moves no data files; the stream must still deliver
+      // exactly the masked rows as deletes, attributed to its version.
+      Snapshots.deleteWhereDV(spark, table, col("doc_id") % 10 === 3) // v2
+      q.processAllAvailable()
+      val orig = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect =
+        orig.map { case (d, n) => (d, n, "insert", 1L) }.toSet ++
+        orig.filter(_._1 % 10 == 3).map { case (d, n) =>
+          (d, n, "delete", 2L) }.toSet
+      assert(feedRows("snap_tail_dv") == expect)
+    } finally q.stop()
+  }
+
   test("exactly-once across restart: the checkpointed offset resumes, " +
       "nothing re-delivered, nothing lost") {
     val table = Files.createTempDirectory("graft_tail2").toString
