@@ -117,6 +117,31 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
       s"an acknowledged schema change was lost: $finalSchema")
   }
 
+  test("racing DV deletes: one commits, the loser conflicts loudly, and " +
+      "its re-run lands on the new base") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_conc_dv").toString
+    Snapshots.publish((1L to 100L).toDF("doc_id").repartition(4), table)
+
+    import org.apache.spark.sql.functions.col
+    val preds = Seq(col("doc_id") % 10 === 3, col("doc_id") % 10 === 7)
+    val results = race(preds.map(p => () =>
+      Snapshots.deleteWhereDV(spark, table, p)))
+    results.zip(preds).foreach {
+      case (Success(_), _) =>
+      case (Failure(_: java.util.ConcurrentModificationException), p) =>
+        Snapshots.deleteWhereDV(spark, table, p)
+      case (Failure(e), _) => fail(s"unexpected failure mode: $e")
+    }
+    // Whatever the interleaving, both acknowledged deletes must hold.
+    val kept = Snapshots.read(spark, table).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 100L).filterNot(d =>
+      d % 10 == 3 || d % 10 == 7).toSet,
+      s"an acknowledged DV delete was lost")
+    assert(Snapshots.rowCount(table) == Some(kept.size.toLong))
+  }
+
   test("seeded concurrent publish/append mixes serialize: every version " +
       "is one writer's whole operation") {
     import spark.implicits._

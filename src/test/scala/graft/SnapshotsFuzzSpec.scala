@@ -10,13 +10,16 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Snapshots
 
 /** Randomized-schedule property test of the snapshot table's lifecycle
-  * invariant: under ANY interleaving of publish/append/compact/vacuum (the
-  * single-writer op stream, seeded), no retained version ever references a
-  * deleted data file — proven the strong way, by re-READING every retained
-  * version after every vacuum and matching it against an in-memory model
-  * (a dangling manifest reference fails the parquet read; a wrong
-  * allow-list fails the row-set compare), while expired versions must
-  * fail loudly, never partially.
+  * invariant: under ANY interleaving of publish/append/compact/vacuum/
+  * DV-delete/optimize/restore (the single-writer op stream, seeded), no
+  * retained version ever references a deleted data file — proven the
+  * strong way, by re-READING every retained version after every vacuum
+  * and matching it against an in-memory model (a dangling manifest
+  * reference fails the parquet read; a wrong allow-list fails the
+  * row-set compare), while expired versions must fail loudly, never
+  * partially. Every retained version's metadata-only rowCount must also
+  * match the model — a stale masked count or a lost footer count
+  * surfaces here under schedules no hand-written test would compose.
   *
   * Seeding: 20 schedules per trial, windowed by SPARK_GRAFT_STRESS_SEED —
   * `tools/stress.sh` (default 5 trials) covers 100 distinct seeds.
@@ -51,17 +54,21 @@ class SnapshotsFuzzSpec extends AnyFunSuite {
 
       def auditRetained(): Unit = {
         val latest = Snapshots.latestVersion(table)
-        for (v <- minRetained to latest)
+        for (v <- minRetained to latest) {
           assert(ids(Snapshots.read(spark, table, Some(v))) == model(v),
             s"seed=$seed: retained v$v no longer reads model-exact")
+          assert(Snapshots.rowCount(table, Some(v)) ==
+            Some(model(v).size.toLong),
+            s"seed=$seed: retained v$v metadata rowCount drifted")
+        }
         for (v <- 1 until minRetained)
           intercept[IllegalArgumentException] {
             Snapshots.read(spark, table, Some(v))
           }
       }
 
-      for (step <- 0 until 8) {
-        rnd.nextInt(4) match {
+      for (step <- 0 until 10) {
+        rnd.nextInt(7) match {
           case 0 =>
             val (df, s) = batch()
             val v = Snapshots.publish(df, table)
@@ -91,6 +98,32 @@ class SnapshotsFuzzSpec extends AnyFunSuite {
               s"seed=$seed step=$step: vacuum deleted live files")
             // ...and the strong form: every retained version re-reads.
             auditRetained()
+          case 4 =>
+            // Merge-on-read DV delete on a random residue class. An
+            // empty match must ELIDE (no version), a non-empty one must
+            // commit exactly the filtered model.
+            val k = 2 + rnd.nextInt(3)
+            val r = rnd.nextInt(k)
+            val before = Snapshots.latestVersion(table)
+            val v = Snapshots.deleteWhereDV(spark, table,
+              col("doc_id") % k === r)
+            val expect = model(before).filterNot(_ % k == r)
+            if (expect == model(before))
+              assert(v == before,
+                s"seed=$seed step=$step: empty DV delete committed v$v")
+            else model(v) = expect
+          case 5 =>
+            // Bin-packing optimize: content-invariant when it commits,
+            // no version otherwise (<2 packable files).
+            val before = Snapshots.latestVersion(table)
+            val v = Snapshots.optimize(spark, table, 64L * 1024 * 1024)
+            if (v > before) model(v) = model(before)
+          case 6 =>
+            // Restore to a random retained version.
+            val latest = Snapshots.latestVersion(table)
+            val t = minRetained + rnd.nextInt(latest - minRetained + 1)
+            val v = Snapshots.restore(table, t)
+            if (v > latest) model(v) = model(t)
           case _ =>
         }
       }
