@@ -66,7 +66,8 @@ object Bench {
     "src_zip_ingest", "src_zorder_layout", "src_snapshot_merge",
     "src_schema_evolution", "src_bucketed_join", "pipeline_incremental_agg",
     "src_change_feed", "src_stats_pruned_scan", "src_zorder_pruned_scan",
-    "src_deletion_vectors", "src_metadata_count", "src_restore")
+    "src_deletion_vectors", "src_metadata_count", "src_restore",
+    "src_bloom_point_read")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1129,6 +1129,53 @@ object CorpusOps {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     })
 
+  val bloomPointRead = Q(
+    "src_bloom_point_read",
+    "BLOOM-FILTER POINT-READ INDEX — the lookup min/max stats cannot " +
+      "serve: a content digest (md5 of the text) is high-cardinality " +
+      "and UNCLUSTERED relative to any layout, so every file spans the " +
+      "whole digest range and range stats prune nothing — while a " +
+      "parquet row-group BLOOM FILTER answers 'definitely not in this " +
+      "file' per value with no false negatives. The pipeline runs the " +
+      "production lifecycle: documents published with digests (v1), " +
+      "ADD BLOOM INDEX on digest as a METADATA-ONLY versioned table " +
+      "property (v2 — existing files stay conservatively kept), then " +
+      "COMPACT (v3) whose rewrite MATERIALIZES real parquet-mr bloom " +
+      "filters (layout maintenance doubles as index build; appends " +
+      "after the property carry filters from birth). The query is the " +
+      "'which shard holds this document' lookup a dedup pipeline runs " +
+      "constantly — Snapshots.readPoint probes each file's filters " +
+      "(filter bytes only, never data pages), scans the kept subset, " +
+      "and applies the equality as the residual filter where bloom " +
+      "false positives die. The oracle recomputes the same digest " +
+      "equality in pure SQL (DuckDB's independent md5): a wrongly " +
+      "skipped file (row loss — the one unsound failure a bloom read " +
+      "can have), a hash mismatch between writer and prober, or a " +
+      "residual-filter slip all surface as row drift. BloomIndexSpec " +
+      "pins the conservative-keep law, actual skips on digest probes, " +
+      "DV interplay, long-typed probes, and drop semantics.",
+    Some("""
+      WITH d AS (SELECT doc_id, lang, n_chars, md5(text) AS digest
+                 FROM documents)
+      SELECT doc_id, lang, n_chars, digest FROM d
+      WHERE digest = (SELECT md5(text) FROM documents WHERE doc_id = 42)
+      """.stripMargin),
+    (spark, dir) => {
+      import graft.sources.Snapshots
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_bloom_q").toString
+      val base = t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text").cast("binary")).as("digest"))
+      Snapshots.publish(base.repartitionByRange(8, col("doc_id")), table)
+      Snapshots.addBloomIndex(table, "digest")
+      Snapshots.compact(spark, table, 8, col("doc_id"))
+      val probe = base.filter(col("doc_id") === 42L)
+        .select(col("digest")).first().getString(0)
+      Snapshots.readPoint(spark, table, "digest", probe)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("digest"))
+    })
+
   val urlFilter = Q(
     "src_url_filter",
     "URL/DOMAIN FILTERING — the provenance gate every published web " +
@@ -1465,5 +1512,5 @@ object CorpusOps {
     webdatasetIngest, zipIngest, dsirSelect, zorderLayout, novelty,
     snapshotMerge, schemaEvolution, bucketedJoin, incrementalAgg,
     changeFeed, statsPrunedScan, zorderPrunedScan,
-    deletionVectors, metadataCount, restoreCommit)
+    deletionVectors, metadataCount, restoreCommit, bloomPointRead)
 }

@@ -105,7 +105,7 @@ object Snapshots {
     */
   private case class Manifest(batch: Long, files: Seq[String],
       constraints: Seq[(String, String)], schema: Option[StructType],
-      dvs: Seq[String] = Seq.empty)
+      dvs: Seq[String] = Seq.empty, blooms: Seq[String] = Seq.empty)
 
   /** Wire format (written single-line, parsed positionally — `batch` is a
     * number, file names are [g0-9a-f.-]+, and constraints are base64 (a
@@ -121,9 +121,10 @@ object Snapshots {
       "\"" + b64.encodeToString(s"$name\t$e".getBytes("UTF-8")) + "\""
     }.mkString("[", ",", "]")
     val dvs = m.dvs.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val blooms = m.blooms.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val schema = m.schema.map(_.json).getOrElse("null")
     s"""{"batch":${m.batch},"files":$files,"checks":$checks,""" +
-      s""""dvs":$dvs,"schema":$schema}"""
+      s""""dvs":$dvs,"blooms":$blooms,"schema":$schema}"""
   }
 
   private def readManifest(table: String, v: Int): Manifest = {
@@ -140,8 +141,10 @@ object Snapshots {
     val (files, filesEnd) = arr(0)
     val (checksRaw, checksEnd) =
       if (s.contains("\"checks\":")) arr(filesEnd) else (Seq.empty, filesEnd)
-    val (dvs, _) =
+    val (dvs, dvsEnd) =
       if (s.contains("\"dvs\":")) arr(checksEnd) else (Seq.empty, checksEnd)
+    val (blooms, _) =
+      if (s.contains("\"blooms\":")) arr(dvsEnd) else (Seq.empty, dvsEnd)
     val b64 = java.util.Base64.getDecoder
     val constraints = checksRaw.map { c =>
       val Array(name, e) = new String(b64.decode(c), "UTF-8").split("\t", 2)
@@ -151,8 +154,15 @@ object Snapshots {
     val schema =
       if (schemaJson == "null") None
       else Some(DataType.fromJson(schemaJson).asInstanceOf[StructType])
-    Manifest(batch, files, constraints, schema, dvs)
+    Manifest(batch, files, constraints, schema, dvs, blooms)
   }
+
+  /** Columns carrying a BLOOM-FILTER INDEX at version `v` (a versioned
+    * table property, like CHECK constraints).
+    */
+  def bloomColumnsFor(table: String, v: Int): Seq[String] =
+    if (v < 1 || !Files.exists(manifestPath(table, v))) Seq.empty
+    else readManifest(table, v).blooms
 
   /** Deletion-vector parquet names committed with version `v` (empty for
     * pre-DV manifests and uncommitted versions).
@@ -418,12 +428,13 @@ object Snapshots {
       batchId: Long, schema: Option[StructType],
       constraints: Seq[(String, String)], dvs: Seq[String] = Seq.empty,
       dvDelta: Map[String, Long] = Map.empty,
-      inheritAlso: Option[Int] = None): Boolean = {
+      inheritAlso: Option[Int] = None,
+      blooms: Seq[String] = Seq.empty): Boolean = {
     val bid = if (batchId >= 0) batchId else lastBatchId(table)
     val dir = dirOf(table, "_manifests")
     val tmp = dir.resolve(s".tmp-${attemptToken()}")
     Files.writeString(tmp,
-      renderManifest(Manifest(bid, names, constraints, schema, dvs)))
+      renderManifest(Manifest(bid, names, constraints, schema, dvs, blooms)))
     try {
       try { Files.createLink(manifestPath(table, v), tmp); }
       catch { case _: FileAlreadyExistsException => return false }
@@ -441,9 +452,10 @@ object Snapshots {
       schema: Option[StructType],
       constraints: Seq[(String, String)], dvs: Seq[String] = Seq.empty,
       dvDelta: Map[String, Long] = Map.empty,
-      inheritAlso: Option[Int] = None): Int = {
+      inheritAlso: Option[Int] = None,
+      blooms: Seq[String] = Seq.empty): Int = {
     if (!tryCommit(table, v, names, -1L, schema, constraints, dvs, dvDelta,
-        inheritAlso))
+        inheritAlso, blooms))
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed concurrently; re-run this " +
           "operation against the new latest version")
@@ -467,9 +479,11 @@ object Snapshots {
       // data); enforce on the incoming frame — re-checked only if a
       // concurrent commit changed the constraint set between attempts.
       val cons = constraintsFor(table, prev)
+      val blooms = bloomColumnsFor(table, prev)
       if (!enforced.contains(cons)) { enforce(df, cons, table); enforced = Some(cons) }
-      if (names == null) names = stageFiles(df, table)
-      if (tryCommit(table, prev + 1, names, -1L, Some(df.schema), cons))
+      if (names == null) names = stageFiles(df, table, blooms)
+      if (tryCommit(table, prev + 1, names, -1L, Some(df.schema), cons,
+          blooms = blooms))
         return prev + 1
       tries += 1
     }
@@ -502,11 +516,12 @@ object Snapshots {
         if (prev >= 1) checkedSchema(df, table, prev, mergeSchema = false)
         else Some(df.schema)
       val cons = constraintsFor(table, prev)
+      val blooms = bloomColumnsFor(table, prev)
       if (!enforced.contains(cons)) { enforce(df, cons, table); enforced = Some(cons) }
-      if (names == null) names = stageFiles(df, table)
+      if (names == null) names = stageFiles(df, table, blooms)
       val base = if (prev >= 1) manifestFiles(table, prev) else Seq.empty
       if (tryCommit(table, prev + 1, base ++ names, batchId, sch, cons,
-          dvFiles(table, prev)))
+          dvFiles(table, prev), blooms = blooms))
         return true
       tries += 1
     }
@@ -553,13 +568,26 @@ object Snapshots {
     * immutable names; returns the new file names (not yet committed —
     * orphans until a manifest references them, reusable across commit
     * retries because no other writer can ever produce the same names).
+    * `bloomCols` (the table's bloom-index property at the base version)
+    * makes parquet-mr write a real BLOOM FILTER per row group for those
+    * columns — the write-side half of [[pruneFilesBloom]].
     */
-  private def stageFiles(df: DataFrame, table: String): Seq[String] = {
+  private def stageFiles(df: DataFrame, table: String,
+      bloomCols: Seq[String] = Seq.empty): Seq[String] = {
     val tok = attemptToken()
     val dataDir = dirOf(table, "data")
     val stage = Files.createTempDirectory(Paths.get(table), s"stage-$tok-")
     def write(d: DataFrame): Seq[Path] = {
-      d.write.mode("overwrite").parquet(stage.toString)
+      val w0 = d.write.mode("overwrite")
+      val w = bloomCols.filter(d.columns.contains).foldLeft(w0) { (w, c) =>
+        // NDV hint bounds the filter's size (parquet sizes the bitset
+        // from ndv+fpp); 100k at the default 1% fpp is ~120 KB per row
+        // group — the point-read index a digest column needs, small next
+        // to the data it indexes.
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", "100000")
+      }
+      w.parquet(stage.toString)
       val listing = Files.list(stage)
       try listing.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -602,10 +630,12 @@ object Snapshots {
       val prev = latestVersion(table)
       val sch = checkedSchema(df, table, prev, mergeSchema)
       val cons = constraintsFor(table, prev)
+      val blooms = bloomColumnsFor(table, prev)
       if (!enforced.contains(cons)) { enforce(df, cons, table); enforced = Some(cons) }
-      if (names == null) names = stageFiles(df, table)
+      if (names == null) names = stageFiles(df, table, blooms)
       if (tryCommit(table, prev + 1, manifestFiles(table, prev) ++ names,
-          -1L, sch, cons, dvFiles(table, prev))) return prev + 1
+          -1L, sch, cons, dvFiles(table, prev), blooms = blooms))
+        return prev + 1
       tries += 1
     }
     throw new IllegalStateException(
@@ -636,7 +666,8 @@ object Snapshots {
       s"$table already has column(s) ${clash.mkString(",")}")
     val evolved = StructType(base.fields ++ fields.map(_.copy(nullable = true)))
     commitOrConflict(table, prev + 1, manifestFiles(table, prev),
-      Some(evolved), constraintsFor(table, prev), dvFiles(table, prev))
+      Some(evolved), constraintsFor(table, prev), dvFiles(table, prev),
+      blooms = bloomColumnsFor(table, prev))
   }
 
   /** ADD CHECK CONSTRAINT — a table invariant enforced AT COMMIT TIME on
@@ -665,7 +696,7 @@ object Snapshots {
     enforce(read(spark, table), Seq((name, sqlExpr)), table)
     commitOrConflict(table, prev + 1, manifestFiles(table, prev),
       tableSchema(table, prev), cons :+ ((name, sqlExpr)),
-      dvFiles(table, prev))
+      dvFiles(table, prev), blooms = bloomColumnsFor(table, prev))
   }
 
   /** DROP CHECK CONSTRAINT — metadata-only; unknown names fail loudly. */
@@ -677,7 +708,7 @@ object Snapshots {
       s"$table has no constraint named '$name'")
     commitOrConflict(table, prev + 1, manifestFiles(table, prev),
       tableSchema(table, prev), cons.filterNot(_._1 == name),
-      dvFiles(table, prev))
+      dvFiles(table, prev), blooms = bloomColumnsFor(table, prev))
   }
 
   /** COMPACTION commit: rewrite the latest version's rows as `n`
@@ -692,8 +723,10 @@ object Snapshots {
       cols: org.apache.spark.sql.Column*): Int = {
     val prev = latestVersion(table)
     val compacted = Compaction.compactToRange(read(spark, table), n, cols: _*)
-    commitOrConflict(table, prev + 1, stageFiles(compacted, table),
-      Some(compacted.schema), constraintsFor(table, prev))
+    val blooms = bloomColumnsFor(table, prev)
+    commitOrConflict(table, prev + 1,
+      stageFiles(compacted, table, blooms),
+      Some(compacted.schema), constraintsFor(table, prev), blooms = blooms)
   }
 
   /** Z-ORDER compaction commit: the latest version's rows rewritten
@@ -707,8 +740,9 @@ object Snapshots {
       a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): Int = {
     val prev = latestVersion(table)
     val z = ZOrder.compactToZ(read(spark, table), n, a, b)
-    commitOrConflict(table, prev + 1, stageFiles(z, table), Some(z.schema),
-      constraintsFor(table, prev))
+    val blooms = bloomColumnsFor(table, prev)
+    commitOrConflict(table, prev + 1, stageFiles(z, table, blooms),
+      Some(z.schema), constraintsFor(table, prev), blooms = blooms)
   }
 
   /** DV list a rewrite commit should carry: the previous version's —
@@ -763,9 +797,11 @@ object Snapshots {
     val keep = prevNames.filterNot(touched)
     val survivors = readFiles(spark, table, prev,
       prevNames.filter(touched)).filter(not(pred))
-    commitOrConflict(table, prev + 1, keep ++ stageFiles(survivors, table),
+    val blooms = bloomColumnsFor(table, prev)
+    commitOrConflict(table, prev + 1,
+      keep ++ stageFiles(survivors, table, blooms),
       tableSchema(table, prev), constraintsFor(table, prev),
-      carriedDvs(table, prev, keep))
+      carriedDvs(table, prev, keep), blooms = blooms)
   }
 
   /** Read a subset of a version's files UNDER THAT VERSION'S SCHEMA —
@@ -904,8 +940,11 @@ object Snapshots {
         .join(keys, Seq(key), "left_anti")
         .select(cur.columns.map(col).toIndexedSeq: _*)
         .unionByName(aligned)
-    commitOrConflict(table, prev + 1, keep ++ stageFiles(newData, table),
-      tableSchema(table, prev), cons, carriedDvs(table, prev, keep))
+    val blooms = bloomColumnsFor(table, prev)
+    commitOrConflict(table, prev + 1,
+      keep ++ stageFiles(newData, table, blooms),
+      tableSchema(table, prev), cons, carriedDvs(table, prev, keep),
+      blooms = blooms)
   }
 
   /** DELETE commit, MERGE-ON-READ (deletion vectors): mask the rows
@@ -956,7 +995,7 @@ object Snapshots {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     commitOrConflict(table, prev + 1, names, tableSchema(table, prev),
       constraintsFor(table, prev), dvFiles(table, prev) ++ dvNew,
-      maskedPerFile)
+      maskedPerFile, blooms = bloomColumnsFor(table, prev))
   }
 
   /** OPTIMIZE — bin-packing small-file compaction, the maintenance
@@ -993,14 +1032,125 @@ object Snapshots {
       else { binSize += sz; binFiles += scala.collection.mutable.ArrayBuffer(n) }
     }
     val packed = binFiles.map(_.toSeq).toSeq
+    val blooms = bloomColumnsFor(table, prev)
     val staged = packed.flatMap { bin =>
-      stageFiles(readFiles(spark, table, prev, bin).coalesce(1), table)
+      stageFiles(readFiles(spark, table, prev, bin).coalesce(1), table,
+        blooms)
     }
     val smallSet = small.map(_._1).toSet
     commitOrConflict(table, prev + 1,
       names.filterNot(smallSet) ++ staged, tableSchema(table, prev),
       constraintsFor(table, prev),
-      carriedDvs(table, prev, names.filterNot(smallSet)))
+      carriedDvs(table, prev, names.filterNot(smallSet)), blooms = blooms)
+  }
+
+  /** ADD BLOOM-FILTER INDEX — a versioned table property (the Delta
+    * `delta.bloomFilter` / Iceberg bloom write-property semantics):
+    * from this commit on, every file a write stages carries a real
+    * parquet-mr BLOOM FILTER per row group for `column`, and
+    * [[pruneFilesBloom]]/[[readPoint]] can skip files that PROVABLY do
+    * not contain a point-read value. This is the index min/max stats
+    * cannot be: a high-cardinality UNCLUSTERED column (a content digest,
+    * a UUID) has every file spanning the whole value range, so range
+    * stats prune nothing — while a bloom answers "definitely not in this
+    * file" per value. The commit itself is METADATA-ONLY: existing files
+    * have no filter and stay conservatively kept; the next
+    * compact/compactZ/optimize materializes filters for the files it
+    * rewrites (layout maintenance and index materialization are one
+    * pass). Dropping the index stops future writes from paying the
+    * filter bytes; existing filters are inert. Lost race = conflict.
+    */
+  def addBloomIndex(table: String, column: String): Int = {
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version to index")
+    val cur = bloomColumnsFor(table, prev)
+    require(!cur.contains(column),
+      s"$table already has a bloom index on '$column'")
+    commitOrConflict(table, prev + 1, manifestFiles(table, prev),
+      tableSchema(table, prev), constraintsFor(table, prev),
+      dvFiles(table, prev), blooms = cur :+ column)
+  }
+
+  /** DROP BLOOM-FILTER INDEX — metadata-only; unknown columns loud. */
+  def dropBloomIndex(table: String, column: String): Int = {
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version")
+    val cur = bloomColumnsFor(table, prev)
+    require(cur.contains(column),
+      s"$table has no bloom index on '$column'")
+    commitOrConflict(table, prev + 1, manifestFiles(table, prev),
+      tableSchema(table, prev), constraintsFor(table, prev),
+      dvFiles(table, prev), blooms = cur.filterNot(_ == column))
+  }
+
+  /** Partition version `v`'s files into (kept, skipped) for the POINT
+    * predicate `column = value`, by testing each file's parquet BLOOM
+    * FILTERS: a file is skipped only when EVERY row group carries a
+    * filter for the column and NONE can contain the value's hash (the
+    * bloom no-false-negative guarantee makes the skip sound; false
+    * positives only cost a kept file). Files without filters (written
+    * before [[addBloomIndex]], or the column was never indexed) are
+    * conservatively kept. Cost is O(files) footer+filter reads — filter
+    * bytes, never data pages. `value`: String, Long/Int, or Double,
+    * hashed exactly as parquet-mr hashed the written values.
+    */
+  def pruneFilesBloom(table: String, column: String, value: Any,
+      version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val v = version.getOrElse(latestVersion(table))
+    require(v >= 1, s"$table has no committed version")
+    manifestFiles(table, v).partition { n =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(Paths.get(table, "data", n).toUri),
+        new org.apache.hadoop.conf.Configuration()))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        // Keep unless every row group proves absence.
+        blocks.isEmpty || blocks.exists { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+            case None => true // column chunk missing: cannot prove, keep
+            case Some(cc) =>
+              val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
+              if (bf == null) true // no filter written: keep
+              else {
+                val h = value match {
+                  case s: String => bf.hash(Binary.fromString(s))
+                  case l: Long => bf.hash(l)
+                  case i: Int => bf.hash(i.toLong)
+                  case d: Double => bf.hash(d)
+                  case x => throw new IllegalArgumentException(
+                    s"unsupported bloom probe type: ${x.getClass}")
+                }
+                bf.findHash(h)
+              }
+          }
+        }
+      } finally reader.close()
+    }
+  }
+
+  /** Point read `column = value` through the bloom index: scan only the
+    * files [[pruneFilesBloom]] keeps, apply the equality as the residual
+    * row filter (blooms bound files, not rows — false positives die
+    * here), deletion vectors applied as in any read. Semantically
+    * identical to `read(...).filter(col === value)` — BloomIndexSpec
+    * pins the equality — but on a digest-keyed corpus the scan list is
+    * O(files actually holding the value) instead of O(table), the
+    * "which shard holds this document" lookup a dedup pipeline runs
+    * constantly.
+    */
+  def readPoint(spark: SparkSession, table: String, column: String,
+      value: Any, version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.getOrElse(latestVersion(table))
+    require(v >= 1, s"$table has no committed version")
+    val (keep, _) = pruneFilesBloom(table, column, value, Some(v))
+    if (keep.isEmpty) {
+      val sch = tableSchema(table, v).getOrElse(read(spark, table, Some(v)).schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    } else readFiles(spark, table, v, keep).filter(col(column) === lit(value))
   }
 
   /** RESTORE — roll the table back to `toVersion` AS A NEW COMMIT (the
@@ -1024,7 +1174,7 @@ object Snapshots {
     if (toVersion == prev) return prev
     val m = readManifest(table, toVersion)
     commitOrConflict(table, prev + 1, m.files, m.schema, m.constraints,
-      m.dvs, Map.empty, Some(toVersion))
+      m.dvs, Map.empty, Some(toVersion), m.blooms)
   }
 
   /** Metadata-only COUNT(*): the version's exact row count computed from
