@@ -909,11 +909,26 @@ object Snapshots {
     */
   def merge(spark: SparkSession, table: String, delta: DataFrame,
       key: String, deleteFlag: Option[String] = None): Int = {
-    import org.apache.spark.sql.functions.{col, not}
     val prev = latestVersion(table)
     require(prev >= 1, s"$table has no committed version to merge into")
+    val (names, cons, dvs, blooms) = mergeDerive(spark, table, prev, delta,
+      key, deleteFlag)
+    commitOrConflict(table, prev + 1, names, tableSchema(table, prev),
+      cons, dvs, blooms = blooms)
+  }
+
+  /** Derive one merge attempt's manifest content against base version
+    * `prev`: stage the rewritten+upserted rows and return (file list,
+    * constraints, carried DVs, bloom property). Shared by [[merge]]
+    * (one shot, conflict on lost race) and [[mergeBatch]] (re-derives
+    * against the new base on a lost race).
+    */
+  private def mergeDerive(spark: SparkSession, table: String, prev: Int,
+      delta: DataFrame, key: String, deleteFlag: Option[String])
+      : (Seq[String], Seq[(String, String)], Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, not}
     val prevNames = manifestFiles(table, prev)
-    val cur = read(spark, table)
+    val cur = read(spark, table, Some(prev))
     val upserts = deleteFlag match {
       case Some(f) => delta.filter(not(col(f)))
       case None => delta
@@ -941,10 +956,45 @@ object Snapshots {
         .select(cur.columns.map(col).toIndexedSeq: _*)
         .unionByName(aligned)
     val blooms = bloomColumnsFor(table, prev)
-    commitOrConflict(table, prev + 1,
-      keep ++ stageFiles(newData, table, blooms),
-      tableSchema(table, prev), cons, carriedDvs(table, prev, keep),
-      blooms = blooms)
+    (keep ++ stageFiles(newData, table, blooms), cons,
+      carriedDvs(table, prev, keep), blooms)
+  }
+
+  /** EXACTLY-ONCE STREAMING MERGE — the upsert face of [[appendBatch]],
+    * completing the table's streaming-sink story: a CDC/upsert stream
+    * lands via `writeStream.foreachBatch((df, id) => mergeBatch(df, ...,
+    * id))`, and Structured Streaming's batch replays are absorbed by the
+    * SAME hinge as appendBatch — the committed batchId rides IN the
+    * manifest, so the merged data and the batch record are one atomic
+    * create, a replayed batch (batchId <= watermark) is a no-op, and
+    * there is no crash window where the upserts landed but the batch
+    * record didn't (or vice versa). Unlike appendBatch (blind add,
+    * rebase on lost race), a merge's staged content is DERIVED from its
+    * base version — so a lost commit race RE-DERIVES the whole merge
+    * against the new latest (the loser's staged files become
+    * vacuum-collectable orphans), re-checking the watermark each
+    * attempt in case the racer was this same batch's replay on another
+    * driver. Returns true iff this call committed. Tombstone semantics
+    * as in [[merge]].
+    */
+  def mergeBatch(spark: SparkSession, table: String, delta: DataFrame,
+      key: String, batchId: Long,
+      deleteFlag: Option[String] = None): Boolean = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    require(latestVersion(table) >= 1,
+      s"$table has no committed version to merge into")
+    var tries = 0
+    while (tries < MaxCasRetries) {
+      if (batchId <= lastBatchId(table)) return false
+      val prev = latestVersion(table)
+      val (names, cons, dvs, blooms) = mergeDerive(spark, table, prev,
+        delta, key, deleteFlag)
+      if (tryCommit(table, prev + 1, names, batchId, tableSchema(table, prev),
+          cons, dvs, blooms = blooms)) return true
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"mergeBatch($batchId) into $table lost $MaxCasRetries commit races")
   }
 
   /** DELETE commit, MERGE-ON-READ (deletion vectors): mask the rows

@@ -215,4 +215,28 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
     assert(ids(Snapshots.read(spark, table)) == Set(0L, 10L, 11L, 12L))
     assert(Snapshots.lastBatchId(table) == 1L)
   }
+
+  test("racing mergeBatch replays of the SAME batch: exactly one commits, " +
+      "upserts land once") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_conc5").toString
+    Snapshots.appendBatch(
+      Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars"), table, 0L)
+
+    // Two replicas replay the same upsert batch (zombie driver): the
+    // watermark hinge is identical to appendBatch's, but mergeBatch must
+    // also RE-DERIVE on a lost race — and the re-derivation must then
+    // see the winner's watermark and back off, not double-apply.
+    val delta = Seq((1L, 11L), (3L, 30L)).toDF("doc_id", "n_chars")
+    val results = race(Seq.fill(2)(() =>
+      Snapshots.mergeBatch(spark, table, delta, "doc_id", 1L)))
+    val committed = results.map(_.get)
+    assert(committed.count(identity) == 1,
+      s"same-batch merge replay must commit exactly once, got $committed")
+    val got = Snapshots.read(spark, table)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
+    assert(Snapshots.lastBatchId(table) == 1L)
+  }
 }

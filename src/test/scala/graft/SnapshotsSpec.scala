@@ -350,6 +350,68 @@ class SnapshotsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mergeBatch is exactly-once under batch replay, " +
+      "tombstones included") {
+    val table = Files.createTempDirectory("graft_snap_mb").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    Snapshots.publish(docs.filter(col("doc_id") < 100)
+      .repartitionByRange(4, col("doc_id")), table)               // v1
+
+    // Batch 0: 5 updates + 2 inserts.
+    val b0 = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id"), (col("n_chars") + 1000L).as("n_chars"))
+      .unionByName(docs.filter(col("doc_id").between(100, 101))
+        .select(col("doc_id"), col("n_chars")))
+    assert(Snapshots.mergeBatch(spark, table, b0, "doc_id", 0L))
+    val after0 = ids(Snapshots.read(spark, table))
+    assert(after0 == ids(docs.filter(col("doc_id") < 102)))
+    // Replay of batch 0 is a NO-OP — same version, same rows.
+    assert(!Snapshots.mergeBatch(spark, table, b0, "doc_id", 0L))
+    assert(Snapshots.latestVersion(table) == 2)
+
+    // Batch 1: a CDC mix — one upsert + one tombstone, one transaction.
+    val b1 = docs.filter(col("doc_id") === 10L)
+      .select(col("doc_id"), (col("n_chars") + 5L).as("n_chars"))
+      .withColumn("_del", lit(false))
+      .unionByName(docs.filter(col("doc_id") === 20L)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("_del", lit(true)))
+    assert(Snapshots.mergeBatch(spark, table, b1, "doc_id", 1L,
+      deleteFlag = Some("_del")))
+    assert(ids(Snapshots.read(spark, table)) == after0 - 20L)
+    // Replays of both batches: no-ops, table unchanged.
+    assert(!Snapshots.mergeBatch(spark, table, b1, "doc_id", 1L,
+      deleteFlag = Some("_del")))
+    assert(!Snapshots.mergeBatch(spark, table, b0, "doc_id", 0L))
+    assert(Snapshots.latestVersion(table) == 3)
+
+    // The real wiring: an upsert stream through foreachBatch, where the
+    // SAME doc arrives revised across batches — last writer wins, and
+    // the batch watermark survives the stream.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val table2 = Files.createTempDirectory("graft_snap_mb2").toString
+    Snapshots.publish(Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars"),
+      table2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = input.toDS().toDF("doc_id", "n_chars")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Snapshots.mergeBatch(spark, table2, b, "doc_id", id); ()
+      }
+      .start()
+    try {
+      input.addData((1L, 11L), (3L, 30L)); q.processAllAvailable()
+      input.addData((1L, 12L)); q.processAllAvailable()
+      val got = Snapshots.read(spark, table2)
+        .select(col("doc_id"), col("n_chars")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 12L, 2L -> 20L, 3L -> 30L))
+    } finally q.stop()
+  }
+
   test("ADD COLUMN is metadata-only; old files null-fill; time travel " +
       "reads the old schema") {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
