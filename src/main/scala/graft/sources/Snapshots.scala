@@ -942,8 +942,25 @@ object Snapshots {
     // Touched files are found against ALL delta keys (tombstoned keys
     // included — deleting a row rewrites its file too).
     val keys = delta.select(key).distinct()
+    // BLOOM-ACCELERATED findTouchedFiles: when the merge key carries a
+    // bloom index and the delta is small (≤1000 distinct keys — the
+    // hourly-CDC shape), the candidate set comes from FILTER BYTES, not
+    // a table scan: a file whose filters prove absence of every delta
+    // key provably holds no row to rewrite (bloom has no false
+    // negatives, so the narrowing is sound; false positives only add
+    // scanned files). The ≤1001-key collect is driver-bounded by
+    // construction; bigger deltas fall back to the full find scan,
+    // whose cost the delta's own size then justifies.
+    val scanNames =
+      if (!bloomColumnsFor(table, prev).contains(key)) prevNames
+      else {
+        val ks = keys.limit(1001).collect().map(_.get(0)).toSeq
+        if (ks.size > 1000) prevNames
+        else pruneFilesBloomAny(table, key, ks, Some(prev))._1
+      }
     val touched: Set[String] =
-      readFilesPos(spark, table, prev, prev, prevNames)
+      if (scanNames.isEmpty) Set.empty
+      else readFilesPos(spark, table, prev, prev, scanNames)
         .join(keys, Seq(key), "left_semi")
         .select("_graft_file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -1145,10 +1162,22 @@ object Snapshots {
     * hashed exactly as parquet-mr hashed the written values.
     */
   def pruneFilesBloom(table: String, column: String, value: Any,
+      version: Option[Int] = None): (Seq[String], Seq[String]) =
+    pruneFilesBloomAny(table, column, Seq(value), version)
+
+  /** Multi-value [[pruneFilesBloom]]: keep a file if ANY of `values`
+    * might be present (each file's footer and filters are loaded ONCE and
+    * probed with every value — O(files) filter reads however many values,
+    * not O(files × values) footer opens). This is the file-skipping a
+    * small MERGE delta needs: the candidate set for "which files hold any
+    * of these K keys" comes from filter bytes, not a table scan.
+    */
+  def pruneFilesBloomAny(table: String, column: String, values: Seq[Any],
       version: Option[Int] = None): (Seq[String], Seq[String]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
+    require(values.nonEmpty, "at least one probe value")
     val v = version.getOrElse(latestVersion(table))
     require(v >= 1, s"$table has no committed version")
     manifestFiles(table, v).partition { n =>
@@ -1157,14 +1186,14 @@ object Snapshots {
         new org.apache.hadoop.conf.Configuration()))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
-        // Keep unless every row group proves absence.
+        // Keep unless every row group proves absence of every value.
         blocks.isEmpty || blocks.exists { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == column) match {
             case None => true // column chunk missing: cannot prove, keep
             case Some(cc) =>
               val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
               if (bf == null) true // no filter written: keep
-              else {
+              else values.exists { value =>
                 val h = value match {
                   case s: String => bf.hash(Binary.fromString(s))
                   case l: Long => bf.hash(l)

@@ -93,6 +93,41 @@ class BloomIndexSpec extends AnyFunSuite {
       Snapshots.read(spark, table).filter(col("doc_id") === 124L).count())
   }
 
+  test("merge on a bloom-indexed key narrows findTouchedFiles to filter " +
+      "bytes and stays row-exact") {
+    val table = Files.createTempDirectory("graft_bloom4").toString
+    Snapshots.publish(docs.repartitionByRange(8, col("doc_id")), table) // v1
+    Snapshots.addBloomIndex(table, "doc_id")                            // v2
+    Snapshots.compact(spark, table, 8, col("doc_id"))                   // v3
+
+    // The narrowing is observable directly: a 3-key delta's candidate
+    // files come from pruneFilesBloomAny, which must skip most of the 8
+    // range-clustered files (the keys live in at most 3).
+    val deltaKeys = Seq[Any](5L, 6L, 300L)
+    val (cand, skipped) =
+      Snapshots.pruneFilesBloomAny(table, "doc_id", deltaKeys)
+    assert(skipped.size >= 5,
+      s"3 keys across 8 clustered files must skip most: kept ${cand.size}")
+
+    // And the merge itself stays exactly the upsert semantics: updates
+    // replace, inserts land, everything else is untouched.
+    val delta = docs.filter(col("doc_id").isin(5L, 6L))
+      .select(col("doc_id"), col("lang"), (col("n_chars") + 7L).as("n_chars"),
+        col("digest"))
+      .unionByName(docs.filter(col("doc_id") === 1L)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("lang"),
+          col("n_chars"), col("digest")))
+    Snapshots.merge(spark, table, delta, "doc_id")                      // v4
+    val got = Snapshots.read(spark, table)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = base ++ Map(5L -> (base(5L) + 7L), 6L -> (base(6L) + 7L),
+      900001L -> base(1L))
+    assert(got == want, "bloom-narrowed merge drifted from upsert semantics")
+  }
+
   test("appends after the index carry filters; time travel sees each " +
       "version's property") {
     val table = Files.createTempDirectory("graft_bloom3").toString
