@@ -35,7 +35,8 @@ object Bench {
     "sim_topk_bruteforce", "sim_kmeans_assign", "sim_kmeans_iter2",
     "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_pq_encode",
     "sim_topk_pq_adc", "sim_topk_ivfpq", "sim_topk_ivfpq_residual",
-    "sim_topk_sq8", "sim_topk_mrl", "sim_knn_graph", "sim_knn_clusters",
+    "sim_topk_sq8", "sim_topk_mrl", "sim_knn_graph", "sim_knn_graph_mplsh",
+    "sim_knn_clusters",
     "dedup_semantic", "dedup_embedding_cosine",
     "kv_cas_replay", "ta_tfidf", "ta_repetition", "dedup_span",
     "ta_decontaminate", "ta_novelty", "ta_cdc_chunks", "dedup_cdc", "ta_cms_topk",
@@ -72,10 +73,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions default to the core count (right at the driver
+    // SFs), but MUST scale with data, not cores: at 10x the data a
+    // 32-partition shuffle gives every hash-aggregate task 10x the rows
+    // and the same task memory — the g10 probe OOM'd exactly there.
+    // AQE coalesces excess partitions when they're small, so a high
+    // count is safe at small SFs; this is the standard spill-aware
+    // sizing knob, surfaced for the scale probes.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

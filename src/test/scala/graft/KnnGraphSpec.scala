@@ -49,6 +49,57 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(r2 >= r1 - 1e-9, f"recall fell with more probes: $r1%.3f -> $r2%.3f")
   }
 
+  test("multi-probe LSH variant: recall floor on the real table, planted " +
+      "near-identical neighbors found") {
+    val dir = "/root/testdata/sf0.01"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val truth: Map[Long, Set[Long]] = vecs.keys.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(vecs(q), vecs(n)), n)).take(3).toSet
+    }.toMap
+    val byQ = Similarity.knnGraphMplshTopk(spark, dir)
+      .select("qid", "nid").collect().groupBy(_.getLong(0))
+    val recall = truth.map { case (q, t) =>
+      byQ.getOrElse(q, Array.empty).map(_.getLong(1)).toSet
+        .intersect(t).size
+    }.sum.toDouble / (3 * truth.size)
+    info(f"mplsh kNN-graph recall@3: $recall%.3f")
+    // Committed floor on the ANN-hostile isotropic corpus (sign-bit LSH
+    // with Hamming-1 probing; clustered production data sits far higher).
+    assert(recall >= 0.5, f"mplsh recall $recall%.3f below the floor")
+
+    // A planted near-identical neighbor shares every sign bit (the 0.01
+    // nudge on dim 0 cannot flip a sign at these magnitudes unless the
+    // coordinate sits within 0.01 of zero — those plants are excluded),
+    // so it is ALWAYS a candidate: same cell, exact rescore, distance ~0
+    // wins rank 1.
+    val out = java.nio.file.Files.createTempDirectory("graft_knn_mp").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(PlantBase)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+          .as("embedding"),
+        col("label"))
+    base.unionByName(planted)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val eligible = base.filter(col("vec_id") < 20)
+      .selectExpr("vec_id", "cast(element_at(embedding, 1) as double) x0")
+      .collect().filter(r => math.abs(r.getDouble(1)) > 0.011)
+      .map(_.getLong(0)).toSeq
+    assert(eligible.size >= 15, s"only ${eligible.size}/20 plants eligible")
+    val byQ2 = Similarity.knnGraphMplshTopk(spark, out)
+      .select("qid", "nid").collect().groupBy(_.getLong(0))
+    val found = eligible.count(q =>
+      byQ2.getOrElse(q, Array.empty).map(_.getLong(1)).toSet
+        .contains(PlantBase + q))
+    info(s"mplsh planted-hit: $found/${eligible.size} eligible")
+    assert(found == eligible.size,
+      s"mplsh missed ${eligible.size - found} same-cell planted neighbors")
+  }
+
   test("eligible planted neighbors appear in the graph") {
     val out = java.nio.file.Files.createTempDirectory("graft_knn").toString
     val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
