@@ -23,6 +23,30 @@ import org.apache.spark.sql.functions._
   * (benchmark suites are MB-scale against a 100 TB corpus — the canonical
   * broadcast-side asymmetry).
   */
+/** Decoded WARC-capture features ([[graft.sources.Warc]]): exact sums
+  * (the query layer owns any rounding). PACKAGE level, not nested in
+  * [[CorpusOps]]: Janino cannot instantiate an object-nested case class
+  * inside generated serializer code ("No applicable constructor/method
+  * found"), which silently dropped all three archive-ingest Dataset
+  * serializers out of whole-stage codegen into interpreted
+  * UnsafeProjection — correct rows, per-row tax, ERROR log noise.
+  */
+private[queries] case class WarcFeatures(doc_id: Long, n_members: Long,
+    n_records: Long, http_status: Long, body_bytes: Long,
+    body_byte_sum: Long)
+
+/** Decoded WebDataset-shard features ([[graft.sources.Tar]]) — package
+  * level for codegen, see [[WarcFeatures]].
+  */
+private[queries] case class WdsFeatures(doc_id: Long, sample_key: String,
+    n_files: Long, txt_bytes: Long, txt_byte_sum: Long, meta_bytes: Long)
+
+/** Decoded zip-archive features ([[graft.sources.Zip]]) — package level
+  * for codegen, see [[WarcFeatures]].
+  */
+private[queries] case class ZipFeatures(doc_id: Long, sample_key: String,
+    n_files: Long, txt_bytes: Long, txt_byte_sum: Long, meta_bytes: Long)
+
 object CorpusOps {
   import Tables.t
 
@@ -483,13 +507,6 @@ object CorpusOps {
         .select(col("word"), col("cnt").cast("long").as("exact_cnt"),
           col("est_cnt"), col("rank"))
     })
-
-  /** Decoded WARC-capture features ([[graft.sources.Warc]]): exact sums
-    * (the query layer owns any rounding).
-    */
-  private case class WarcFeatures(doc_id: Long, n_members: Long,
-      n_records: Long, http_status: Long, body_bytes: Long,
-      body_byte_sum: Long)
 
   val warcIngest = Q(
     "src_warc_ingest",
@@ -1250,10 +1267,6 @@ object CorpusOps {
             .as("blocked"))
     })
 
-  /** Decoded WebDataset-shard features ([[graft.sources.Tar]]). */
-  private case class WdsFeatures(doc_id: Long, sample_key: String,
-      n_files: Long, txt_bytes: Long, txt_byte_sum: Long, meta_bytes: Long)
-
   val webdatasetIngest = Q(
     "src_webdataset_ingest",
     "WEBDATASET SHARD INGEST — the tar-of-samples convention multimodal " +
@@ -1313,10 +1326,6 @@ object CorpusOps {
         .select(col("doc_id"), col("sample_key"), col("n_files"),
           col("txt_bytes"), col("txt_byte_sum"), col("meta_bytes"))
     })
-
-  /** Decoded zip-archive features ([[graft.sources.Zip]]). */
-  private case class ZipFeatures(doc_id: Long, sample_key: String,
-      n_files: Long, txt_bytes: Long, txt_byte_sum: Long, meta_bytes: Long)
 
   val zipIngest = Q(
     "src_zip_ingest",

@@ -22,8 +22,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *  - `startingVersion` (default 0): serve changes AFTER this version;
   *    0 bootstraps with version 1's full content as inserts (the
   *    "initial snapshot + subsequent changes" contract), `latest`
-  *    resolves to the current version at stream start (tail only
-  *    future commits).
+  *    resolves to the current version at FIRST stream start and is then
+  *    PINNED in the query's checkpoint (the Delta initial-offset file
+  *    pattern) — a crash-restart reuses the pinned value rather than
+  *    re-resolving against a table that advanced during downtime, which
+  *    would silently skip the in-between versions on bootstrap replay.
   *  - `maxVersionsPerBatch` (default unbounded): ADMISSION CONTROL —
   *    cap how many committed versions one micro-batch may cover (the
   *    Kafka `maxOffsetsPerTrigger` / Delta `maxFilesPerTrigger` knob).
@@ -35,6 +38,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    engine's own offset log at worst widens one batch to two caps'
   *    worth — batch BOUNDS always come from the engine's log, so
   *    exactly-once is untouched.
+  *  - `maxBytesPerBatch` (default unbounded): BYTE-weighted admission —
+  *    versions vary wildly in size (one OPTIMIZE vs a thin append), so
+  *    counting versions paces unevenly; this caps the batch by the SUM
+  *    of the admitted versions' newly-added file bytes (a stat call per
+  *    new file — metadata, never data). At least one version is always
+  *    admitted, so an over-cap commit still flows (in its own batch).
+  *    Composes with `maxVersionsPerBatch`; same hwm, same exactly-once
+  *    argument.
   *
   * Contracts, stated honestly (all Delta-CDF-shaped):
   *  - VACUUM RETENTION bounds consumer lag: a restart that asks for a
@@ -67,19 +78,56 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val table = tableOf(parameters)
-    val starting = parameters.get("startingVersion") match {
+    val resolved = parameters.get("startingVersion") match {
       case Some("latest") => Snapshots.latestVersion(table)
       case Some(v) => v.toInt
       case None => 0
     }
+    // Persist the RESOLVED starting version in the query's checkpoint on
+    // FIRST start (create-if-absent, the Delta initial-offset pattern)
+    // and reuse it on every restart: createSource runs again after a
+    // crash, and re-resolving `latest` against a table that advanced
+    // during downtime would silently skip the versions in between when
+    // the engine replays its bootstrap batch (getBatch(None, end) uses
+    // startingVersion as `from`).
+    val starting = SnapshotSourceProvider
+      .pinnedStartingVersion(metadataPath, resolved)
     val cap = parameters.get("maxVersionsPerBatch").map(_.toInt)
       .getOrElse(Int.MaxValue)
     require(cap >= 1, s"maxVersionsPerBatch must be >= 1, got $cap")
-    new SnapshotChangesSource(sqlContext, table, starting, cap, metadataPath)
+    val byteCap = parameters.get("maxBytesPerBatch").map(_.toLong)
+      .getOrElse(Long.MaxValue)
+    require(byteCap >= 1, s"maxBytesPerBatch must be >= 1, got $byteCap")
+    new SnapshotChangesSource(sqlContext, table, starting, cap,
+      metadataPath, byteCap)
   }
 }
 
 object SnapshotSourceProvider {
+  /** Read-or-pin the stream's starting version in `metadataPath`:
+    * returns the previously pinned value if one exists, else atomically
+    * creates the pin with `resolved` (create-if-absent — a concurrent
+    * racer's pin wins and is returned, so every driver agrees). An empty
+    * metadataPath (bare unit-test construction) pins nothing.
+    */
+  def pinnedStartingVersion(metadataPath: String, resolved: Int): Int = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    if (metadataPath.isEmpty) return resolved
+    val dir = Paths.get(metadataPath.stripPrefix("file:"))
+    val pin = dir.resolve("graft-starting-version")
+    if (Files.exists(pin)) Files.readString(pin).trim.toInt
+    else {
+      Files.createDirectories(dir)
+      try {
+        Files.writeString(pin, resolved.toString, StandardOpenOption.CREATE_NEW)
+        resolved
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.readString(pin).trim.toInt
+      }
+    }
+  }
+
   /** The feed's schema: the table schema at stream start plus the two
     * change columns. Requires a committed version (a stream over a
     * never-published table has no schema to bind).
@@ -106,7 +154,8 @@ object SnapshotSourceProvider {
   */
 class SnapshotChangesSource(sqlContext: SQLContext, table: String,
     startingVersion: Int, maxVersionsPerBatch: Int = Int.MaxValue,
-    metadataPath: String = "") extends Source {
+    metadataPath: String = "",
+    maxBytesPerBatch: Long = Long.MaxValue) extends Source {
 
   private val declared = SnapshotSourceProvider.feedSchema(table)
 
@@ -122,7 +171,9 @@ class SnapshotChangesSource(sqlContext: SQLContext, table: String,
     * ENGINE asks for, whatever the mark says.
     */
   private def hwmFile: Option[java.nio.file.Path] =
-    if (metadataPath.isEmpty || maxVersionsPerBatch == Int.MaxValue) None
+    if (metadataPath.isEmpty ||
+        (maxVersionsPerBatch == Int.MaxValue &&
+          maxBytesPerBatch == Long.MaxValue)) None
     else Some(java.nio.file.Paths.get(
       metadataPath.stripPrefix("file:")).resolve("graft-pacing-hwm"))
 
@@ -142,9 +193,29 @@ class SnapshotChangesSource(sqlContext: SQLContext, table: String,
     val cur = math.max(math.max(startingVersion, 0), readHwm())
     if (latest <= cur) None
     else {
-      val next = math.min(latest.toLong, cur.toLong + maxVersionsPerBatch).toInt
-      if (next > cur) writeHwm(next)
-      Some(LongOffset(next.toLong))
+      // Admit versions until either cap trips. The BYTE cap paces by what
+      // a version actually WEIGHS (its newly added data + DV file bytes —
+      // one metadata stat per file, no data read): one OPTIMIZE commit
+      // and ten thin appends are wildly different batch costs under a
+      // version-count cap but pace evenly here. The first version is
+      // always admitted (an over-cap fat commit must still make
+      // progress), so the mark only bounds ACCUMULATION, never liveness.
+      var next = cur
+      var bytes = 0L
+      var open = true
+      while (open && next < latest && (next - cur) < maxVersionsPerBatch) {
+        val add =
+          if (maxBytesPerBatch == Long.MaxValue) 0L
+          else Snapshots.versionAddedBytes(table, next + 1)
+        if (next == cur || bytes + add <= maxBytesPerBatch) {
+          bytes += add; next += 1
+        } else open = false
+      }
+      if (next <= cur) None
+      else {
+        writeHwm(next)
+        Some(LongOffset(next.toLong))
+      }
     }
   }
 

@@ -132,6 +132,21 @@ object Snapshots {
     require(Files.exists(p),
       s"version $v of $table is not committed (never written, or vacuumed)")
     val s = Files.readString(p)
+    // LEGACY DETECTION: a manifest written by the pre-positional-format
+    // revision is a bare JSON array of file names (`["a.parquet",...]`).
+    // Parse it as a files-only Manifest (no batch watermark, checks,
+    // DVs, blooms, or schema existed in that format) instead of failing
+    // with an opaque substring/NumberFormat error.
+    val first = s.dropWhile(_.isWhitespace).headOption.getOrElse(' ')
+    if (first == '[') {
+      val body = s.trim.stripPrefix("[").stripSuffix("]")
+      val files = body.split(",").map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      return Manifest(-1L, files, Seq.empty, None)
+    }
+    require(first == '{',
+      s"unrecognized manifest format for version $v of $table " +
+        s"(starts with '$first'); republish the table")
     val batch = s.substring(s.indexOf("\"batch\":") + 8, s.indexOf(',')).trim.toLong
     def arr(from: Int): (Seq[String], Int) = {
       val a = s.indexOf('[', from); val b = s.indexOf(']', a)
@@ -163,6 +178,24 @@ object Snapshots {
   def bloomColumnsFor(table: String, v: Int): Seq[String] =
     if (v < 1 || !Files.exists(manifestPath(table, v))) Seq.empty
     else readManifest(table, v).blooms
+
+  /** Bytes version `v` ADDED to the table: the sizes of data + DV files
+    * in `v`'s manifest that were not in `v-1`'s. One manifest read and a
+    * stat call per new file — metadata-plane, no data is opened. This is
+    * the pacing weight the streaming source's `maxBytesPerBatch` uses
+    * (a commit's catch-up cost is proportional to what it added, not 1).
+    */
+  def versionAddedBytes(table: String, v: Int): Long = {
+    require(v >= 1, s"version must be >= 1, got $v")
+    val prev: Set[String] =
+      if (v == 1) Set.empty
+      else { val m = readManifest(table, v - 1); (m.files ++ m.dvs).toSet }
+    val m = readManifest(table, v)
+    (m.files ++ m.dvs).distinct.filterNot(prev).map { n =>
+      val p = Paths.get(table, "data", n)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+  }
 
   /** Deletion-vector parquet names committed with version `v` (empty for
     * pre-DV manifests and uncommitted versions).
@@ -372,9 +405,15 @@ object Snapshots {
       .map(_.split("\t", -1)).filter(r => r(1) == "-" && (r(2) == "R" || r(2) == "V"))
       .groupBy(_(0))
     rows.flatMap { case (file, ls) =>
-      ls.find(_(2) == "R").map { r =>
-        file -> ((r(3).toLong,
-          ls.find(_(2) == "V").map(_(3).toLong).getOrElse(0L)))
+      ls.find(_(2) == "R").flatMap { r =>
+        val vVal = ls.find(_(2) == "V").map(_(3))
+        // Sentinel "?" = masked count UNKNOWN (written when a carried
+        // file's prior stats were lost in the crash window while the
+        // manifest carries DVs): report no entry at all, so rowCount
+        // degrades to None and carriedDvs keeps the vectors — unknown
+        // is never reported as zero.
+        if (vVal.contains("?")) None
+        else Some(file -> ((r(3).toLong, vVal.map(_.toLong).getOrElse(0L))))
       }
     }
   }
@@ -390,11 +429,19 @@ object Snapshots {
     */
   private def writeStats(table: String, v: Int, names: Seq[String],
       dvDelta: Map[String, Long] = Map.empty,
-      inheritAlso: Option[Int] = None): Unit = {
+      inheritAlso: Option[Int] = None,
+      dvs: Seq[String] = Seq.empty): Unit = {
     val prevStats = statsFor(table, v - 1)
     val prevMeta = metaFor(table, v - 1)
     val alsoStats = inheritAlso.map(statsFor(table, _)).getOrElse(Map.empty)
     val alsoMeta = inheritAlso.map(metaFor(table, _)).getOrElse(Map.empty)
+    // Files carried from v-1 whose masked count was never recorded
+    // (crash/concurrent-writer window left v-1's sidecar unwritten) have
+    // an UNKNOWN masked count whenever the new manifest carries DVs —
+    // baking 0 would make rowCount overcount forever. Newly staged files
+    // (not in v-1's manifest) genuinely start at 0.
+    val carried: Set[String] =
+      if (v <= 1) Set.empty else manifestFiles(table, v - 1).toSet
     val statLines = names.flatMap { n =>
       val path = Paths.get(table, "data", n)
       // `inheritAlso` wins over v-1: a restore republishes the TARGET's
@@ -402,10 +449,15 @@ object Snapshots {
       // are the ones consistent with the committed manifest.
       val meta = alsoMeta.get(n).orElse(prevMeta.get(n))
       val rows = meta.map(_._1).getOrElse(footerRowCount(path))
-      val masked = meta.map(_._2).getOrElse(0L) + dvDelta.getOrElse(n, 0L)
+      val maskedKnown = meta.isDefined || !carried(n) || dvs.isEmpty
+      val vLine =
+        if (maskedKnown) {
+          val m = meta.map(_._2).getOrElse(0L) + dvDelta.getOrElse(n, 0L)
+          s"$n\t-\tV\t$m\t$m"
+        } else s"$n\t-\tV\t?\t?"
       val cols = prevStats.get(n).orElse(alsoStats.get(n))
         .getOrElse(footerStats(path))
-      Seq(s"$n\t-\tR\t$rows\t$rows", s"$n\t-\tV\t$masked\t$masked") ++
+      Seq(s"$n\t-\tR\t$rows\t$rows", vLine) ++
         cols.toSeq.sortBy(_._1).map { case (c, (tag, mn, mx)) =>
           s"$n\t$c\t$tag\t$mn\t$mx"
         }
@@ -439,7 +491,7 @@ object Snapshots {
       try { Files.createLink(manifestPath(table, v), tmp); }
       catch { case _: FileAlreadyExistsException => return false }
       // Winner's post-commit stats (losers returned above, never here).
-      writeStats(table, v, names, dvDelta, inheritAlso)
+      writeStats(table, v, names, dvDelta, inheritAlso, dvs)
       true
     } finally Files.deleteIfExists(tmp)
   }
@@ -954,9 +1006,21 @@ object Snapshots {
     val scanNames =
       if (!bloomColumnsFor(table, prev).contains(key)) prevNames
       else {
+        // Null keys can't match any bloom entry (parquet filters hold
+        // only non-null values) — drop them from the probe set; they
+        // still participate in the join-based touched-file find below.
+        // Probe types the filter reader doesn't support (Short/Byte/
+        // Decimal/Date/...) degrade to the full scan, never a crash.
         val ks = keys.limit(1001).collect().map(_.get(0)).toSeq
-        if (ks.size > 1000) prevNames
-        else pruneFilesBloomAny(table, key, ks, Some(prev))._1
+        val probes = ks.filter(_ != null)
+        val supported = probes.forall {
+          case _: Int | _: Long | _: Float | _: Double | _: String |
+               _: Array[Byte] => true
+          case _ => false
+        }
+        if (ks.size > 1000 || !supported) prevNames
+        else if (probes.isEmpty) Seq.empty // all-null delta touches nothing
+        else pruneFilesBloomAny(table, key, probes, Some(prev))._1
       }
     val touched: Set[String] =
       if (scanNames.isEmpty) Set.empty
@@ -1194,15 +1258,37 @@ object Snapshots {
               val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
               if (bf == null) true // no filter written: keep
               else values.exists { value =>
-                val h = value match {
-                  case s: String => bf.hash(Binary.fromString(s))
-                  case l: Long => bf.hash(l)
-                  case i: Int => bf.hash(i.toLong)
-                  case d: Double => bf.hash(d)
-                  case x => throw new IllegalArgumentException(
-                    s"unsupported bloom probe type: ${x.getClass}")
+                // Hash by the column's PHYSICAL type, not the probe's JVM
+                // type: parquet-mr hashed the written values through the
+                // physical-width overload (hash(int) feeds 4 bytes to
+                // xxhash, hash(long) 8), so an Int probe against an INT32
+                // column MUST use hash(int) — hash(i.toLong) produces a
+                // different digest and a false "proven absent" (a bloom
+                // false NEGATIVE, breaking readPoint and merge).
+                import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                val phys = cc.getPrimitiveType.getPrimitiveTypeName
+                // None = the value provably cannot appear in a column of
+                // this physical type (e.g. a Long outside Int range vs
+                // INT32) — a sound skip without touching the filter.
+                val h: Option[Long] = (phys, value) match {
+                  case (INT32, i: Int) => Some(bf.hash(i))
+                  case (INT32, l: Long) =>
+                    if (l.isValidInt) Some(bf.hash(l.toInt)) else None
+                  case (INT64, l: Long) => Some(bf.hash(l))
+                  case (INT64, i: Int) => Some(bf.hash(i.toLong))
+                  case (FLOAT, f: Float) => Some(bf.hash(f))
+                  case (FLOAT, d: Double) =>
+                    if (d.toFloat.toDouble == d || d.isNaN) Some(bf.hash(d.toFloat))
+                    else None
+                  case (DOUBLE, d: Double) => Some(bf.hash(d))
+                  case (DOUBLE, f: Float) => Some(bf.hash(f.toDouble))
+                  case (BINARY, s: String) => Some(bf.hash(Binary.fromString(s)))
+                  case (BINARY, bs: Array[Byte]) =>
+                    Some(bf.hash(Binary.fromConstantByteArray(bs)))
+                  case (p, x) => throw new IllegalArgumentException(
+                    s"unsupported bloom probe: ${x.getClass} against physical type $p")
                 }
-                bf.findHash(h)
+                h.exists(bf.findHash)
               }
           }
         }

@@ -128,6 +128,88 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(got == want, "bloom-narrowed merge drifted from upsert semantics")
   }
 
+  test("probe hashing follows the column's PHYSICAL type: Int probes on " +
+      "INT32 and Float probes on FLOAT find their rows (no false negatives)") {
+    val table = Files.createTempDirectory("graft_bloom5").toString
+    // id32 is IntegerType → parquet INT32: the written filter hashed
+    // 4-byte values, so an Int probe must go through hash(int) —
+    // hashing i.toLong would "prove absent" rows that exist.
+    val df = docs.select(col("doc_id"),
+      col("doc_id").cast("int").as("id32"),
+      col("n_chars").cast("float").as("f32"), col("digest"))
+    Snapshots.publish(df.repartitionByRange(8, col("doc_id")), table)  // v1
+    Snapshots.addBloomIndex(table, "id32")                             // v2
+    Snapshots.addBloomIndex(table, "f32")                              // v3
+    Snapshots.compact(spark, table, 8, col("doc_id"))                  // v4
+
+    val expect = Snapshots.read(spark, table)
+      .filter(col("id32") === 123).count()
+    assert(expect >= 1)
+    assert(Snapshots.readPoint(spark, table, "id32", 123).count() == expect,
+      "Int probe against an INT32 column hit a bloom false negative")
+    // A Long probe against the same INT32 column narrows to hash(int).
+    assert(Snapshots.readPoint(spark, table, "id32", 123L).count() == expect)
+    // And it still SKIPS (the index is doing work, not just not-failing).
+    assert(Snapshots.pruneFilesBloom(table, "id32", 123)._2.nonEmpty)
+
+    val fv = Snapshots.read(spark, table).filter(col("doc_id") === 77L)
+      .select(col("f32")).first().getFloat(0)
+    val fExpect = Snapshots.read(spark, table)
+      .filter(col("f32") === fv).count()
+    assert(fExpect >= 1)
+    assert(Snapshots.readPoint(spark, table, "f32", fv).count() == fExpect,
+      "Float probe against a FLOAT column hit a bloom false negative")
+    // A Double probe that is an exact float widening narrows to hash(float).
+    assert(Snapshots.readPoint(spark, table, "f32",
+      fv.toDouble).count() == fExpect)
+
+    // Values the physical type cannot hold are a SOUND skip, not a crash.
+    assert(Snapshots.readPoint(spark, table, "id32",
+      10000000000L).count() == 0)
+  }
+
+  test("merge tolerates null keys and falls back to the full find scan " +
+      "for probe types the filter reader does not support") {
+    import org.apache.spark.sql.functions.{date_add, lit, to_date}
+    // Null key in the delta: dropped from the bloom probe set (a null
+    // matches nothing), the row itself lands as an insert.
+    val t1 = Files.createTempDirectory("graft_bloom6").toString
+    Snapshots.publish(docs.repartitionByRange(4, col("doc_id")), t1)   // v1
+    Snapshots.addBloomIndex(t1, "doc_id")                              // v2
+    Snapshots.compact(spark, t1, 4, col("doc_id"))                     // v3
+    val nullDelta = docs.filter(col("doc_id") === 9L)
+      .select(lit(null).cast("long").as("doc_id"), col("lang"),
+        col("n_chars"), col("digest"))
+      .unionByName(docs.filter(col("doc_id") === 8L)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 3L).as("n_chars"), col("digest")))
+    val before = Snapshots.read(spark, t1).count()
+    Snapshots.merge(spark, t1, nullDelta, "doc_id")                    // v4
+    val after = Snapshots.read(spark, t1)
+    assert(after.count() == before + 1, "null-key row must land as insert")
+    assert(after.filter(col("doc_id") === 8L).select(col("n_chars"))
+      .first().getLong(0) == docs.filter(col("doc_id") === 8L)
+      .select(col("n_chars")).first().getLong(0) + 3L)
+
+    // Date-typed merge key: pruneFilesBloomAny does not hash dates —
+    // the merge must degrade to the full scan, never crash.
+    val t2 = Files.createTempDirectory("graft_bloom7").toString
+    val dated = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), date_add(to_date(lit("2026-01-01")),
+        col("doc_id").cast("int")).as("day"), col("n_chars"))
+    Snapshots.publish(dated.repartition(4), t2)                        // v1
+    Snapshots.addBloomIndex(t2, "day")                                 // v2
+    val dDelta = dated.filter(col("doc_id") === 3L)
+      .select(col("doc_id"), col("day"), (col("n_chars") + 50L).as("n_chars"))
+    Snapshots.merge(spark, t2, dDelta, "day")                          // v3
+    assert(Snapshots.read(spark, t2).filter(col("doc_id") === 3L)
+      .select(col("n_chars")).first().getLong(0) ==
+      dated.filter(col("doc_id") === 3L).select(col("n_chars"))
+        .first().getLong(0) + 50L,
+      "date-key merge (bloom fallback path) drifted from upsert semantics")
+    assert(Snapshots.read(spark, t2).count() == 100)
+  }
+
   test("appends after the index carry filters; time travel sees each " +
       "version's property") {
     val table = Files.createTempDirectory("graft_bloom3").toString

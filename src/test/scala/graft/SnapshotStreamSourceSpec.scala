@@ -164,6 +164,81 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       "paced restart re-delivered or duplicated rows")
   }
 
+  test("startingVersion=latest is PINNED at first start: a restart after " +
+      "downtime delivers the versions that landed in between, never " +
+      "re-resolving against the advanced table") {
+    val table = Files.createTempDirectory("graft_tail5").toString
+    val cp = Files.createTempDirectory("graft_tail5_cp").toString
+    val out = Files.createTempDirectory("graft_tail5_out").toString
+    Snapshots.publish(docs.filter(col("doc_id") < 100), table)         // v1
+    Snapshots.append(docs.filter(col("doc_id") === 100L), table)       // v2
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("startingVersion", "latest").load(table)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // first start pins latest=2; no history delivered
+
+    // Consumer DOWN; the table advances twice.
+    Snapshots.append(docs.filter(col("doc_id") === 101L), table)       // v3
+    Snapshots.append(docs.filter(col("doc_id") === 102L), table)       // v4
+
+    // Restart re-runs createSource. Re-resolving `latest` here would be
+    // 4 — silently skipping v3/v4 on the bootstrap replay. The pinned
+    // value (2) delivers exactly the missed range.
+    run()
+    val result = spark.read.parquet(out)
+    assert(result.count() == 2,
+      s"pinned-latest restart lost or duplicated versions: ${result.count()}")
+    assert(result.select(col("doc_id"), col("_commit_version")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((101L, 3L), (102L, 4L)))
+  }
+
+  test("maxBytesPerBatch paces by what a version WEIGHS: a fat commit " +
+      "and thin ones split into byte-bounded batches, exactly-once intact") {
+    val table = Files.createTempDirectory("graft_tail6").toString
+    val cp = Files.createTempDirectory("graft_tail6_cp").toString
+    val out = Files.createTempDirectory("graft_tail6_out").toString
+    // v1 FAT (500 docs WITH text — real payload bytes), v2..v5 thin
+    // single-row appends: the version-count cap would see 5 equal
+    // versions; the byte cap sees one heavy commit and four light ones.
+    val fat = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("text"))
+    Snapshots.publish(fat.filter(col("doc_id") < 400), table)          // v1
+    for (i <- 0 until 4)                                               // v2..v5
+      Snapshots.append(fat.filter(col("doc_id") === (400L + i)), table)
+    val fatBytes = Snapshots.versionAddedBytes(table, 1)
+    val thinBytes = (2 to 5).map(Snapshots.versionAddedBytes(table, _))
+    assert(thinBytes.forall(_ > 0) && fatBytes > thinBytes.sum,
+      "probe precondition: v1 must outweigh all thin commits together")
+
+    def offsetsLogged(): Int = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(cp, "offsets"))
+      try s.iterator().asScala.count(_.getFileName.toString.forall(_.isDigit))
+      finally s.close()
+    }
+    // Cap = fat/2: the over-cap v1 still flows (liveness — first version
+    // is always admitted) but alone; the thin commits then pack together
+    // under the cap. Expect exactly 2 batches: [1], [2..5].
+    val q = spark.readStream.format("graft-snapshot")
+      .option("maxBytesPerBatch", (fatBytes / 2).toString).load(table)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(offsetsLogged() == 2,
+      s"byte pacing expected 2 batches ([fat],[4 thin]), got ${offsetsLogged()}")
+    val result = spark.read.parquet(out)
+    assert(result.count() == 400 + 4)
+    assert(result.groupBy(col("doc_id"), col("_commit_version")).count()
+      .filter(col("count") > 1).count() == 0,
+      "byte-paced delivery duplicated rows")
+  }
+
   test("startingVersion=latest tails only future commits") {
     val table = Files.createTempDirectory("graft_tail3").toString
     Snapshots.publish(docs.filter(col("doc_id") < 200), table)         // v1

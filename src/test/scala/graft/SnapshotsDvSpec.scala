@@ -252,4 +252,36 @@ class SnapshotsDvSpec extends AnyFunSuite {
       Snapshots.read(spark, table, Some(1))
     }
   }
+
+  test("a lost stats sidecar under carried DVs degrades rowCount to " +
+      "None — unknown masked counts are never reported as a number") {
+    val table = Files.createTempDirectory("graft_dv_lost_stats").toString
+    Snapshots.publish(docs.filter(col("doc_id") < 100)
+      .repartition(2), table)                                          // v1
+    Snapshots.deleteWhereDV(spark, table, col("doc_id") < 10)          // v2
+    assert(Snapshots.rowCount(table, Some(2)).contains(90L))
+
+    // THE CRASH WINDOW: v2's manifest committed but its stats sidecar
+    // never landed (stats are post-commit; a dying writer or a racing
+    // reader can observe exactly this state).
+    Files.delete(Paths.get(table, "_stats", "v00002.tsv"))
+
+    // v3 carries v2's files AND its deletion vectors. The carried files'
+    // masked counts are now unknowable — baking 0 would overcount (101
+    // where the true count is 91) for v3 and every later version.
+    Snapshots.append(docs.filter(col("doc_id") === 100L), table)       // v3
+    assert(Snapshots.rowCount(table, Some(3)).isEmpty,
+      "unknown masked counts must degrade rowCount to None, not a lie")
+    // The actual read is untouched — DVs still apply.
+    assert(Snapshots.read(spark, table).count() == 91)
+    // And the unknown PROPAGATES (a later thin commit can't launder it).
+    Snapshots.append(docs.filter(col("doc_id") === 101L), table)       // v4
+    assert(Snapshots.rowCount(table, Some(4)).isEmpty)
+
+    // Recovery: a full rewrite re-derives counts from fresh footers and
+    // purges the masks — rowCount becomes exact again.
+    Snapshots.optimize(spark, table, 1024L * 1024 * 1024)              // v5
+    assert(Snapshots.rowCount(table).contains(92L))
+    assert(Snapshots.read(spark, table).count() == 92)
+  }
 }

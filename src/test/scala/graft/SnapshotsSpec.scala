@@ -621,4 +621,43 @@ class SnapshotsSpec extends AnyFunSuite {
       "expired version's schema metadata survived the vacuum")
     assert(Snapshots.tableSchema(table, 4).nonEmpty)
   }
+
+  test("a legacy bare-array manifest parses as a files-only version; " +
+      "unrecognized formats fail loudly, not with a parse stack") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).limit(10)
+    // Stage one data file by hand, the way the pre-positional-format
+    // revision laid tables out: bare JSON array of file names.
+    val table = Files.createTempDirectory("graft_legacy").toString
+    Files.createDirectories(Paths.get(table, "data"))
+    Files.createDirectories(Paths.get(table, "_manifests"))
+    val tmp = Files.createTempDirectory("graft_legacy_stage").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val listing = Files.list(Paths.get(tmp))
+    val src = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    } finally listing.close()
+    Files.copy(src, Paths.get(table, "data", "legacy.parquet"))
+    Files.writeString(Paths.get(table, "_manifests", "v00001.json"),
+      "[\"legacy.parquet\"]")
+
+    assert(Snapshots.latestVersion(table) == 1)
+    assert(Snapshots.read(spark, table).count() == 10,
+      "legacy files-only manifest must stay readable")
+    assert(Snapshots.lastBatchId(table) == -1L,
+      "a legacy manifest carries no batch watermark")
+    assert(Snapshots.rowCount(table).isEmpty,
+      "legacy versions predate count tracking — unknown, never a guess")
+
+    // A manifest in NO known format is an explicit incompatibility
+    // error, not a NumberFormatException from a substring parse.
+    Files.writeString(Paths.get(table, "_manifests", "v00002.json"),
+      "format: something-else")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.read(spark, table)
+    }
+    assert(e.getMessage.contains("unrecognized manifest format"))
+  }
 }
