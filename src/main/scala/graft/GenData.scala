@@ -229,16 +229,22 @@ object GenData {
       df.coalesce(files).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
     // File counts mirror the driver layout (one file per table; parquet
-    // row-group splitting restores scan parallelism).
-    write(spark.range(nDocs).map(doc(_)).toDF(), "documents", 1)
-    write(spark.range(nEmb).map(emb(_)).toDF(), "embeddings", 1)
-    write(spark.range(nEvents).map(event(_, nUsers)).toDF(), "events", 1)
-    write(spark.range(nCust).map(customer(_)).toDF(), "customer", 1)
-    write(spark.range(nSupp).map(supplier(_)).toDF(), "supplier", 1)
-    write(spark.range(nPart).map(part(_)).toDF(), "part", 1)
-    write(spark.range(nOrders).map(order(_, nCust)).toDF(), "orders", 1)
-    write(spark.range(nLineitem)
-      .map(lineitem(_, nOrders, nPart, nSupp)).toDF(), "lineitem", 1)
+    // row-group splitting restores scan parallelism). Past sf1 the
+    // single-file coalesce would serialize GENERATION into one task, so
+    // the file count scales with sf there — content stays byte-identical
+    // (every field is a pure function of (table, id)), only the file
+    // boundaries move, and nothing downstream keys on file layout.
+    val nf = if (sf <= 1.0) 1 else math.min(32, math.ceil(sf).toInt)
+    def writeN(df: DataFrame, name: String): Unit = write(df, name, nf)
+    writeN(spark.range(nDocs).map(doc(_)).toDF(), "documents")
+    writeN(spark.range(nEmb).map(emb(_)).toDF(), "embeddings")
+    writeN(spark.range(nEvents).map(event(_, nUsers)).toDF(), "events")
+    writeN(spark.range(nCust).map(customer(_)).toDF(), "customer")
+    writeN(spark.range(nSupp).map(supplier(_)).toDF(), "supplier")
+    writeN(spark.range(nPart).map(part(_)).toDF(), "part")
+    writeN(spark.range(nOrders).map(order(_, nCust)).toDF(), "orders")
+    writeN(spark.range(nLineitem)
+      .map(lineitem(_, nOrders, nPart, nSupp)).toDF(), "lineitem")
     write((0 until 25).map(i => Nation(i, s"NATION_$i", i % 5)).toDF(),
       "nation", 1)
     write(Regions.toSeq.zipWithIndex.map { case (n, i) => Region(i, n) }

@@ -704,16 +704,22 @@ object CorpusOps {
       "CARRYING values, and a MERGE backfills the new columns into one " +
       "slice of pre-evolution rows as v4 — whose copy-on-write path " +
       "must read old files UNDER the evolved schema or the rewrite " +
-      "fails on exactly the files it needs. The query reads the " +
-      "committed latest: nulls where no write ever supplied a value, " +
+      "fails on exactly the files it needs — and a RENAME COLUMN " +
+      "(quality -> score) commits v5 metadata-only through the stable " +
+      "field-id mapping (files keep the physical name; the read aliases " +
+      "to the version's logical name, so the backfilled and appended " +
+      "values must SURVIVE the rename byte-for-byte or the oracle " +
+      "hash catches the loss). The query reads the committed latest: " +
+      "nulls where no write ever supplied a value, " +
       "values exactly where the append/backfill put them — so a ghost " +
       "default, a lost backfill, a schema applied to the wrong " +
-      "version, or a null-fill slip all surface as value drift against " +
+      "version, a null-fill slip, or a rename that detaches its data " +
+      "all surface as value drift against " +
       "the oracle's pure-SQL replay. SnapshotsSpec certifies the " +
       "metadata-only law (file list unchanged), the compat gate " +
       "(missing column / type drift loud, new columns only under " +
       "mergeSchema), pre-evolution time travel, and vacuum expiry of " +
-      "schema metadata.",
+      "schema metadata; SchemaMappingSpec certifies rename/drop laws.",
     Some("""
       WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
            appended AS (
@@ -727,10 +733,12 @@ object CorpusOps {
                     (n_chars // 5)::BIGINT AS tokens
              FROM base WHERE doc_id % 10 = 3)
       SELECT doc_id, lang, n_chars,
-             CAST(NULL AS DOUBLE) AS quality, CAST(NULL AS BIGINT) AS tokens
+             CAST(NULL AS DOUBLE) AS score, CAST(NULL AS BIGINT) AS tokens
       FROM base WHERE doc_id % 10 <> 3
-      UNION ALL SELECT * FROM backfill
-      UNION ALL SELECT * FROM appended""".stripMargin),
+      UNION ALL SELECT doc_id, lang, n_chars, quality AS score, tokens
+      FROM backfill
+      UNION ALL SELECT doc_id, lang, n_chars, quality AS score, tokens
+      FROM appended""".stripMargin),
     (spark, dir) => {
       import graft.sources.Snapshots
       import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
@@ -750,9 +758,12 @@ object CorpusOps {
         .withColumn("lang", lit("yy"))), table)
       Snapshots.merge(spark, table,
         widened(base.filter(col("doc_id") % 10 === 3)), "doc_id")
+      // v5: RENAME quality -> score, metadata-only — the values the
+      // append and backfill wrote must survive under the new name.
+      Snapshots.renameColumn(table, "quality", "score")
       Snapshots.read(spark, table)
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          col("quality"), col("tokens"))
+          col("score"), col("tokens"))
     })
 
   val bucketedJoin = Q(

@@ -52,9 +52,24 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, 
   * (`mergeSchema`) pass and no rewrite. [[append]] gates on schema
   * compatibility (new columns only under `mergeSchema = true`; type drift
   * always fails); time travel to a pre-evolution version reads the old
-  * schema. Renames/drops are out of scope, honestly: name-based column
-  * resolution cannot express them — that is precisely what Iceberg-style
-  * column IDs buy.
+  * schema.
+  *
+  * COLUMN MAPPING (round 9): [[renameColumn]]/[[dropColumn]] are
+  * metadata-only commits too, via Iceberg-style STABLE FIELD IDS with a
+  * per-version name mapping — each schema field carries (`graft.id`,
+  * `graft.phys`) in its StructField metadata: the id never changes, the
+  * PHYSICAL name is what data files carry (frozen at the field's first
+  * commit), and the LOGICAL name is free to change per version. Reads
+  * resolve files under the physical schema and alias to the version's
+  * logical names, so a renamed column's data survives with zero rewrite,
+  * time travel sees each version's own names, and an append under the
+  * old name fails the schema gate loudly. Columns added after a drop get
+  * FRESH physical names (`_g<id>_<name>`) so a dropped column's bytes in
+  * retained files can never resurrect under a reused logical name.
+  * Tables never renamed/dropped keep physical == logical and the exact
+  * pre-mapping plans (no aliasing operator). Renaming/dropping a column
+  * referenced by a CHECK constraint is refused (drop the constraint
+  * first); nested-field mapping is out of scope (tables here are flat).
   *
   * Scope, stated honestly: multi-writer on any filesystem with atomic
   * create-if-absent (POSIX link/O_EXCL, HDFS create). Object stores
@@ -262,6 +277,148 @@ object Snapshots {
   /** Manifest file list of a committed version. */
   private def manifestFiles(table: String, v: Int): Seq[String] =
     readManifest(table, v).files
+
+  // ---- column mapping (stable field ids + per-version name mapping) ----
+  private val FieldIdKey = "graft.id"
+  private val PhysKey = "graft.phys"
+
+  /** The PHYSICAL (on-file) column name of a logical schema field —
+    * frozen at the field's first commit; the logical name is free to
+    * change per version. Unmapped fields: physical == logical.
+    */
+  private def physOf(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  private def isMapped(s: StructType): Boolean =
+    s.fields.exists(_.metadata.contains(FieldIdKey))
+
+  /** True when any field's logical name differs from its physical name —
+    * the only case the read path pays an aliasing projection for.
+    */
+  private def hasAlias(s: StructType): Boolean =
+    s.fields.exists(f => physOf(f) != f.name)
+
+  /** The schema as data files carry it: every field under its physical
+    * name (metadata kept — aliasing back restores the logical view).
+    */
+  private def physSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physOf(f))))
+
+  private def fieldWithId(f: StructField, id: Long, phys: String): StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id)
+      .putString(PhysKey, phys).build())
+
+  /** Baseline id assignment for a never-mapped schema (ids 1..n,
+    * physical = current names — sound because every retained file was
+    * written under exactly those names); identity if already mapped.
+    */
+  private def withBaselineIds(s: StructType): StructType =
+    if (isMapped(s)) s
+    else StructType(s.fields.zipWithIndex.map { case (f, i) =>
+      fieldWithId(f, i + 1L, f.name)
+    })
+
+  private def maxFieldId(s: StructType): Long =
+    s.fields.filter(_.metadata.contains(FieldIdKey))
+      .map(_.metadata.getLong(FieldIdKey)).foldLeft(0L)(math.max)
+
+  /** Extend `base` with new nullable fields. On a MAPPED table each new
+    * field gets the next id and a FRESH physical name (`_g<id>_<name>`):
+    * a previously-dropped column's bytes still sit in retained files
+    * under its old physical name, and a reused logical name must never
+    * resolve to them. Unmapped tables extend name-based, as ever.
+    */
+  private def extendFields(base: StructType,
+      extra: Seq[StructField]): StructType =
+    if (!isMapped(base))
+      StructType(base.fields ++ extra.map(_.copy(nullable = true)))
+    else {
+      var next = maxFieldId(base)
+      StructType(base.fields ++ extra.map { f =>
+        next += 1
+        fieldWithId(f.copy(nullable = true), next, s"_g${next}_${f.name}")
+      })
+    }
+
+  /** The physical name of logical `column` at version `v` (identity for
+    * unmapped/legacy tables) — the translation every footer-keyed
+    * consumer (stats pruning, bloom probes) applies before touching a
+    * file.
+    */
+  private def physNameAt(table: String, v: Int, column: String): String =
+    tableSchema(table, v).flatMap(_.fields.find(_.name == column))
+      .map(physOf).getOrElse(column)
+
+  /** Refuse a rename/drop of a column some CHECK constraint references —
+    * constraints are SQL over LOGICAL names and would silently bind to
+    * nothing (or error at the next enforce) after the change.
+    */
+  private def guardConstraintRefs(cons: Seq[(String, String)],
+      column: String, op: String): Unit = {
+    val re = ("(?i)\\b" + java.util.regex.Pattern.quote(column) + "\\b").r
+    val hit = cons.filter { case (_, e) => re.findFirstIn(e).isDefined }
+    require(hit.isEmpty,
+      s"cannot $op column '$column': referenced by CHECK constraint(s) " +
+        s"${hit.map(_._1).mkString(",")} — drop them first")
+  }
+
+  /** RENAME COLUMN — metadata-only commit: same files, same field id and
+    * physical name, new LOGICAL name. Reads of every version resolve by
+    * the stable physical name, so the column's data survives with zero
+    * rewrite; time travel to a pre-rename version sees the old name; an
+    * append still carrying the old name fails the schema gate loudly.
+    * A bloom index on the column follows the rename (the blooms property
+    * tracks logical names; file probes translate to physical). First use
+    * assigns baseline field ids. Read-modify-write: lost race conflicts.
+    */
+  def renameColumn(table: String, oldName: String, newName: String): Int = {
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version to evolve")
+    val base0 = tableSchema(table, prev).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table tracks no schema (legacy table) — republish before renaming"))
+    val base = withBaselineIds(base0)
+    require(base.fieldNames.contains(oldName),
+      s"$table has no column '$oldName'")
+    require(!base.fieldNames.contains(newName),
+      s"$table already has a column '$newName'")
+    val cons = constraintsFor(table, prev)
+    guardConstraintRefs(cons, oldName, "rename")
+    val evolved = StructType(base.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val blooms = bloomColumnsFor(table, prev)
+      .map(b => if (b == oldName) newName else b)
+    commitOrConflict(table, prev + 1, manifestFiles(table, prev),
+      Some(evolved), cons, dvFiles(table, prev), blooms = blooms)
+  }
+
+  /** DROP COLUMN — metadata-only commit: the field leaves the declared
+    * schema; its bytes stay in retained files under the physical name,
+    * invisible to every read of this and later versions (and recoverable
+    * by time travel / RESTORE to a pre-drop version). A later
+    * [[addColumns]] may reuse the logical name — it gets a fresh
+    * physical name, so the dropped data never resurrects. Refused for
+    * the last column and for constraint-referenced columns.
+    */
+  def dropColumn(table: String, name: String): Int = {
+    val prev = latestVersion(table)
+    require(prev >= 1, s"$table has no committed version to evolve")
+    val base0 = tableSchema(table, prev).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table tracks no schema (legacy table) — republish before dropping"))
+    val base = withBaselineIds(base0)
+    require(base.fieldNames.contains(name), s"$table has no column '$name'")
+    require(base.fields.length > 1,
+      s"cannot drop the last column of $table")
+    val cons = constraintsFor(table, prev)
+    guardConstraintRefs(cons, name, "drop")
+    val evolved = StructType(base.fields.filterNot(_.name == name))
+    val blooms = bloomColumnsFor(table, prev).filterNot(_ == name)
+    commitOrConflict(table, prev + 1, manifestFiles(table, prev),
+      Some(evolved), cons, dvFiles(table, prev), blooms = blooms)
+  }
 
   /** Per-file column min/max recorded at commit time (`_stats/v<N>.tsv`,
     * one `file col tag min max` line per numeric top-level column; tag
@@ -533,7 +690,7 @@ object Snapshots {
       val cons = constraintsFor(table, prev)
       val blooms = bloomColumnsFor(table, prev)
       if (!enforced.contains(cons)) { enforce(df, cons, table); enforced = Some(cons) }
-      if (names == null) names = stageFiles(df, table, blooms)
+      if (names == null) names = stageFiles(df, table, blooms, Some(df.schema))
       if (tryCommit(table, prev + 1, names, -1L, Some(df.schema), cons,
           blooms = blooms))
         return prev + 1
@@ -570,7 +727,7 @@ object Snapshots {
       val cons = constraintsFor(table, prev)
       val blooms = bloomColumnsFor(table, prev)
       if (!enforced.contains(cons)) { enforce(df, cons, table); enforced = Some(cons) }
-      if (names == null) names = stageFiles(df, table, blooms)
+      if (names == null) names = stageFiles(df, table, blooms, sch)
       val base = if (prev >= 1) manifestFiles(table, prev) else Seq.empty
       if (tryCommit(table, prev + 1, base ++ names, batchId, sch, cons,
           dvFiles(table, prev), blooms = blooms))
@@ -612,7 +769,7 @@ object Snapshots {
           s"append into $table carries new columns " +
             s"${extra.map(_.name).mkString(",")}; pass mergeSchema = true " +
             "to evolve the table schema")
-        StructType(cur.fields ++ extra.map(_.copy(nullable = true)))
+        extendFields(cur, extra.toSeq)
       }
     }
 
@@ -624,14 +781,28 @@ object Snapshots {
     * makes parquet-mr write a real BLOOM FILTER per row group for those
     * columns — the write-side half of [[pruneFilesBloom]].
     */
-  private def stageFiles(df: DataFrame, table: String,
-      bloomCols: Seq[String] = Seq.empty): Seq[String] = {
+  private def stageFiles(df0: DataFrame, table: String,
+      bloomCols: Seq[String] = Seq.empty,
+      schema: Option[StructType] = None): Seq[String] = {
+    // Column mapping: incoming frames carry LOGICAL names; files carry
+    // PHYSICAL names. When the committed schema maps any field, rename
+    // at the write boundary (and translate the bloom property's logical
+    // names to the physical columns the filter bytes index).
+    val (df, physBloomCols) = schema match {
+      case Some(s) if hasAlias(s) =>
+        import org.apache.spark.sql.functions.col
+        val physOfName = s.fields.map(f => f.name -> physOf(f)).toMap
+        (df0.select(s.fields.toIndexedSeq.map(f =>
+          col(f.name).as(physOf(f))): _*),
+          bloomCols.map(b => physOfName.getOrElse(b, b)))
+      case _ => (df0, bloomCols)
+    }
     val tok = attemptToken()
     val dataDir = dirOf(table, "data")
     val stage = Files.createTempDirectory(Paths.get(table), s"stage-$tok-")
     def write(d: DataFrame): Seq[Path] = {
       val w0 = d.write.mode("overwrite")
-      val w = bloomCols.filter(d.columns.contains).foldLeft(w0) { (w, c) =>
+      val w = physBloomCols.filter(d.columns.contains).foldLeft(w0) { (w, c) =>
         // NDV hint bounds the filter's size (parquet sizes the bitset
         // from ndv+fpp); 100k at the default 1% fpp is ~120 KB per row
         // group — the point-read index a digest column needs, small next
@@ -684,7 +855,7 @@ object Snapshots {
       val cons = constraintsFor(table, prev)
       val blooms = bloomColumnsFor(table, prev)
       if (!enforced.contains(cons)) { enforce(df, cons, table); enforced = Some(cons) }
-      if (names == null) names = stageFiles(df, table, blooms)
+      if (names == null) names = stageFiles(df, table, blooms, sch)
       if (tryCommit(table, prev + 1, manifestFiles(table, prev) ++ names,
           -1L, sch, cons, dvFiles(table, prev), blooms = blooms))
         return prev + 1
@@ -716,7 +887,7 @@ object Snapshots {
     val clash = fields.map(_.name).filter(base.fieldNames.contains)
     require(clash.isEmpty,
       s"$table already has column(s) ${clash.mkString(",")}")
-    val evolved = StructType(base.fields ++ fields.map(_.copy(nullable = true)))
+    val evolved = extendFields(base, fields)
     commitOrConflict(table, prev + 1, manifestFiles(table, prev),
       Some(evolved), constraintsFor(table, prev), dvFiles(table, prev),
       blooms = bloomColumnsFor(table, prev))
@@ -777,7 +948,7 @@ object Snapshots {
     val compacted = Compaction.compactToRange(read(spark, table), n, cols: _*)
     val blooms = bloomColumnsFor(table, prev)
     commitOrConflict(table, prev + 1,
-      stageFiles(compacted, table, blooms),
+      stageFiles(compacted, table, blooms, Some(compacted.schema)),
       Some(compacted.schema), constraintsFor(table, prev), blooms = blooms)
   }
 
@@ -793,7 +964,8 @@ object Snapshots {
     val prev = latestVersion(table)
     val z = ZOrder.compactToZ(read(spark, table), n, a, b)
     val blooms = bloomColumnsFor(table, prev)
-    commitOrConflict(table, prev + 1, stageFiles(z, table, blooms),
+    commitOrConflict(table, prev + 1,
+      stageFiles(z, table, blooms, Some(z.schema)),
       Some(z.schema), constraintsFor(table, prev), blooms = blooms)
   }
 
@@ -851,7 +1023,7 @@ object Snapshots {
       prevNames.filter(touched)).filter(not(pred))
     val blooms = bloomColumnsFor(table, prev)
     commitOrConflict(table, prev + 1,
-      keep ++ stageFiles(survivors, table, blooms),
+      keep ++ stageFiles(survivors, table, blooms, tableSchema(table, prev)),
       tableSchema(table, prev), constraintsFor(table, prev),
       carriedDvs(table, prev, keep), blooms = blooms)
   }
@@ -885,8 +1057,16 @@ object Snapshots {
     */
   private def rawRead(spark: SparkSession, table: String, schemaV: Int,
       names: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val paths = names.map(n => Paths.get(table, "data", n).toString)
     tableSchema(table, schemaV) match {
+      // Column mapping: files carry PHYSICAL names; scan under the
+      // physical schema, then alias to the version's LOGICAL names (one
+      // codegen-collapsed projection, only paid when a rename exists).
+      case Some(s) if hasAlias(s) =>
+        spark.read.schema(physSchema(s)).parquet(paths: _*)
+          .select(s.fields.toIndexedSeq.map(f =>
+            col(physOf(f)).as(f.name)): _*)
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
@@ -1037,8 +1217,8 @@ object Snapshots {
         .select(cur.columns.map(col).toIndexedSeq: _*)
         .unionByName(aligned)
     val blooms = bloomColumnsFor(table, prev)
-    (keep ++ stageFiles(newData, table, blooms), cons,
-      carriedDvs(table, prev, keep), blooms)
+    (keep ++ stageFiles(newData, table, blooms, tableSchema(table, prev)),
+      cons, carriedDvs(table, prev, keep), blooms)
   }
 
   /** EXACTLY-ONCE STREAMING MERGE — the upsert face of [[appendBatch]],
@@ -1166,7 +1346,7 @@ object Snapshots {
     val blooms = bloomColumnsFor(table, prev)
     val staged = packed.flatMap { bin =>
       stageFiles(readFiles(spark, table, prev, bin).coalesce(1), table,
-        blooms)
+        blooms, tableSchema(table, prev))
     }
     val smallSet = small.map(_._1).toSet
     commitOrConflict(table, prev + 1,
@@ -1244,6 +1424,8 @@ object Snapshots {
     require(values.nonEmpty, "at least one probe value")
     val v = version.getOrElse(latestVersion(table))
     require(v >= 1, s"$table has no committed version")
+    // Files carry PHYSICAL column names; `column` is logical.
+    val phys = physNameAt(table, v, column)
     manifestFiles(table, v).partition { n =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(Paths.get(table, "data", n).toUri),
@@ -1252,7 +1434,7 @@ object Snapshots {
         val blocks = reader.getFooter.getBlocks.asScala
         // Keep unless every row group proves absence of every value.
         blocks.isEmpty || blocks.exists { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          b.getColumns.asScala.find(_.getPath.toDotString == phys) match {
             case None => true // column chunk missing: cannot prove, keep
             case Some(cc) =>
               val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
@@ -1387,8 +1569,12 @@ object Snapshots {
     require(ranges.nonEmpty, "at least one (column, lo, hi) range")
     val v = version.getOrElse(latestVersion(table))
     val stats = statsFor(table, v)
+    // Stats lines carry PHYSICAL column names (they come from footers);
+    // the caller speaks logical — translate per the version's mapping.
+    val physRanges = ranges.map { case (c, lo, hi) =>
+      (physNameAt(table, v, c), lo, hi) }
     manifestFiles(table, v).partition { n =>
-      ranges.forall { case (column, lo, hi) =>
+      physRanges.forall { case (column, lo, hi) =>
         stats.get(n).flatMap(_.get(column)) match {
           case Some(("L", mn, mx)) => !(mx.toLong < lo || mn.toLong > hi)
           case Some(("S", _, _)) => true // string stat, numeric range: keep
@@ -1444,10 +1630,11 @@ object Snapshots {
     require(value != null, "equality pruning on NULL matches no row")
     val v = version.getOrElse(latestVersion(table))
     val stats = statsFor(table, v)
+    val phys = physNameAt(table, v, column)
     val vb = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b64 = java.util.Base64.getDecoder
     manifestFiles(table, v).partition { n =>
-      stats.get(n).flatMap(_.get(column)) match {
+      stats.get(n).flatMap(_.get(phys)) match {
         case Some(("S", mn, mx)) =>
           bytesCompare(vb, b64.decode(mn)) >= 0 &&
             bytesCompare(vb, b64.decode(mx)) <= 0
@@ -1488,9 +1675,12 @@ object Snapshots {
     * Cost per step is O(files the commit touched), never O(table) —
     * exactly the bound the copy-on-write writers guarantee — and the
     * diff is one hash-exchange over those rows (exceptAll), no window,
-    * no driver rows. Both sides of a step read under the LATER version's
-    * schema (schemas only widen), so an evolved-column backfill diffs as
-    * the value change it is. This is the reader-side dual of
+    * no driver rows. Every step binds to the END version's schema (the
+    * Delta-CDF contract): evolved-column backfills diff as the value
+    * changes they are, pre-evolution steps null-fill later columns,
+    * renamed columns surface under the END version's logical names (the
+    * stable physical mapping resolves every step's files), and columns
+    * the end version dropped leave the feed. This is the reader-side dual of
     * incremental view maintenance: a downstream aggregate consumes the
     * feed instead of rescanning history (`pipeline_incremental_agg`
     * holds the writer-side half).
@@ -1532,7 +1722,7 @@ object Snapshots {
           val dv = spark.read.parquet(
             dvAdded.map(n => Paths.get(table, "data", n).toString): _*)
             .select(col("file").as("_dv_file"), col("pos").as("_dv_pos"))
-          val raw = withPos(rawRead(spark, table, v, carried))
+          val raw = withPos(rawRead(spark, table, to, carried))
           Seq(tag(raw.join(dv, raw("_graft_file") === dv("_dv_file") &&
             raw("_graft_pos") === dv("_dv_pos"), "left_semi")
             .drop("_graft_file", "_graft_pos"), "delete"))
@@ -1540,12 +1730,12 @@ object Snapshots {
       val fileSteps = (added.nonEmpty, removed.nonEmpty) match {
         case (false, false) => Seq.empty // metadata-only or DV-only commit
         case (true, false) =>
-          Seq(tag(readFiles(spark, table, v, added), "insert"))
+          Seq(tag(readFilesAt(spark, table, to, v, added), "insert"))
         case (false, true) =>
-          Seq(tag(readFilesAt(spark, table, v, v - 1, removed), "delete"))
+          Seq(tag(readFilesAt(spark, table, to, v - 1, removed), "delete"))
         case _ =>
-          val a = readFiles(spark, table, v, added)
-          val r = readFilesAt(spark, table, v, v - 1, removed)
+          val a = readFilesAt(spark, table, to, v, added)
+          val r = readFilesAt(spark, table, to, v - 1, removed)
           Seq(tag(a.exceptAll(r), "insert"), tag(r.exceptAll(a), "delete"))
       }
       fileSteps ++ dvDeletes
