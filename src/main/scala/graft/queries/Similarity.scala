@@ -29,6 +29,10 @@ object Similarity {
   import Tables.t
   import Det.r4e
 
+  /** [[vecs]] opened to the stage-attribution probe (graft.ProbeKnn). */
+  private[graft] def probeVecs(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+
   /** Embeddings with doubles + precomputed norm. */
   private[queries] def vecs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -201,28 +205,61 @@ object Similarity {
              GROUP BY label)"""
 
   /** Per-vector centroid ranking of `v` against a (cell, centroid) table:
-    * every (vec_id, cell) scored by squared L2, row_number'd per vec_id on
-    * the rounded distance with cell tie-break, kept up to rank `p` — rank 1
+    * every (vec_id, cell) scored by squared L2, ranked per vec_id on the
+    * rounded distance with cell tie-break, kept up to rank `p` — rank 1
     * is the quantizer assignment, ranks ≤ nprobe are the probe set of an
-    * IVF search. The centroid side broadcasts (k rows). `carry` names the
-    * extra `v` columns kept through the ranking (probe consumers ask for
-    * e/nrm to score without a re-join); everything else — in particular the
-    * k centroid-array copies per vector from the broadcast join — is
-    * projected away BEFORE the window's per-vec_id exchange, which would
-    * otherwise shuffle O(N·k·d) centroid bytes for no reader.
+    * IVF search. `carry` names the extra `v` columns kept through the
+    * ranking (probe consumers ask for e/nrm to score without a re-join).
+    *
+    * ONE NATIVE EXPRESSION, MAP-ONLY (round 9): the round-8 formulation
+    * joined v against the broadcast centroid table and row_number-
+    * windowed the N×k scored rows by vec_id — at the g10 probe (200k
+    * vectors, k = 2560 adaptive cells) that cost ~1 µs per (vector,
+    * centroid) PAIR (row iteration, virtual array access, a BigDecimal
+    * round per pair, a 512M-row exchange) and was the measured
+    * super-linear term of the whole kNN family: 21.8×/decade,
+    * stage-attributed at 179–292 s of a 320 s query by graft.ProbeKnn.
+    * Two intermediate rewrites (per-row HOF array sort; primitive-key
+    * min-aggregation over the join) only shaved constants — HOFs are
+    * CodegenFallback, and even the codegen'd join pays per-pair row
+    * machinery. [[graft.functions.CellTopK]] collapses the whole
+    * per-vector scan into one expression over a flat primitive centroid
+    * matrix: tight multiply-add inner loop, exact HALF_UP rounding only
+    * for candidates that can still enter the top-p, no join, no window,
+    * NO exchange — the plan is a projection. Arithmetic, rounding, and
+    * the (r6, cell) tie-break are bit-identical to the join+window form
+    * (see CellTopK's exactness note), so the oracle is untouched; the
+    * remaining cost is the unavoidable N·k·d flops of a flat coarse
+    * quantizer (hierarchical quantizers take over past ~10M vectors, as
+    * the scale note on [[KnnSubCellThreshold]] states).
     */
-  private[queries] def cellRanks(v: DataFrame, cent: DataFrame, p: Int,
+  private[graft] def cellRanks(v: DataFrame, cent: DataFrame, p: Int,
       carry: Seq[String] = Nil): DataFrame = {
-    val d2 = dot(col("e"), col("e")) -
-      lit(2) * dot(col("e"), col("centroid")) +
-      dot(col("centroid"), col("centroid"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(round(col("d2_raw") + lit(1e-9), 6), col("cell"))
-    v.join(broadcast(cent))
-      .withColumn("d2_raw", d2)
-      .select((Seq("vec_id", "cell", "d2_raw") ++ carry).map(col): _*)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= p)
+    // The centroid table COLLECTS into the expression: k rows, the same
+    // driver-bounded scale as broadcasting it (which every prior shape
+    // did anyway) — sorted by cell for a deterministic matrix.
+    val rows = cent.select(col("cell").cast("long"), col("centroid"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, "cellRanks: empty centroid table")
+    val cellType = cent.schema("cell").dataType
+    val d = rows.head.getSeq[Double](1).size
+    val cells = rows.map(_.getLong(0))
+    val flat = new Array[Double](rows.length * d)
+    rows.zipWithIndex.foreach { case (r, j) =>
+      val c = r.getSeq[Double](1)
+      var i = 0
+      while (i < d) { flat(j * d + i) = c(i); i += 1 }
+    }
+    val topk = org.apache.spark.sql.GraftShim.column(
+      graft.functions.CellTopK(
+        org.apache.spark.sql.GraftShim.expression(col("e")),
+        cells, flat, d, p))
+    v.select(Seq(col("vec_id")) ++ carry.map(col)
+        :+ posexplode(topk).as(Seq("rk0", "t")): _*)
+      .select(Seq(col("vec_id")) ++ carry.map(col) ++ Seq(
+        col("t.cell").cast(cellType).as("cell"),
+        col("t.d2_raw").as("d2_raw"),
+        (col("rk0") + 1).cast("int").as("rk")): _*)
   }
 
   /** Nearest-centroid assignment of `v` against a (cell, centroid) table:
@@ -1401,7 +1438,7 @@ object Similarity {
     * split (see [[KnnSubCellThreshold]], declared above [[knnGraph]]):
     * per-cell means over knncell = label·2^m + signbits(e[0..m)).
     */
-  private[queries] def knnCentroids(v: DataFrame): DataFrame = {
+  private[graft] def knnCentroids(v: DataFrame): DataFrame = {
     val nv = v.agg(count(lit(1)).cast("long").as("nv"))
     val vc = v.crossJoin(broadcast(nv))
       .withColumn("m", expr(
@@ -1421,21 +1458,34 @@ object Similarity {
     */
   private[queries] def knnGraphTopk(spark: SparkSession, dir: String,
       nprobe: Int): DataFrame = {
-    val v = Q.materialize(vecs(spark, dir))
+    // VECTORS TRAVEL WITH THE PROBES (round 9): the round-8 shape joined
+    // bare (qid, nid) candidates back against the vector table TWICE to
+    // score — at the g10 probe (31M candidates × 512-byte vectors) those
+    // two joins exchanged ~30 GB and were the measured super-linear term
+    // of the whole query. Now ONE cellRanks pass (map-side, see its
+    // scaladoc) carries each vector and its self-dot: rank 1 IS the home
+    // cell (the assign side), ranks ≤ nprobe are the probe side, and
+    // scoring happens AT the cell equi-join — the only vector bytes that
+    // ever shuffle are the N·(nprobe+1) probe/assign rows (~300 MB at
+    // g10, vs 30 GB), and the top-3 window exchanges 24-byte rows.
+    // Arithmetic unchanged: (qq − 2·q·n) + nn on the same vectors, same
+    // rounding, same (d2r6, nid) tie-break — oracle untouched.
+    val v = Q.materialize(vecs(spark, dir)
+      .withColumn("ee", dot(col("e"), col("e"))))
     val cent = Q.materialize(knnCentroids(v))
-    val assign = assignAgainst(v, cent)
-      .select(col("vec_id").as("nid"), col("cell"))
-    val probes = cellRanks(v, cent, nprobe)
-      .select(col("vec_id").as("qid"), col("cell"))
-    val cand = probes.join(assign, "cell")
+    val ranks = Q.materialize(
+      cellRanks(v, cent, nprobe, carry = Seq("e", "ee")))
+    val assign = ranks.filter(col("rk") === 1)
+      .select(col("vec_id").as("nid"), col("cell"),
+        col("e").as("ne"), col("ee").as("nn"))
+    val probes = ranks
+      .select(col("vec_id").as("qid"), col("cell"),
+        col("e").as("qe"), col("ee").as("qq"))
+    val scored = probes.join(assign, "cell")
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"))
-    val qv = v.select(col("vec_id").as("qid"), col("e").as("qe"))
-    val nv = v.select(col("vec_id").as("nid"), col("e").as("ne"))
-    val scored = cand.join(qv, "qid").join(nv, "nid")
       .select(col("qid"), col("nid"),
-        (dot(col("qe"), col("qe")) - lit(2) * dot(col("qe"), col("ne"))
-          + dot(col("ne"), col("ne"))).as("d2_raw"))
+        (col("qq") - lit(2) * dot(col("qe"), col("ne"))
+          + col("nn")).as("d2_raw"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("d2_raw") + lit(1e-9), 6), col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -906,32 +906,40 @@ object TextOps {
     */
   private[graft] val BpeMerges = 64
 
-  /** Rounds per lineage cut of the BPE loops' symbol frame. MEASURED at
-    * 1 (checkpoint every round): stride 4 saves checkpoint jobs but each
-    * lazy round's topMerge then RE-EXECUTES up to stride−1 rewrite
-    * rounds inside its own job — sf0.1 min-of-3 said 6.5 s at stride 1
-    * vs 7.2 s at stride 4 (and 14.6 s when the 1-row merges were also
-    * left lazy, nesting TakeOrdered trees into every later round). The
-    * loop is driver-latency-bound either way; recompute loses to
-    * checkpointing here because the checkpointed frame is vocabulary-
-    * tiny. Kept as a named constant so the trade stays visible.
+  /** Rounds per lineage cut of the BPE loops' symbol frame. History of
+    * the measurement (sf0.1, min-of-3): under the round-8 structure
+    * (crossJoin-broadcast merges, every round checkpointing BOTH the
+    * 1-row merge and the symbol frame = 2 jobs/round) stride 1 beat
+    * stride 4 (6.5 s vs 7.2 s) because a lazy round's topMerge nested
+    * the previous TakeOrdered subtrees. Round 9 removed that term: the
+    * winning merge is driver-COLLECTED (one deliberately tiny row) and
+    * embedded as literals, so a lazy round re-executes only stride−1
+    * vocabulary-sized string rewrites inside its own job — now the
+    * checkpoint is pure overhead at small strides and the stride factor
+    * divides the loop's job count. Measured at 8 (see PLANS.md BPE
+    * round-latency table); the loop is driver-latency-bound, so jobs
+    * saved convert ~1:1 into wall clock.
     */
-  private[graft] val BpeLineageStride = 1
+  private[graft] val BpeLineageStride = 8
 
   /** One BPE merge applied to a space-joined symbol string, in the
     * boundary-sentinel form that is exact for EVERY round: symbols are
     * double-space separated and flanked, the pair is matched with its
     * own flanking spaces (so a pair containing a multi-char symbol can
     * never false-match across a symbol boundary — 'h e' inside 'th e'),
-    * and left-to-right non-overlapping replace IS the textbook BPE merge
-    * order ('a a a' merges once). The result is re-canonicalized to
-    * single-space form so rounds compose. Shared by the Spark loop and
-    * the generated oracle, textually identical semantics.
+    * and left-to-right non-overlapping replace IS the textbook BPE
+    * merge order ('a a a' merges once); the result re-canonicalizes to
+    * single-space form so rounds compose. The winning pair arrives as
+    * LITERALS (the driver-collected 1-row merge) in Column form — same
+    * semantics as [[mergeOnceDuck]], the oracle's generated dialect.
     */
-  private def mergeOnceSql(s: String, pair: String, merged: String): String =
-    s"array_join(filter(split(replace(concat(' ', replace($s, ' ', '  '), ' '), " +
-      s"concat(' ', replace($pair, ' ', '  '), ' '), " +
-      s"concat(' ', $merged, ' ')), ' '), x -> x != ''), ' ')"
+  private def mergeOnceCol(s: org.apache.spark.sql.Column, pair: String,
+      merged: String): org.apache.spark.sql.Column = {
+    val spaced = concat(lit(" "), replace(s, lit(" "), lit("  ")), lit(" "))
+    val hit = lit(" " + pair.replace(" ", "  ") + " ")
+    array_join(filter(split(replace(spaced, hit,
+      lit(" " + merged + " ")), " "), x => x =!= ""), " ")
+  }
 
   /** Same merge step in DuckDB's dialect — generated, not hand-unrolled,
     * for each CTE round of the oracle chain.
@@ -1009,30 +1017,33 @@ object TextOps {
           .select(explode(toks).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("c"))
           .select(array_join(split(col("word"), ""), " ").as("s"), col("c")))
-      var table: org.apache.spark.sql.DataFrame = null
+      val learned = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
       for (k <- 1 to BpeMerges) {
-        // The winning merge is ALWAYS checkpointed (1 row; it feeds both
-        // the output table and every later round — left lazy it would
-        // nest its TakeOrdered subtree into all of them).
-        val m = Q.materializeLoop(topMerge(s))
-        val mk = m.select(lit(k.toLong).as("rank"), col("pair"),
-          col("merged"), col("cnt"))
-        table = if (table == null) mk else table.unionByName(mk)
+        // The winning merge COLLECTS to the driver — one deliberately
+        // tiny row per round, the same driver-bounded posture as the
+        // ≤1001-key merge probe. Embedding it as LITERALS (round 9)
+        // removes both the 1-row checkpoint job and the crossJoin
+        // broadcast from every later round: the loop's real cost at
+        // vocabulary scale is sequential job launches, and this halves
+        // them (64 first() + 64/stride checkpoints, was 2 jobs/round).
+        val m = topMerge(s).first()
+        val (pair, merged) = (m.getString(0), m.getString(1))
+        learned += ((k.toLong, pair, merged, m.getLong(2)))
         if (k < BpeMerges) {
-          val next = s.crossJoin(broadcast(m))
-            .select(expr(mergeOnceSql("s", "pair", "merged")).as("s"),
-              col("c"))
-          // The symbol frame checkpoints every BpeLineageStride rounds:
-          // each lazy round references s once here and once in the next
-          // topMerge, so the plan holds at most 2^stride copies of the
-          // last checkpoint — bounded at 16 — while the driver
-          // round-trips (the loop's real cost at vocabulary scale) drop
-          // by the stride factor.
+          val next = s.select(mergeOnceCol(col("s"), pair, merged).as("s"),
+            col("c"))
+          // Lineage cut every BpeLineageStride rounds: a lazy round's
+          // topMerge re-executes at most stride−1 literal rewrites on
+          // the vocabulary-sized frame inside its own job — cheaper
+          // than a checkpoint job each round now that no TakeOrdered
+          // subtree can nest (merges are literals).
           s = if (k % BpeLineageStride == 0) Q.materializeLoop(next)
               else next
         }
       }
-      table
+      import spark.implicits._
+      learned.toSeq.toDF("rank", "pair", "merged", "cnt")
     })
 
   val bpeApply = Q(
@@ -1082,12 +1093,12 @@ object TextOps {
         .groupBy(col("word")).agg(sum(col("c")).cast("long").as("c"))
         .withColumn("s", array_join(split(col("word"), ""), " ")))
       for (k <- 1 to BpeMerges) {
-        // Same shape as bpe_fit: merge always checkpointed (it feeds
-        // every later round), symbol frame strided.
-        val m = Q.materializeLoop(topMerge(s.select(col("s"), col("c"))))
-        val next = s.crossJoin(broadcast(m))
-          .select(col("word"),
-            expr(mergeOnceSql("s", "pair", "merged")).as("s"), col("c"))
+        // Same shape as bpe_fit: the winning merge driver-collects (one
+        // tiny row) and applies as literals; the symbol frame strides.
+        val m = topMerge(s.select(col("s"), col("c"))).first()
+        val next = s.select(col("word"),
+          mergeOnceCol(col("s"), m.getString(0), m.getString(1)).as("s"),
+          col("c"))
         s = if (k % BpeLineageStride == 0 || k == BpeMerges)
           Q.materializeLoop(next) else next
       }

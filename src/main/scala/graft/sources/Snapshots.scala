@@ -71,10 +71,13 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, 
   * referenced by a CHECK constraint is refused (drop the constraint
   * first); nested-field mapping is out of scope (tables here are flat).
   *
-  * Scope, stated honestly: multi-writer on any filesystem with atomic
-  * create-if-absent (POSIX link/O_EXCL, HDFS create). Object stores
-  * without it implement the same CAS against a log/catalog entry (the
-  * actual difference between this sketch and a production format); the
+  * Scope: the commit CAS is ABSTRACTED behind [[CommitPrimitive]]
+  * (round 9) — production here is [[PosixLinkCommit]] (POSIX
+  * link/O_EXCL, HDFS create); an object-store port implements the same
+  * one-call contract against a conditional PUT (S3 `If-None-Match: *`,
+  * GCS `if-generation-match: 0`) or a catalog-row insert, and NOTHING
+  * else in this object touches the commit path (tests inject race-losing
+  * doubles through the same seam — SnapshotsConcurrencySpec). The
   * READER contract — manifest-listed files only, orphans invisible,
   * versions immutable — is identical and is what SnapshotsSpec certifies.
   * VACUUM remains a single-maintenance-process operation (it deletes;
@@ -626,10 +629,18 @@ object Snapshots {
   private def attemptToken(): String =
     java.util.UUID.randomUUID().toString.take(8)
 
-  /** ONE commit attempt at version `v`: write the complete record to a
-    * temp file, then atomically create-if-absent the manifest as a hard
-    * link to it. Returns true iff THIS attempt committed `v`; false means
-    * a concurrent writer owns `v` (the caller decides: rebase or abort).
+  /** The injectable commit CAS (see [[CommitPrimitive]]): production is
+    * [[PosixLinkCommit]]; tests swap in race-losing doubles, an
+    * object-store port swaps in its conditional-PUT implementation.
+    * Everything else in this object is plain immutable-file IO.
+    */
+  @volatile private[graft] var commitPrimitive: CommitPrimitive =
+    PosixLinkCommit
+
+  /** ONE commit attempt at version `v`: publish the complete record via
+    * the commit primitive's atomic create-if-absent. Returns true iff
+    * THIS attempt committed `v`; false means a concurrent writer owns
+    * `v` (the caller decides: rebase or abort).
     * `batchId < 0` carries the previous watermark forward, resolved at
     * attempt time so a rebase picks up the winner's watermark too.
     */
@@ -640,17 +651,13 @@ object Snapshots {
       inheritAlso: Option[Int] = None,
       blooms: Seq[String] = Seq.empty): Boolean = {
     val bid = if (batchId >= 0) batchId else lastBatchId(table)
-    val dir = dirOf(table, "_manifests")
-    val tmp = dir.resolve(s".tmp-${attemptToken()}")
-    Files.writeString(tmp,
-      renderManifest(Manifest(bid, names, constraints, schema, dvs, blooms)))
-    try {
-      try { Files.createLink(manifestPath(table, v), tmp); }
-      catch { case _: FileAlreadyExistsException => return false }
-      // Winner's post-commit stats (losers returned above, never here).
-      writeStats(table, v, names, dvDelta, inheritAlso, dvs)
-      true
-    } finally Files.deleteIfExists(tmp)
+    dirOf(table, "_manifests") // ensure the directory exists
+    if (!commitPrimitive.createIfAbsent(manifestPath(table, v),
+        renderManifest(Manifest(bid, names, constraints, schema, dvs, blooms))))
+      return false
+    // Winner's post-commit stats (losers returned above, never here).
+    writeStats(table, v, names, dvDelta, inheritAlso, dvs)
+    true
   }
 
   /** Commit for the read-modify-write operations: one shot at `v`; a

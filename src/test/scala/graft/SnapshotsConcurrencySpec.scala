@@ -239,4 +239,105 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
     assert(got == Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
     assert(Snapshots.lastBatchId(table) == 1L)
   }
+
+  // ---- commit-primitive doubles: deterministic race loss on demand ----
+  // The thread races above exercise REAL contention; these exercise the
+  // seam itself — the CommitPrimitive abstraction an object-store port
+  // implements — with losses injected exactly where wanted, including
+  // the every-attempt exhaustion path no thread race can pin reliably.
+
+  /** Refuses the first `lose` creates WITHOUT writing (the spurious-CAS
+    * failure an object store can return when a timed-out conditional PUT
+    * is retried after the competitor won), then delegates.
+    */
+  private final class LossyCommit(var lose: Int)
+      extends graft.sources.CommitPrimitive {
+    var refused = 0
+    override def name: String = s"lossy(${lose})"
+    override def createIfAbsent(target: java.nio.file.Path,
+        content: String): Boolean =
+      synchronized {
+        if (lose > 0) { lose -= 1; refused += 1; false }
+        else graft.sources.PosixLinkCommit.createIfAbsent(target, content)
+      }
+  }
+
+  private def withPrimitive[T](p: graft.sources.CommitPrimitive)(f: => T): T = {
+    val prev = Snapshots.commitPrimitive
+    Snapshots.commitPrimitive = p
+    try f finally Snapshots.commitPrimitive = prev
+  }
+
+  test("injected commit losses: blind appends retry through spurious CAS " +
+      "failures; read-modify-write conflicts on the first loss") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_conc6").toString
+    Snapshots.publish(Seq(0L, 1L, 2L).toDF("doc_id"), table)            // v1
+
+    // A blind append retries: three refused attempts, then commits ONCE
+    // (no duplicate rows, no skipped version — staged files are reused).
+    val lossy = new LossyCommit(3)
+    val v = withPrimitive(lossy) {
+      Snapshots.append(Seq(10L).toDF("doc_id"), table)
+    }
+    assert(lossy.refused == 3 && v == 2)
+    assert(ids(Snapshots.read(spark, table)) == Set(0L, 1L, 2L, 10L))
+
+    // Read-modify-write takes NO retries at the seam: one refused create
+    // is a serialization conflict, loud.
+    intercept[java.util.ConcurrentModificationException] {
+      withPrimitive(new LossyCommit(1)) {
+        Snapshots.deleteWhere(spark, table, col("doc_id") === 0L)
+      }
+    }
+    // The refused delete committed nothing — table unchanged.
+    assert(ids(Snapshots.read(spark, table)) == Set(0L, 1L, 2L, 10L))
+  }
+
+  test("exhaustion: a commit primitive that loses EVERY race fails a " +
+      "blind append loudly after bounded retries, leaving only orphans") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_conc7").toString
+    Snapshots.publish(Seq(0L).toDF("doc_id"), table)                    // v1
+    val e = intercept[IllegalStateException] {
+      withPrimitive(new LossyCommit(Int.MaxValue)) {
+        Snapshots.append(Seq(1L).toDF("doc_id"), table)
+      }
+    }
+    assert(e.getMessage.contains("commit races"))
+    // Nothing committed: still v1, the staged files are invisible
+    // orphans (vacuum's concern, never a reader's).
+    assert(Snapshots.latestVersion(table) == 1)
+    assert(ids(Snapshots.read(spark, table)) == Set(0L))
+  }
+
+  test("a racer injected AT the commit point: the rebase path picks up " +
+      "the racer's rows and both writers' data lands") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_conc8").toString
+    Snapshots.publish(Seq(0L).toDF("doc_id"), table)                    // v1
+
+    // On the victim's FIRST create, commit a competing append through
+    // the real primitive (so the target genuinely exists), then refuse.
+    val racer = new graft.sources.CommitPrimitive {
+      private var raced = false
+      override def name: String = "racer-once"
+      override def createIfAbsent(target: java.nio.file.Path,
+          content: String): Boolean = synchronized {
+        if (!raced) {
+          raced = true
+          withPrimitive(graft.sources.PosixLinkCommit) {
+            Snapshots.append(Seq(100L).toDF("doc_id"), table)
+          }
+          false // the victim's attempt at this version is now stale
+        } else graft.sources.PosixLinkCommit.createIfAbsent(target, content)
+      }
+    }
+    val v = withPrimitive(racer) {
+      Snapshots.append(Seq(200L).toDF("doc_id"), table)
+    }
+    assert(v == 3, s"victim must rebase onto the racer's v2, got v$v")
+    assert(ids(Snapshots.read(spark, table)) == Set(0L, 100L, 200L),
+      "rebase lost the racer's or the victim's rows")
+  }
 }
