@@ -189,6 +189,14 @@ object Bench {
     val out = sys.env.getOrElse("BENCH_OUT", "bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
+    // The default bench.json is overwritten by EVERY sweep (a round-8
+    // judge run clobbered the driver artifact's copy): keep a
+    // timestamped sidecar per run so no sweep silently replaces
+    // another's record. Explicit BENCH_OUT callers manage their own.
+    if (!sys.env.contains("BENCH_OUT"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"bench-${System.currentTimeMillis()}.json"),
+        (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -251,8 +251,30 @@ object GenData {
       .toDF(), "region", 1)
   }
 
+  /** Generate only the named tables (same content as [[generate]] would
+    * give them at this sf — per-(table, id) determinism makes subsetting
+    * free): lets a focused probe (e.g. the ANN stack at 2M vectors) pay
+    * for one table instead of a 20 GB corpus.
+    */
+  def generateOnly(spark: SparkSession, out: String, sf: Double,
+      only: Set[String]): Unit = {
+    import spark.implicits._
+    val nEvents = (1000000L * sf).toLong
+    val nUsers = math.max(15L, nEvents * 15L / 1000L)
+    val nDocs = math.max(500L, (50000L * sf).toLong)
+    val nEmb = math.max(500L, (20000L * sf).toLong)
+    val nf = if (sf <= 1.0) 1 else math.min(32, math.ceil(sf).toInt)
+    def write(df: DataFrame, name: String): Unit =
+      if (only(name)) df.coalesce(nf).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+    write(spark.range(nDocs).map(doc(_)).toDF(), "documents")
+    write(spark.range(nEmb).map(emb(_)).toDF(), "embeddings")
+    write(spark.range(nEvents).map(event(_, nUsers)).toDF(), "events")
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: GenData <outDir> <sf>")
+    require(args.length == 2 || args.length == 3,
+      "usage: GenData <outDir> <sf> [onlyTable1,onlyTable2]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -262,7 +284,11 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, args(0), args(1).toDouble)
-    finally spark.stop()
+    try {
+      if (args.length == 3)
+        generateOnly(spark, args(0), args(1).toDouble,
+          args(2).split(",").map(_.trim).toSet)
+      else generate(spark, args(0), args(1).toDouble)
+    } finally spark.stop()
   }
 }

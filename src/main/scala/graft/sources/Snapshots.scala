@@ -311,6 +311,12 @@ object Snapshots {
   private def fieldWithId(f: StructField, id: Long, phys: String): StructField =
     f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata).putLong(FieldIdKey, id)
+      // Also stamp Spark's standard parquet field-id key: with
+      // spark.sql.parquet.fieldId.write.enabled (default true) every
+      // staged file then records the Iceberg-style field id in its own
+      // parquet schema — cross-engine readers that resolve by id can
+      // consume the data files directly, not just through this reader.
+      .putLong("parquet.field.id", id)
       .putString(PhysKey, phys).build())
 
   /** Baseline id assignment for a never-mapped schema (ids 1..n,
