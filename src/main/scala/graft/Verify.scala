@@ -49,6 +49,20 @@ object Verify {
       catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A thrown query must surface as an ERROR, not as whatever
+        // partial parquet the failed write left behind (a 0-row read
+        // would score as `rows_match: false` — indistinguishable from
+        // "ran and returned nothing"). Replace the output dir with a
+        // `_FAILED` sentinel naming the exception; the checker maps it
+        // to an explicit err.
+        val qd = new java.io.File(s"$outDir/$name")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(qd); qd.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_FAILED"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}\n")
       }
       finally if (strategy.contains("persist")) spark.catalog.clearCache()
     }

@@ -308,6 +308,26 @@ object Snapshots {
   private def physSchema(s: StructType): StructType =
     StructType(s.fields.map(f => f.copy(name = physOf(f))))
 
+  /** The declared schema with Spark's `parquet.field.id` key STRIPPED —
+    * the scan-side view. Data files staged BEFORE the first rename/drop
+    * carry no parquet field ids, and Spark 4.1.2's vectorized reader
+    * refuses an id-expecting read schema over an id-less file
+    * (`FAILED_READ_FILE`: "Spark read schema expects field Ids, but
+    * Parquet file schema doesn't contain any") the moment a real column
+    * is materialized — `count()` prunes every column and never trips it.
+    * Scans therefore always resolve files by PHYSICAL NAME (stable by
+    * construction); the id metadata stays on the COMMITTED schema so
+    * [[stageFiles]] stamps ids into each NEW file for cross-engine
+    * id-resolving readers.
+    */
+  private def scanSchema(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      if (!f.metadata.contains("parquet.field.id")) f
+      else f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove("parquet.field.id").build())
+    })
+
   private def fieldWithId(f: StructField, id: Long, phys: String): StructField =
     f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata).putLong(FieldIdKey, id)
@@ -800,13 +820,20 @@ object Snapshots {
     // Column mapping: incoming frames carry LOGICAL names; files carry
     // PHYSICAL names. When the committed schema maps any field, rename
     // at the write boundary (and translate the bloom property's logical
-    // names to the physical columns the filter bytes index).
+    // names to the physical columns the filter bytes index). The alias
+    // re-attaches the field's METADATA — including `parquet.field.id`,
+    // which `.as(name)` alone would drop — so every file staged on a
+    // mapped table records its stable field id in its own parquet
+    // schema (spark.sql.parquet.fieldId.write.enabled, default true)
+    // for cross-engine id-resolving readers. Our own scans resolve by
+    // physical name ([[scanSchema]]) and tolerate both id-carrying and
+    // pre-mapping id-less files.
     val (df, physBloomCols) = schema match {
-      case Some(s) if hasAlias(s) =>
+      case Some(s) if isMapped(s) =>
         import org.apache.spark.sql.functions.col
         val physOfName = s.fields.map(f => f.name -> physOf(f)).toMap
         (df0.select(s.fields.toIndexedSeq.map(f =>
-          col(f.name).as(physOf(f))): _*),
+          col(f.name).as(physOf(f), f.metadata)): _*),
           bloomCols.map(b => physOfName.getOrElse(b, b)))
       case _ => (df0, bloomCols)
     }
@@ -1077,10 +1104,10 @@ object Snapshots {
       // physical schema, then alias to the version's LOGICAL names (one
       // codegen-collapsed projection, only paid when a rename exists).
       case Some(s) if hasAlias(s) =>
-        spark.read.schema(physSchema(s)).parquet(paths: _*)
+        spark.read.schema(scanSchema(physSchema(s))).parquet(paths: _*)
           .select(s.fields.toIndexedSeq.map(f =>
             col(physOf(f)).as(f.name)): _*)
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case Some(s) => spark.read.schema(scanSchema(s)).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
   }

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions.{col, md5}
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.SparkTestBase.MaterializedDf
 import graft.sources.Snapshots
 
 /** Bloom-filter point-read index on the snapshot table. Laws:
@@ -65,7 +66,7 @@ class BloomIndexSpec extends AnyFunSuite {
 
     // A value NOT in the table reads empty (whatever the skip count).
     assert(Snapshots.readPoint(spark, table, "digest",
-      "00000000000000000000000000000000").count() == 0)
+      "00000000000000000000000000000000").mcount() == 0)
   }
 
   test("long-typed probe, DV interplay, and drop semantics") {
@@ -80,7 +81,7 @@ class BloomIndexSpec extends AnyFunSuite {
     // A DV delete masks the row; the bloom still keeps its file (filters
     // are immutable with the file) but the read applies the vectors.
     Snapshots.deleteWhereDV(spark, table, col("doc_id") === 123L)       // v4
-    assert(Snapshots.readPoint(spark, table, "doc_id", 123L).count() == 0,
+    assert(Snapshots.readPoint(spark, table, "doc_id", 123L).mcount() == 0,
       "a DV-masked row must not resurface through the point read")
 
     // Drop is metadata-only and loud on unknown columns.
@@ -89,8 +90,8 @@ class BloomIndexSpec extends AnyFunSuite {
       Snapshots.dropBloomIndex(table, "doc_id")
     }
     // Existing filters stay usable after the drop (they ride in files).
-    assert(Snapshots.readPoint(spark, table, "doc_id", 124L).count() ==
-      Snapshots.read(spark, table).filter(col("doc_id") === 124L).count())
+    assert(Snapshots.readPoint(spark, table, "doc_id", 124L).mcount() ==
+      Snapshots.read(spark, table).filter(col("doc_id") === 124L).mcount())
   }
 
   test("merge on a bloom-indexed key narrows findTouchedFiles to filter " +
@@ -143,29 +144,29 @@ class BloomIndexSpec extends AnyFunSuite {
     Snapshots.compact(spark, table, 8, col("doc_id"))                  // v4
 
     val expect = Snapshots.read(spark, table)
-      .filter(col("id32") === 123).count()
+      .filter(col("id32") === 123).mcount()
     assert(expect >= 1)
-    assert(Snapshots.readPoint(spark, table, "id32", 123).count() == expect,
+    assert(Snapshots.readPoint(spark, table, "id32", 123).mcount() == expect,
       "Int probe against an INT32 column hit a bloom false negative")
     // A Long probe against the same INT32 column narrows to hash(int).
-    assert(Snapshots.readPoint(spark, table, "id32", 123L).count() == expect)
+    assert(Snapshots.readPoint(spark, table, "id32", 123L).mcount() == expect)
     // And it still SKIPS (the index is doing work, not just not-failing).
     assert(Snapshots.pruneFilesBloom(table, "id32", 123)._2.nonEmpty)
 
     val fv = Snapshots.read(spark, table).filter(col("doc_id") === 77L)
       .select(col("f32")).first().getFloat(0)
     val fExpect = Snapshots.read(spark, table)
-      .filter(col("f32") === fv).count()
+      .filter(col("f32") === fv).mcount()
     assert(fExpect >= 1)
-    assert(Snapshots.readPoint(spark, table, "f32", fv).count() == fExpect,
+    assert(Snapshots.readPoint(spark, table, "f32", fv).mcount() == fExpect,
       "Float probe against a FLOAT column hit a bloom false negative")
     // A Double probe that is an exact float widening narrows to hash(float).
     assert(Snapshots.readPoint(spark, table, "f32",
-      fv.toDouble).count() == fExpect)
+      fv.toDouble).mcount() == fExpect)
 
     // Values the physical type cannot hold are a SOUND skip, not a crash.
     assert(Snapshots.readPoint(spark, table, "id32",
-      10000000000L).count() == 0)
+      10000000000L).mcount() == 0)
   }
 
   test("merge tolerates null keys and falls back to the full find scan " +
@@ -183,10 +184,10 @@ class BloomIndexSpec extends AnyFunSuite {
       .unionByName(docs.filter(col("doc_id") === 8L)
         .select(col("doc_id"), col("lang"),
           (col("n_chars") + 3L).as("n_chars"), col("digest")))
-    val before = Snapshots.read(spark, t1).count()
+    val before = Snapshots.read(spark, t1).mcount()
     Snapshots.merge(spark, t1, nullDelta, "doc_id")                    // v4
     val after = Snapshots.read(spark, t1)
-    assert(after.count() == before + 1, "null-key row must land as insert")
+    assert(after.mcount() == before + 1, "null-key row must land as insert")
     assert(after.filter(col("doc_id") === 8L).select(col("n_chars"))
       .first().getLong(0) == docs.filter(col("doc_id") === 8L)
       .select(col("n_chars")).first().getLong(0) + 3L)
@@ -207,7 +208,7 @@ class BloomIndexSpec extends AnyFunSuite {
       dated.filter(col("doc_id") === 3L).select(col("n_chars"))
         .first().getLong(0) + 50L,
       "date-key merge (bloom fallback path) drifted from upsert semantics")
-    assert(Snapshots.read(spark, t2).count() == 100)
+    assert(Snapshots.read(spark, t2).mcount() == 100)
   }
 
   test("appends after the index carry filters; time travel sees each " +

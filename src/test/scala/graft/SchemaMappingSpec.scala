@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{LongType, StructField}
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.SparkTestBase.MaterializedDf
 import graft.sources.Snapshots
 
 /** Column mapping on the snapshot table — Iceberg-style stable field ids
@@ -81,10 +82,10 @@ class SchemaMappingSpec extends AnyFunSuite {
     // touched files (physical names) and the survivors stay readable.
     Snapshots.deleteWhere(spark, table, col("char_count") < 100L)       // v4
     assert(Snapshots.read(spark, table).filter(col("char_count") < 100L)
-      .count() == 0)
+      .mcount() == 0)
     assert(Snapshots.read(spark, table, Some(2))
-      .filter(col("char_count") < 100L).count() ==
-      docs.filter(col("n_chars") < 100L).count())
+      .filter(col("char_count") < 100L).mcount() ==
+      docs.filter(col("n_chars") < 100L).mcount())
   }
 
   test("drop hides the column; re-adding the logical name never " +
@@ -103,14 +104,14 @@ class SchemaMappingSpec extends AnyFunSuite {
     Snapshots.addColumns(spark, table,
       StructField("lang", org.apache.spark.sql.types.StringType))       // v3
     assert(Snapshots.read(spark, table).filter(col("lang").isNotNull)
-      .count() == 0, "dropped column's data resurrected under a reused name")
+      .mcount() == 0, "dropped column's data resurrected under a reused name")
 
     // New writes supply values for the reborn column as usual.
     Snapshots.append(docs.limit(3).select(
       (col("doc_id") + 500000L).as("doc_id"), col("n_chars"),
       lit("zz").as("lang")), table)                                     // v4
     assert(Snapshots.read(spark, table)
-      .filter(col("lang") === "zz").count() == 3)
+      .filter(col("lang") === "zz").mcount() == 3)
 
     intercept[IllegalArgumentException] {
       val t2 = Files.createTempDirectory("graft_map2b").toString
@@ -133,7 +134,7 @@ class SchemaMappingSpec extends AnyFunSuite {
     val (_, skip) = Snapshots.pruneFilesBloom(table, "document_id", 123L)
     assert(skip.nonEmpty, "bloom probe lost its files after the rename")
     assert(Snapshots.readPoint(spark, table, "document_id", 123L)
-      .count() == 1)
+      .mcount() == 1)
 
     // Range pruning on the renamed column still skips files (stats are
     // keyed by physical name; the logical query translates).
@@ -142,7 +143,7 @@ class SchemaMappingSpec extends AnyFunSuite {
     assert(skipped.nonEmpty && keep.size < 8,
       "stats pruning stopped skipping after the rename")
     assert(Snapshots.readRange(spark, table, "document_id", 0L, 10L)
-      .count() == docs.filter(col("doc_id") <= 10L).count())
+      .mcount() == docs.filter(col("doc_id") <= 10L).mcount())
 
     // Change feed across the rename: every step binds to the END
     // version's logical names, including steps committed BEFORE it.
@@ -152,8 +153,8 @@ class SchemaMappingSpec extends AnyFunSuite {
     val feed = Snapshots.changesBetween(spark, table, 0, Some(5))
     assert(feed.columns.contains("document_id")
       && !feed.columns.contains("doc_id"))
-    assert(feed.filter(col("_commit_version") === 1L).count() ==
-      docs.count())
+    assert(feed.filter(col("_commit_version") === 1L).mcount() ==
+      docs.mcount())
     assert(feed.filter(col("_commit_version") === 5L)
       .select(col("document_id")).collect().map(_.getLong(0)).toSet ==
       docs.limit(2).collect().map(_.getLong(0) + 700000L).toSet)
@@ -177,7 +178,7 @@ class SchemaMappingSpec extends AnyFunSuite {
     // And after dropping the constraint, the rename is allowed.
     Snapshots.dropConstraint(spark, table, "chars_pos")                 // v4
     Snapshots.renameColumn(table, "n_chars", "len")                     // v5
-    assert(Snapshots.read(spark, table).select(col("len")).count() ==
-      docs.count())
+    assert(Snapshots.read(spark, table).select(col("len")).mcount() ==
+      docs.mcount())
   }
 }

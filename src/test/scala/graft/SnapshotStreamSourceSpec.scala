@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.SparkTestBase.MaterializedDf
 import graft.sources.Snapshots
 
 /** The snapshot table as a Structured Streaming SOURCE: offsets are
@@ -97,7 +98,7 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       try q.processAllAvailable() finally q.stop()
     }
     run()
-    assert(spark.read.parquet(out).count() == 100)
+    assert(spark.read.parquet(out).mcount() == 100)
 
     // Commits land while the consumer is DOWN...
     Snapshots.append(docs.filter(col("doc_id") >= 100
@@ -110,13 +111,13 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     // v2/v3.
     run()
     val result = spark.read.parquet(out)
-    assert(result.count() == 100 + 10 + 1)
+    assert(result.mcount() == 100 + 10 + 1)
     assert(result.groupBy(col("doc_id"), col("_change_type"),
       col("_commit_version")).count().filter(col("count") > 1)
-      .count() == 0, "restart re-delivered already-committed offsets")
-    assert(result.filter(col("_commit_version") === 2L).count() == 10)
+      .mcount() == 0, "restart re-delivered already-committed offsets")
+    assert(result.filter(col("_commit_version") === 2L).mcount() == 10)
     assert(result.filter(col("_commit_version") === 3L
-      && col("_change_type") === "delete").count() == 1)
+      && col("_change_type") === "delete").mcount() == 1)
   }
 
   test("maxVersionsPerBatch paces catch-up into capped micro-batches, " +
@@ -148,7 +149,7 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     // the complete feed regardless of the pacing.
     assert(offsetsLogged() == 3,
       s"expected 3 capped batches, offset log has ${offsetsLogged()}")
-    assert(spark.read.parquet(out).count() == 10 + 4)
+    assert(spark.read.parquet(out).mcount() == 10 + 4)
 
     // Consumer down, 4 more commits land; the restart (same checkpoint)
     // paces the missed range too: 5→7, 9 adds two more offset entries.
@@ -158,9 +159,9 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(offsetsLogged() == 5,
       s"restart catch-up not paced: offset log has ${offsetsLogged()}")
     val result = spark.read.parquet(out)
-    assert(result.count() == 10 + 8)
+    assert(result.mcount() == 10 + 8)
     assert(result.groupBy(col("doc_id"), col("_commit_version")).count()
-      .filter(col("count") > 1).count() == 0,
+      .filter(col("count") > 1).mcount() == 0,
       "paced restart re-delivered or duplicated rows")
   }
 
@@ -191,8 +192,8 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     // value (2) delivers exactly the missed range.
     run()
     val result = spark.read.parquet(out)
-    assert(result.count() == 2,
-      s"pinned-latest restart lost or duplicated versions: ${result.count()}")
+    assert(result.mcount() == 2,
+      s"pinned-latest restart lost or duplicated versions: ${result.mcount()}")
     assert(result.select(col("doc_id"), col("_commit_version")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((101L, 3L), (102L, 4L)))
@@ -233,9 +234,9 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(offsetsLogged() == 2,
       s"byte pacing expected 2 batches ([fat],[4 thin]), got ${offsetsLogged()}")
     val result = spark.read.parquet(out)
-    assert(result.count() == 400 + 4)
+    assert(result.mcount() == 400 + 4)
     assert(result.groupBy(col("doc_id"), col("_commit_version")).count()
-      .filter(col("count") > 1).count() == 0,
+      .filter(col("count") > 1).mcount() == 0,
       "byte-paced delivery duplicated rows")
   }
 
@@ -250,7 +251,7 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      assert(spark.table("snap_tail3").count() == 0,
+      assert(spark.table("snap_tail3").mcount() == 0,
         "history leaked past startingVersion=latest")
       Snapshots.append(docs.filter(col("doc_id") === 300L), table)     // v3
       q.processAllAvailable()

@@ -8,6 +8,7 @@ import scala.util.{Failure, Success, Try}
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.SparkTestBase.MaterializedDf
 import graft.sources.Snapshots
 
 /** MULTI-WRITER optimistic concurrency: the commit point is an atomic
@@ -210,7 +211,7 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
       s"same-batch replay must commit exactly once, got $committed")
     val rows = Snapshots.read(spark, table)
       .groupBy(col("doc_id")).count()
-      .filter(col("count") > 1).count()
+      .filter(col("count") > 1).mcount()
     assert(rows == 0, "a replayed batch duplicated rows")
     assert(ids(Snapshots.read(spark, table)) == Set(0L, 10L, 11L, 12L))
     assert(Snapshots.lastBatchId(table) == 1L)

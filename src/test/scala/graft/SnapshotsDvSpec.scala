@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.SparkTestBase.MaterializedDf
 import graft.sources.Snapshots
 
 /** Merge-on-read deletes (deletion vectors), bin-packing OPTIMIZE,
@@ -21,7 +22,7 @@ import graft.sources.Snapshots
   *    rewrite purges the masks;
   *  - the change feed surfaces a DV step's masked rows as 'delete' rows
   *    and still diffs a mask-purging compaction as EMPTY;
-  *  - [[Snapshots.rowCount]] equals `read(...).count()` across the whole
+  *  - [[Snapshots.rowCount]] equals `read(...).mcount()` across the whole
   *    commit-type matrix without opening a data file;
   *  - RESTORE republishes a retained version's exact state (files,
   *    schema, DVs, constraints) as a new commit, history intact;
@@ -89,7 +90,7 @@ class SnapshotsDvSpec extends AnyFunSuite {
 
     // Metadata-only COUNT(*) equals the scan count at every version.
     for (v <- 1 to 4) {
-      val scanned = Snapshots.read(spark, table, Some(v)).count()
+      val scanned = Snapshots.read(spark, table, Some(v)).mcount()
       assert(Snapshots.rowCount(table, Some(v)) == Some(scanned),
         s"rowCount(v$v) disagrees with the scan")
     }
@@ -114,7 +115,7 @@ class SnapshotsDvSpec extends AnyFunSuite {
     assert(ids(Snapshots.read(spark, t2)) ==
       ids(docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 4)))
     assert(Snapshots.rowCount(t2) ==
-      Some(Snapshots.read(spark, t2).count()))
+      Some(Snapshots.read(spark, t2).mcount()))
   }
 
   test("optimize bin-packs small files, carries right-sized ones " +
@@ -151,7 +152,7 @@ class SnapshotsDvSpec extends AnyFunSuite {
       "a rewrite of every masked file must drop the DV list")
     assert(ids(Snapshots.read(spark, table)) == before)
     assert(Snapshots.rowCount(table) ==
-      Some(Snapshots.read(spark, table).count()))
+      Some(Snapshots.read(spark, table).mcount()))
     // The small slice sums under the target → one bin → one packed file;
     // a second optimize finds < 2 packable files and commits nothing.
     assert(Snapshots.optimize(spark, table, target) == 4)
@@ -174,7 +175,7 @@ class SnapshotsDvSpec extends AnyFunSuite {
     // History intact: v3 still reads post-append, and the restore's own
     // metadata-only rowCount matches (masked counts restored too).
     assert(ids(Snapshots.read(spark, table, Some(3))) == v3Ids)
-    assert(Snapshots.rowCount(table) == Some(docs.count()))
+    assert(Snapshots.rowCount(table) == Some(docs.mcount()))
 
     // Restore to a DV-carrying version keeps its masks (the inheritAlso
     // path: masked counts can't come from a footer read).
@@ -183,7 +184,7 @@ class SnapshotsDvSpec extends AnyFunSuite {
     assert(ids(Snapshots.read(spark, table)) ==
       ids(docs.filter(col("doc_id") % 10 =!= 3)))
     assert(Snapshots.rowCount(table) ==
-      Some(Snapshots.read(spark, table).count()))
+      Some(Snapshots.read(spark, table).mcount()))
 
     // No-op and out-of-range restores.
     assert(Snapshots.restore(table, 5) == 5)
@@ -273,7 +274,7 @@ class SnapshotsDvSpec extends AnyFunSuite {
     assert(Snapshots.rowCount(table, Some(3)).isEmpty,
       "unknown masked counts must degrade rowCount to None, not a lie")
     // The actual read is untouched — DVs still apply.
-    assert(Snapshots.read(spark, table).count() == 91)
+    assert(Snapshots.read(spark, table).mcount() == 91)
     // And the unknown PROPAGATES (a later thin commit can't launder it).
     Snapshots.append(docs.filter(col("doc_id") === 101L), table)       // v4
     assert(Snapshots.rowCount(table, Some(4)).isEmpty)
@@ -282,6 +283,6 @@ class SnapshotsDvSpec extends AnyFunSuite {
     // purges the masks — rowCount becomes exact again.
     Snapshots.optimize(spark, table, 1024L * 1024 * 1024)              // v5
     assert(Snapshots.rowCount(table).contains(92L))
-    assert(Snapshots.read(spark, table).count() == 92)
+    assert(Snapshots.read(spark, table).mcount() == 92)
   }
 }

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.SparkTestBase.MaterializedDf
 import graft.sources.Snapshots
 
 /** The snapshot-table reader contract: committed versions are immutable
@@ -196,7 +197,7 @@ class SnapshotsSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("n_chars"))
     Snapshots.publish(docs.repartitionByRange(4, col("doc_id")), table)
-    val n = docs.count()
+    val n = docs.mcount()
 
     // delta = 10 UPDATES (doc_id < 10, n_chars bumped) + 5 INSERTS.
     val updates = docs.filter(col("doc_id") < 10)
@@ -208,14 +209,14 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(v2 == 2)
 
     val after = Snapshots.read(spark, table)
-    assert(after.count() == n + 5, "inserts not applied")
+    assert(after.mcount() == n + 5, "inserts not applied")
     val bumped = after.filter(col("doc_id") < 10)
       .join(docs.filter(col("doc_id") < 10)
         .select(col("doc_id"), col("n_chars").as("orig")), "doc_id")
-    assert(bumped.filter(col("n_chars") =!= col("orig") + 1000).count() == 0,
+    assert(bumped.filter(col("n_chars") =!= col("orig") + 1000).mcount() == 0,
       "updates not last-writer-wins")
     // Pre-merge version intact; untouched files carried over.
-    assert(Snapshots.read(spark, table, Some(1)).count() == n)
+    assert(Snapshots.read(spark, table, Some(1)).mcount() == n)
     assert(mfiles(table, 1).intersect(mfiles(table, 2)).nonEmpty,
       "merge rewrote untouched files (not copy-on-write)")
   }
@@ -225,7 +226,7 @@ class SnapshotsSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("n_chars"))
     Snapshots.publish(docs.repartitionByRange(4, col("doc_id")), table)
-    val n = docs.count()
+    val n = docs.mcount()
 
     // One CDC batch: 5 updates, 3 inserts, 4 tombstones — one version.
     val cdc = docs.filter(col("doc_id") < 5)
@@ -241,18 +242,18 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(v2 == 2)
 
     val after = Snapshots.read(spark, table)
-    assert(after.count() == n + 3 - 4, "upsert+delete arithmetic is off")
+    assert(after.mcount() == n + 3 - 4, "upsert+delete arithmetic is off")
     assert(after.filter(col("doc_id") >= 10 && col("doc_id") < 14)
-      .count() == 0, "tombstoned keys survived")
+      .mcount() == 0, "tombstoned keys survived")
     assert(after.filter(col("doc_id") < 5)
       .join(docs.filter(col("doc_id") < 5)
         .select(col("doc_id"), col("n_chars").as("orig")), "doc_id")
-      .filter(col("n_chars") =!= col("orig") + 7).count() == 0,
+      .filter(col("n_chars") =!= col("orig") + 7).mcount() == 0,
       "updates not applied alongside the deletes")
     assert(!after.columns.contains("is_delete"),
       "the tombstone flag leaked into the table schema")
     // The pre-merge version remains the undo for the WHOLE batch.
-    assert(Snapshots.read(spark, table, Some(1)).count() == n)
+    assert(Snapshots.read(spark, table, Some(1)).mcount() == n)
   }
 
   test("staged-data debris from a crashed commit does not wedge the retry") {
@@ -292,7 +293,7 @@ class SnapshotsSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     Snapshots.publish(docs.filter(col("doc_id") < -1), table)
     val empty = Snapshots.read(spark, table)
-    assert(empty.count() == 0)
+    assert(empty.mcount() == 0)
     assert(empty.columns.contains("doc_id"), "schema lost on empty commit")
     // and an empty APPEND onto a non-empty table is a readable no-op.
     Snapshots.append(docs.filter(col("doc_id") < 100), table)
@@ -438,8 +439,8 @@ class SnapshotsSpec extends AnyFunSuite {
     val latest = Snapshots.read(spark, table)
     assert(latest.schema.fieldNames.toSeq ==
       Seq("doc_id", "lang", "n_chars", "quality", "tokens"))
-    assert(latest.filter(col("quality").isNotNull).count() == 0)
-    assert(latest.count() == docs.count())
+    assert(latest.filter(col("quality").isNotNull).mcount() == 0)
+    assert(latest.mcount() == docs.mcount())
 
     // Time travel to v1 reads the PRE-evolution schema.
     assert(Snapshots.read(spark, table, Some(1)).schema.fieldNames.toSeq ==
@@ -473,7 +474,7 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.append(extra, table, mergeSchema = true)
     val afterMerge = Snapshots.read(spark, table)
     assert(afterMerge.schema.fieldNames.contains("extra_col"))
-    assert(afterMerge.filter(col("extra_col").isNotNull).count() == 20)
+    assert(afterMerge.filter(col("extra_col").isNotNull).mcount() == 20)
     // Type drift on an existing column always fails.
     val drift = extra.withColumn("quality", lit(1))
       .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -488,15 +489,15 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.merge(spark, table, backfill, "doc_id")
     val got = Snapshots.read(spark, table)
     assert(got.filter(col("doc_id") < 10 && col("quality") =!= 0.9)
-      .count() == 0)
+      .mcount() == 0)
     assert(got.filter(col("doc_id") >= 10 && col("doc_id") < 100)
-      .filter(col("quality").isNotNull).count() == 0,
+      .filter(col("quality").isNotNull).mcount() == 0,
       "merge invented values outside the backfill slice")
     // ... and deleteWhere on the evolved column prunes correctly even
     // though most files predate it.
     Snapshots.deleteWhere(spark, table, col("quality") === 0.5)
     assert(Snapshots.read(spark, table)
-      .filter(col("quality") === 0.5).count() == 0)
+      .filter(col("quality") === 0.5).mcount() == 0)
   }
 
   test("CHECK constraints gate every write path at commit time") {
@@ -540,7 +541,7 @@ class SnapshotsSpec extends AnyFunSuite {
         .select(col("doc_id"), col("n_chars"), lit(true).as("del")),
       "doc_id", deleteFlag = Some("del"))                             // v4
     assert(Snapshots.read(spark, table).filter(col("doc_id") < 3)
-      .count() == 0)
+      .mcount() == 0)
 
     // Violating streaming batch refused loudly (a silent false would
     // mark the batch consumed and LOSE it); valid batch commits.
@@ -562,7 +563,7 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.dropConstraint(spark, table, "ids_bounded")
     Snapshots.append(bad.limit(2), table)
     assert(Snapshots.read(spark, table)
-      .filter(col("doc_id") >= 5000000L).count() == 2)
+      .filter(col("doc_id") >= 5000000L).mcount() == 2)
   }
 
   test("TIMESTAMP AS OF resolves on manifest commit times") {
@@ -612,8 +613,8 @@ class SnapshotsSpec extends AnyFunSuite {
       .withColumn("q", lit(2.0)), table)                        // v4
     Snapshots.vacuum(table, retainLast = 2)
     // Retained versions read under their schemas; expired fail loudly.
-    assert(Snapshots.read(spark, table, Some(3)).count() == 20)
-    assert(Snapshots.read(spark, table, Some(4)).count() == 10)
+    assert(Snapshots.read(spark, table, Some(3)).mcount() == 20)
+    assert(Snapshots.read(spark, table, Some(4)).mcount() == 10)
     intercept[IllegalArgumentException] {
       Snapshots.read(spark, table, Some(2))
     }
@@ -644,7 +645,7 @@ class SnapshotsSpec extends AnyFunSuite {
       "[\"legacy.parquet\"]")
 
     assert(Snapshots.latestVersion(table) == 1)
-    assert(Snapshots.read(spark, table).count() == 10,
+    assert(Snapshots.read(spark, table).mcount() == 10,
       "legacy files-only manifest must stay readable")
     assert(Snapshots.lastBatchId(table) == -1L,
       "a legacy manifest carries no batch watermark")

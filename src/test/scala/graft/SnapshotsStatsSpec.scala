@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.SparkTestBase.MaterializedDf
 import graft.sources.Snapshots
 
 /** Manifest-level file statistics + the change data feed — the two
@@ -54,7 +55,7 @@ class SnapshotsStatsSpec extends AnyFunSuite {
 
     // An empty range prunes everything and still returns a typed frame.
     val none = Snapshots.readRange(spark, table, "doc_id", -500, -1)
-    assert(none.count() == 0)
+    assert(none.mcount() == 0)
     assert(none.columns.contains("lang"))
   }
 
@@ -185,7 +186,7 @@ class SnapshotsStatsSpec extends AnyFunSuite {
     // A value absent from the corpus prunes everything (empty frame,
     // schema preserved) — and never errors.
     val none = Snapshots.readEq(spark, table, "lang", "zz-absent")
-    assert(none.count() == 0)
+    assert(none.mcount() == 0)
     assert(none.columns.toSeq == Seq("doc_id", "lang", "n_chars"))
 
     // Numeric range pruning is unaffected by the string stat rows, and
@@ -226,12 +227,12 @@ class SnapshotsStatsSpec extends AnyFunSuite {
 
     // A partial range replays only its steps.
     val v3only = Snapshots.changesBetween(spark, table, 2)
-    assert(v3only.filter(col("_commit_version") === 2L).count() == 0)
-    assert(v3only.count() == 10 * 2 + 5)
+    assert(v3only.filter(col("_commit_version") === 2L).mcount() == 0)
+    assert(v3only.mcount() == 10 * 2 + 5)
 
     // Compaction rewrites every file but changes no row: empty feed.
     Snapshots.compact(spark, table, 2, col("doc_id"))                   // v4
-    assert(Snapshots.changesBetween(spark, table, 3).count() == 0)
+    assert(Snapshots.changesBetween(spark, table, 3).mcount() == 0)
 
     // Metadata-only commit: empty feed without reading a byte, and the
     // empty frame still carries the change-feed schema.
@@ -239,15 +240,15 @@ class SnapshotsStatsSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("q",
         org.apache.spark.sql.types.DoubleType))                         // v5
     val empty = Snapshots.changesBetween(spark, table, 4)
-    assert(empty.count() == 0)
+    assert(empty.mcount() == 0)
     assert(empty.columns.contains("_change_type"))
 
     // An empty range [from, from] is legal and empty; from=0 is the
     // BOOTSTRAP read (v1's content as inserts); out-of-range loud.
-    assert(Snapshots.changesBetween(spark, table, 5).count() == 0)
+    assert(Snapshots.changesBetween(spark, table, 5).mcount() == 0)
     val boot = Snapshots.changesBetween(spark, table, 0, Some(1))
-    assert(boot.filter(col("_change_type") === "insert").count() ==
-      boot.count() && boot.count() == 500)
+    assert(boot.filter(col("_change_type") === "insert").mcount() ==
+      boot.mcount() && boot.mcount() == 500)
     intercept[IllegalArgumentException] {
       Snapshots.changesBetween(spark, table, -1)
     }
@@ -271,10 +272,10 @@ class SnapshotsStatsSpec extends AnyFunSuite {
 
     val feed = Snapshots.changesBetween(spark, table, 1)
     // 10 deletes (quality null) + 10 inserts (quality 0.9), all v3.
-    assert(feed.count() == 20)
+    assert(feed.mcount() == 20)
     assert(feed.filter(col("_change_type") === "insert"
-      && col("quality") === 0.9).count() == 10)
+      && col("quality") === 0.9).mcount() == 10)
     assert(feed.filter(col("_change_type") === "delete"
-      && col("quality").isNull).count() == 10)
+      && col("quality").isNull).mcount() == 10)
   }
 }

@@ -30,6 +30,13 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        sentinel = os.path.join(out_dir, name, "_FAILED")
+        if os.path.exists(sentinel):
+            # Verify caught a thrown query and replaced its output with
+            # this sentinel — report an explicit err, never a 0-row
+            # mismatch.
+            err = open(sentinel).read().strip()
+            print(f"FAIL {name}: err {err}"); n_bad += 1; continue
         spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not spark_files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
