@@ -213,29 +213,37 @@ object GenData {
     "MIDDLE EAST")
 
   // ------------------------------------------------------------------------
+
+  /** Per-table row counts at `sf`, in ONE place: [[generate]] and
+    * [[generateOnly]] both read these, so a retune can never make a
+    * focused probe's tables silently diverge from the full bench set.
+    */
+  private final case class Counts(sf: Double) {
+    val nLineitem: Long = (6000000L * sf).toLong
+    val nOrders: Long = (1500000L * sf).toLong
+    val nCust: Long = (150000L * sf).toLong
+    val nSupp: Long = (10000L * sf).toLong
+    val nPart: Long = (200000L * sf).toLong
+    val nEvents: Long = (1000000L * sf).toLong
+    val nUsers: Long = math.max(15L, nEvents * 15L / 1000L)
+    val nDocs: Long = math.max(500L, (50000L * sf).toLong)
+    val nEmb: Long = math.max(500L, (20000L * sf).toLong)
+    // One file per table at bench SFs; past sf1 the single-file coalesce
+    // would serialize generation into one task, so the file count scales
+    // (content stays byte-identical — every field is a pure function of
+    // (table, id) — only file boundaries move).
+    val nFiles: Int = if (sf <= 1.0) 1 else math.min(32, math.ceil(sf).toInt)
+  }
+
   def generate(spark: SparkSession, out: String, sf: Double): Unit = {
     import spark.implicits._
-    val nLineitem = (6000000L * sf).toLong
-    val nOrders = (1500000L * sf).toLong
-    val nCust = (150000L * sf).toLong
-    val nSupp = (10000L * sf).toLong
-    val nPart = (200000L * sf).toLong
-    val nEvents = (1000000L * sf).toLong
-    val nUsers = math.max(15L, nEvents * 15L / 1000L)
-    val nDocs = math.max(500L, (50000L * sf).toLong)
-    val nEmb = math.max(500L, (20000L * sf).toLong)
+    val c = Counts(sf)
+    import c._
 
     def write(df: DataFrame, name: String, files: Int): Unit =
       df.coalesce(files).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
-    // File counts mirror the driver layout (one file per table; parquet
-    // row-group splitting restores scan parallelism). Past sf1 the
-    // single-file coalesce would serialize GENERATION into one task, so
-    // the file count scales with sf there — content stays byte-identical
-    // (every field is a pure function of (table, id)), only the file
-    // boundaries move, and nothing downstream keys on file layout.
-    val nf = if (sf <= 1.0) 1 else math.min(32, math.ceil(sf).toInt)
-    def writeN(df: DataFrame, name: String): Unit = write(df, name, nf)
+    def writeN(df: DataFrame, name: String): Unit = write(df, name, nFiles)
     writeN(spark.range(nDocs).map(doc(_)).toDF(), "documents")
     writeN(spark.range(nEmb).map(emb(_)).toDF(), "embeddings")
     writeN(spark.range(nEvents).map(event(_, nUsers)).toDF(), "events")
@@ -259,13 +267,10 @@ object GenData {
   def generateOnly(spark: SparkSession, out: String, sf: Double,
       only: Set[String]): Unit = {
     import spark.implicits._
-    val nEvents = (1000000L * sf).toLong
-    val nUsers = math.max(15L, nEvents * 15L / 1000L)
-    val nDocs = math.max(500L, (50000L * sf).toLong)
-    val nEmb = math.max(500L, (20000L * sf).toLong)
-    val nf = if (sf <= 1.0) 1 else math.min(32, math.ceil(sf).toInt)
+    val c = Counts(sf)
+    import c._
     def write(df: DataFrame, name: String): Unit =
-      if (only(name)) df.coalesce(nf).write.mode("overwrite")
+      if (only(name)) df.coalesce(nFiles).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
     write(spark.range(nDocs).map(doc(_)).toDF(), "documents")
     write(spark.range(nEmb).map(emb(_)).toDF(), "embeddings")

@@ -56,7 +56,7 @@ object ProbeDv {
     val pred = col("doc_id") % 1000 === 0
 
     def freshTable(): String = {
-      val t = java.nio.file.Files.createTempDirectory("graft_probe_dv").toString
+      val t = graft.TempDirs.create("graft_probe_dv")
       Snapshots.publish(fact.repartitionByRange(32, col("doc_id")), t)
       t
     }

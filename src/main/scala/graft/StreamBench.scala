@@ -205,8 +205,7 @@ object StreamBench {
       // the query checkpoint): state_rows pinned 0.
       {
         import graft.sources.Snapshots
-        val table = java.nio.file.Files
-          .createTempDirectory("graft_sb_tail").toString
+        val table = graft.TempDirs.create("graft_sb_tail")
         val rows = perBatch
         var fed = 0L
         val t0 = System.nanoTime()

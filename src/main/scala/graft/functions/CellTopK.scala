@@ -33,9 +33,13 @@ import org.apache.spark.sql.types._
   * identical `BigDecimal.valueOf(...).setScale(6, HALF_UP)` Spark's
   * Round generates, with ascending-cell tie-break — so the emitted
   * (cell, d2_raw) pairs are bit-identical to the join+window plan's.
-  * The skip guard is sound: HALF_UP moves a value by at most 5e-7, so a
-  * candidate with `d2 + 1e-9 > worst_r6 + 5e-7` cannot round into a tie
-  * or below; only near-top candidates reach BigDecimal.
+  * The skip guard is sound at EVERY d2 magnitude: round6 moves a value
+  * by at most 5e-7 (the HALF_UP step) PLUS ulp(x)/2 (BigDecimal.valueOf
+  * goes through Double.toString, whose decimal value sits within half an
+  * ulp of x — negligible for small d2 but dominant once d2 grows past
+  * ~2^33, where ulp(x) > 1e-6), so a candidate with
+  * `d2 + 1e-9 > worst_r6 + 5e-7 + ulp(d2 + 1e-9)` cannot round into a
+  * tie or below; only near-top candidates reach BigDecimal.
   *
   * Scale posture: the centroid matrix rides in the expression (plan
   * binary, one copy per executor) — k ≤ ~10⁵ cells is MBs; flat coarse
@@ -91,9 +95,11 @@ case class CellTopK(child: Expression, cells: Array[Long],
       while (i < d) { qc += e(i) * flat(off + i); i += 1 }
       val d2 = (ee - 2.0 * qc) + cc(j)
       val x = d2 + 1e-9
-      // Sound pre-filter: r6 ∈ [x − 5e-7, x + 5e-7]; past the guard the
-      // candidate cannot beat or tie the current worst.
-      if (filled < n || x <= topR6(filled - 1) + 5e-7) {
+      // Sound pre-filter: r6 ∈ [x − 5e-7 − ulp(x), x + 5e-7 + ulp(x)]
+      // (HALF_UP step + the Double.toString half-ulp, see scaladoc);
+      // past the guard the candidate cannot beat or tie the current
+      // worst at ANY d2 magnitude.
+      if (filled < n || x <= topR6(filled - 1) + 5e-7 + math.ulp(x)) {
         val r6 = round6(x)
         val cell = cells(j)
         if (filled < n || r6 < topR6(filled - 1) ||

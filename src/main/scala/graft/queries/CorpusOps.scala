@@ -672,8 +672,7 @@ object CorpusOps {
       FROM merged WHERE doc_id % 10 <> 4""".stripMargin),
     (spark, dir) => {
       import graft.sources.Snapshots
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_snapq").toString
+      val table = graft.TempDirs.create("graft_snapq")
       val base = t(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       Snapshots.publish(base.repartitionByRange(4, col("doc_id")), table)
@@ -742,8 +741,7 @@ object CorpusOps {
     (spark, dir) => {
       import graft.sources.Snapshots
       import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_snapevo_q").toString
+      val table = graft.TempDirs.create("graft_snapevo_q")
       val base = t(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       Snapshots.publish(base.repartitionByRange(4, col("doc_id")), table)
@@ -792,8 +790,7 @@ object CorpusOps {
       GROUP BY o_orderpriority""".stripMargin),
     (spark, dir) => {
       import graft.sources.Bucketing
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bucket_q").toString
+      val tmp = graft.TempDirs.create("graft_bucket_q")
       val tag = tmp.substring(tmp.lastIndexOf('/') + 1)
       val (lt, ot) = (s"li_$tag", s"ord_$tag")
       Bucketing.writeBucketed(t(spark, dir, "lineitem")
@@ -837,8 +834,7 @@ object CorpusOps {
       FROM events GROUP BY user_id, event_type""".stripMargin),
     (spark, dir) => {
       import graft.sources.Snapshots
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_incragg_q").toString
+      val table = graft.TempDirs.create("graft_incragg_q")
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
@@ -900,8 +896,7 @@ object CorpusOps {
       FROM base WHERE doc_id < 5""".stripMargin),
     (spark, dir) => {
       import graft.sources.Snapshots
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_cdf_q").toString
+      val table = graft.TempDirs.create("graft_cdf_q")
       val base = t(spark, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
       Snapshots.publish(base.repartitionByRange(4, col("doc_id")), table)
@@ -944,8 +939,7 @@ object CorpusOps {
       GROUP BY lang""".stripMargin),
     (spark, dir) => {
       import graft.sources.Snapshots
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_stats_q").toString
+      val table = graft.TempDirs.create("graft_stats_q")
       val base = t(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       Snapshots.publish(base.repartitionByRange(8, col("doc_id")), table)
@@ -988,8 +982,7 @@ object CorpusOps {
     (spark, dir) => {
       import graft.sources.Snapshots
       import org.apache.spark.sql.functions.broadcast
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_zprune_q").toString
+      val table = graft.TempDirs.create("graft_zprune_q")
       val raw = Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"))
       // Write-time normalization: order-preserving min/max scale of each
@@ -1047,8 +1040,7 @@ object CorpusOps {
       FROM base WHERE doc_id % 100 = 7""".stripMargin),
     (spark, dir) => {
       import graft.sources.Snapshots
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_dv_q").toString
+      val table = graft.TempDirs.create("graft_dv_q")
       val base = t(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       Snapshots.publish(base.repartitionByRange(6, col("doc_id")), table)
@@ -1099,8 +1091,7 @@ object CorpusOps {
       """.stripMargin),
     (spark, dir) => {
       import graft.sources.Snapshots
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_cnt_q").toString
+      val table = graft.TempDirs.create("graft_cnt_q")
       val base = t(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       Snapshots.publish(base.repartition(6), table)                  // v1
@@ -1142,8 +1133,7 @@ object CorpusOps {
       WHERE doc_id % 10 <> 4""".stripMargin),
     (spark, dir) => {
       import graft.sources.Snapshots
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_restore_q").toString
+      val table = graft.TempDirs.create("graft_restore_q")
       val base = t(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       Snapshots.publish(base.repartitionByRange(4, col("doc_id")), table)
@@ -1190,8 +1180,7 @@ object CorpusOps {
       """.stripMargin),
     (spark, dir) => {
       import graft.sources.Snapshots
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_bloom_q").toString
+      val table = graft.TempDirs.create("graft_bloom_q")
       val base = t(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           md5(col("text").cast("binary")).as("digest"))

@@ -896,6 +896,20 @@ object TextOps {
     .select(col("pair"), expr("replace(pair, ' ', '')").as("merged"),
       col("cnt"))
 
+  /** [[topMerge]]'s winning row, or a NAMED error on merge starvation
+    * (the pair frame emptied before round `k`: every vocabulary word is
+    * already a single symbol). A bare `first()` would throw an anonymous
+    * NoSuchElementException; degrading to fewer merges is not an option
+    * either — the generated oracle chain runs exactly [[BpeMerges]]
+    * rounds, so the round counts must match or the hash compare fails.
+    */
+  private def topMergeAt(sdf: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.Row =
+    sdf.take(1).headOption.getOrElse(throw new IllegalStateException(
+      s"BPE merge starvation at round $k/$BpeMerges: no adjacent symbol " +
+        "pair remains in the vocabulary — lower BpeMerges or widen the " +
+        "corpus"))
+
   /** Merge rounds [[bpeFit]] trains (and [[bpeApply]] applies). Bounded
     * by the corpus: a merge exists while any vocabulary word has >= 2
     * symbols, and this vocabulary supports ~107 merges (sum of word
@@ -1027,7 +1041,7 @@ object TextOps {
         // broadcast from every later round: the loop's real cost at
         // vocabulary scale is sequential job launches, and this halves
         // them (64 first() + 64/stride checkpoints, was 2 jobs/round).
-        val m = topMerge(s).first()
+        val m = topMergeAt(topMerge(s), k)
         val (pair, merged) = (m.getString(0), m.getString(1))
         learned += ((k.toLong, pair, merged, m.getLong(2)))
         if (k < BpeMerges) {
@@ -1095,7 +1109,7 @@ object TextOps {
       for (k <- 1 to BpeMerges) {
         // Same shape as bpe_fit: the winning merge driver-collects (one
         // tiny row) and applies as literals; the symbol frame strides.
-        val m = topMerge(s.select(col("s"), col("c"))).first()
+        val m = topMergeAt(topMerge(s.select(col("s"), col("c"))), k)
         val next = s.select(col("word"),
           mergeOnceCol(col("s"), m.getString(0), m.getString(1)).as("s"),
           col("c"))

@@ -54,3 +54,72 @@ object PosixLinkCommit extends CommitPrimitive {
     } finally Files.deleteIfExists(tmp)
   }
 }
+
+/** The single call an object store answers for the commit protocol: an
+  * atomic store-iff-absent of one complete object. Real backends are one
+  * HTTP verb each — S3 `PUT` with `If-None-Match: *` (HTTP 412 = lost
+  * race), GCS `ifGenerationMatch=0`, Azure `If-None-Match: *`, or a
+  * catalog `INSERT` whose unique-key violation is the lost race. The
+  * store may return a SPURIOUS false (a timed-out PUT retried after the
+  * competitor won); [[CommitPrimitive]]'s contract already absorbs that.
+  */
+trait ConditionalStore {
+  def name: String
+
+  /** Atomically store `content` at `key` iff no object exists there;
+    * true iff THIS call stored it.
+    */
+  def putIfAbsent(key: String, content: String): Boolean
+}
+
+/** Object-store commit: the manifest CAS delegated to a
+  * [[ConditionalStore]] conditional PUT. This class and
+  * [[PosixLinkCommit]] differ ONLY in who arbitrates the race — link(2)
+  * vs the store's conditional write; every layer above the trait (blind
+  * retry, rebase, read-modify-write conflict, bounded exhaustion) is
+  * backend-agnostic, which SnapshotsConcurrencySpec certifies by running
+  * its race matrix through BOTH backends.
+  */
+final class ObjectStoreCommit(store: ConditionalStore)
+    extends CommitPrimitive {
+  override def name: String = s"object-store(${store.name})"
+
+  override def createIfAbsent(target: Path, content: String): Boolean =
+    store.putIfAbsent(target.toString, content)
+}
+
+/** Local stand-in for an S3-style bucket: the conditional decision is one
+  * ConcurrentHashMap reservation (the linearization point a real store
+  * provides server-side); the winner then materializes the object for
+  * readers as a temp-write + ATOMIC_MOVE, so a manifest appears complete
+  * or not at all (publish-then-appear, same visibility law object stores
+  * give a conditional PUT). Objects created outside this store (a table
+  * committed under [[PosixLinkCommit]], or a previous process) are
+  * honored by an existence probe before the reservation — first write
+  * wins across backends, as on a real bucket.
+  */
+object LocalConditionalStore extends ConditionalStore {
+  private val reserved =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  override def name: String = "local-stub"
+
+  override def putIfAbsent(key: String, content: String): Boolean = {
+    val target = java.nio.file.Paths.get(key)
+    if (Files.exists(target)) return false
+    if (!reserved.add(key)) return false
+    try {
+      val tmp = target.getParent.resolve(
+        s".put-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.writeString(tmp, content)
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch { case e: Throwable =>
+      // A failed PUT must not burn the key into permanent spurious
+      // losses — release the reservation so a retry can still commit.
+      reserved.remove(key)
+      throw e
+    }
+  }
+}

@@ -27,6 +27,22 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
 
+  /** Both production commit backends. The race matrix below runs through
+    * EACH — the serializability laws are properties of the protocol
+    * above [[graft.sources.CommitPrimitive]], so they must hold whether
+    * the CAS is link(2) or an object store's conditional PUT.
+    */
+  private lazy val backends: Seq[(String, graft.sources.CommitPrimitive)] =
+    Seq(
+      "posix-link" -> graft.sources.PosixLinkCommit,
+      "object-store" -> new graft.sources.ObjectStoreCommit(
+        graft.sources.LocalConditionalStore))
+
+  /** Register `body` once per commit backend, run under that backend. */
+  private def raceTest(title: String)(body: => Unit): Unit =
+    for ((tag, prim) <- backends)
+      test(s"$title [$tag]") { withPrimitive(prim)(body) }
+
   /** Run `n` thunks on `n` threads released together; returns each
     * thunk's Try. */
   private def race[T](thunks: Seq[() => T]): Seq[Try[T]] = {
@@ -43,7 +59,7 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
-  test("racing blind appends all commit; history is serializable") {
+  raceTest("racing blind appends all commit; history is serializable") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_conc1").toString
     Snapshots.publish(Seq(0L).toDF("doc_id"), table)
@@ -77,7 +93,7 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
     }
   }
 
-  test("racing publishes: every committed version is exactly one " +
+  raceTest("racing publishes: every committed version is exactly one " +
       "writer's frame, never a mixture") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_conc2").toString
@@ -94,7 +110,7 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
     assert(frames.contains(ids(Snapshots.read(spark, table))))
   }
 
-  test("racing read-modify-write: a lost race is a loud conflict, and a " +
+  raceTest("racing read-modify-write: a lost race is a loud conflict, and a " +
       "re-run against the new base succeeds") {
     import org.apache.spark.sql.types.{LongType, StructField}
     import spark.implicits._
@@ -118,7 +134,7 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
       s"an acknowledged schema change was lost: $finalSchema")
   }
 
-  test("racing DV deletes: one commits, the loser conflicts loudly, and " +
+  raceTest("racing DV deletes: one commits, the loser conflicts loudly, and " +
       "its re-run lands on the new base") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_conc_dv").toString
@@ -194,7 +210,7 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
     }
   }
 
-  test("racing appendBatch replays of the SAME batch: exactly one commits") {
+  raceTest("racing appendBatch replays of the SAME batch: exactly one commits") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_conc4").toString
     Snapshots.appendBatch(Seq(0L).toDF("doc_id"), table, 0L)
@@ -217,7 +233,7 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
     assert(Snapshots.lastBatchId(table) == 1L)
   }
 
-  test("racing mergeBatch replays of the SAME batch: exactly one commits, " +
+  raceTest("racing mergeBatch replays of the SAME batch: exactly one commits, " +
       "upserts land once") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_conc5").toString

@@ -100,4 +100,25 @@ for i in "${!NAMES[@]}"; do
   printf '%-28s %s\n' "${NAMES[$i]}" "${RESULTS[$i]}"
   [ "${RESULTS[$i]}" = FAIL ] && rc=1
 done
+
+# The certification ARTIFACT (round-9 lesson: a README record typed from
+# memory shipped a red suite under a green claim). Every count below is
+# read from this run's logs, stamped with the time and the exact HEAD it
+# certified; the README record must QUOTE this file, and a dirty
+# worktree or post-run commit is visible as a hash mismatch.
+{
+  echo "ci_run_utc: $(date -u +%FT%TZ)"
+  echo "git_head: $(git rev-parse --short HEAD) ($(git status --porcelain | wc -l) dirty paths)"
+  grep -E "Tests: succeeded" /tmp/graft_ci_test.log | tail -1 \
+    | sed 's/^\[info\] /sbt_test: /'
+  for p in default persist checkpoint; do
+    [ -f /tmp/graft_ci_oracle_$p.log ] \
+      && echo "oracle_$p: $(tail -1 /tmp/graft_ci_oracle_$p.log)"
+  done
+  for i in "${!NAMES[@]}"; do
+    printf 'step %s: %s\n' "${NAMES[$i]}" "${RESULTS[$i]}"
+  done
+  echo "overall: $([ $rc -eq 0 ] && echo PASS || echo FAIL)"
+} > CI_RECORD.txt
+echo "artifact: CI_RECORD.txt"
 exit $rc
