@@ -275,6 +275,18 @@ object GenData {
     write(spark.range(nDocs).map(doc(_)).toDF(), "documents")
     write(spark.range(nEmb).map(emb(_)).toDF(), "embeddings")
     write(spark.range(nEvents).map(event(_, nUsers)).toDF(), "events")
+    write(spark.range(nCust).map(customer(_)).toDF(), "customer")
+    write(spark.range(nSupp).map(supplier(_)).toDF(), "supplier")
+    write(spark.range(nPart).map(part(_)).toDF(), "part")
+    write(spark.range(nOrders).map(order(_, nCust)).toDF(), "orders")
+    write(spark.range(nLineitem)
+      .map(lineitem(_, nOrders, nPart, nSupp)).toDF(), "lineitem")
+    if (only("nation"))
+      (0 until 25).map(i => Nation(i, s"NATION_$i", i % 5)).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
+    if (only("region"))
+      Regions.toSeq.zipWithIndex.map { case (n, i) => Region(i, n) }.toDF()
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/region.parquet")
   }
 
   def main(args: Array[String]): Unit = {
