@@ -160,6 +160,49 @@ class SchemaMappingSpec extends AnyFunSuite {
       docs.limit(2).collect().map(_.getLong(0) + 700000L).toSet)
   }
 
+  test("files staged AFTER a mapping carry parquet field ids in their own " +
+      "footers (cross-engine id resolution); pre-mapping files carry " +
+      "none; a mixed table materializes every column") {
+    import scala.jdk.CollectionConverters._
+    val table = Files.createTempDirectory("graft_map5").toString
+    Snapshots.publish(docs.repartition(2), table)                      // v1
+    Snapshots.renameColumn(table, "n_chars", "char_count")             // v2
+    Snapshots.append(docs.limit(4).select(
+      (col("doc_id") + 900000L).as("doc_id"), col("lang"),
+      col("n_chars").as("char_count")), table)                         // v3
+
+    def fieldIds(name: String): Map[String, Option[Int]] = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          java.nio.file.Paths.get(table, "data", name).toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName -> Option(f.getId).map(_.intValue)).toMap
+      finally r.close()
+    }
+    val pre = mfiles(table, 1)
+    val post = (mfiles(table, 3).toSet -- pre.toSet).toSeq
+    assert(post.nonEmpty, "the append staged no new file")
+    // Pre-mapping files have no ids — exactly why the SCAN-side schema
+    // must not demand them (the round-9 FAILED_READ_FILE regression).
+    pre.foreach(f => assert(fieldIds(f).values.forall(_.isEmpty),
+      s"pre-mapping file $f unexpectedly carries field ids"))
+    // Post-mapping files carry the stable id on every field, under the
+    // FROZEN physical name (the renamed column still writes as n_chars).
+    post.foreach { f =>
+      val ids = fieldIds(f)
+      assert(ids.keySet == Set("doc_id", "lang", "n_chars"),
+        s"post-mapping file $f not written under physical names: $ids")
+      assert(ids.values.forall(_.nonEmpty),
+        s"post-mapping file $f is missing parquet field ids: $ids")
+    }
+    // Mixed id-ness reads as one table, every column decoded.
+    assert(Snapshots.read(spark, table).mcount() == docs.count() + 4)
+  }
+
   test("constraint-referenced columns refuse rename and drop") {
     val table = Files.createTempDirectory("graft_map4").toString
     Snapshots.publish(docs.repartition(2), table)                       // v1
