@@ -98,18 +98,26 @@ object GraphOps {
           .union(pairs.select(col("s").as("src"), col("c").as("dst"))))
       val deg = Q.materialize(
         edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-      // Degree rides ON the edge row (one extra long), so each round is
-      // ranks ⋈ edges + one aggregation — not a third per-round join
-      // against the degree table.
-      val degE = Q.materialize(edges.join(deg, "src"))
+      // ONE |E|-scale cache, like the label-prop loop. The round-9 shape
+      // ALSO cached edges⋈deg (degree riding on the edge row) — a second
+      // |E|-scale frame that halved the effective storage budget, and the
+      // round-10 g30 probe measured the consequence: past the point where
+      // both fit, pagerank churned evicted cache blocks to disk every
+      // round (g10→g30 ~n^2 wall clock) while label_prop — same data,
+      // same per-round join shape, ONE big cache — stayed exactly linear.
+      // pr/deg is instead folded in by a NODE-sized join each round
+      // (|V| ≪ |E|), so the per-round big work is still one |E| equi
+      // join + one partial-aggregable sum, with half the cache bytes.
       val nRow = deg.agg(count(lit(1)).cast("double").as("n"))
       var ranks = deg.crossJoin(broadcast(nRow))
         .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 3) {
-        val contrib = degE
-          .join(ranks, col("src") === col("node"))
+        val outW = ranks.join(deg, col("node") === col("src"))
+          .select(col("node").as("wn"), (col("pr") / col("deg")).as("w"))
+        val contrib = edges
+          .join(outW, col("src") === col("wn"))
           .groupBy(col("dst").as("node"))
-          .agg(sum(col("pr") / col("deg")).as("m"))
+          .agg(sum(col("w")).as("m"))
         // materializeLoop cuts lineage each round — a 3-round plan of
         // self-referencing joins is small, but the cut keeps every round's
         // physical plan identical (and checkpoint-strategy fault-tolerant

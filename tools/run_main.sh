@@ -19,7 +19,10 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS \
+# EXTRA_JAVA_OPTS: additional -D/-X flags for one launch (e.g.
+# -Dspark.cleaner.periodicGC.interval=60s to bound the shuffle-file
+# footprint of long iterative probes on a small disk).
+exec java $OPENS ${EXTRA_JAVA_OPTS:-} \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
