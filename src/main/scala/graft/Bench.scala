@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the headline queries on
@@ -36,7 +37,7 @@ object Bench {
     "sim_topk_ivf", "sim_topk_ivf_probe2", "sim_pq_encode",
     "sim_topk_pq_adc", "sim_topk_ivfpq", "sim_topk_ivfpq_residual",
     "sim_topk_sq8", "sim_topk_mrl", "sim_knn_graph", "sim_knn_graph_mplsh",
-    "sim_knn_clusters",
+    "sim_knn_clusters", "sim_hier_assign", "sim_knn_graph_hier",
     "dedup_semantic", "dedup_embedding_cosine",
     "kv_cas_replay", "ta_tfidf", "ta_repetition", "dedup_span",
     "ta_decontaminate", "ta_novelty", "ta_cdc_chunks", "dedup_cdc", "ta_cms_topk",
@@ -129,6 +130,17 @@ object Bench {
     // DECLARED query can be isolated (not just headline names), and an
     // unknown name fails loudly — a typo must not produce a passing-
     // looking empty run.
+    // SPARK_GRAFT_BENCH_SPILL=1 attributes cumulative task metrics (memory/
+    // disk spill, shuffle bytes) to each query by before/after delta — the
+    // scale probes need to tell a spill knee (per-partition bytes outgrew
+    // execution memory; fix = partitions ∝ data) from an algorithmic term
+    // (work grew super-linearly; fix = the plan). Attribution is
+    // delta-based and listener events are async, so a handful of trailing
+    // tasks can land on the next query's row; for the single-query probe
+    // runs this is exact, for sweeps it is probe-grade (±a task).
+    val spillOn = sys.env.get("SPARK_GRAFT_BENCH_SPILL").contains("1")
+    val spill = new SpillListener
+    if (spillOn) spark.sparkContext.addSparkListener(spill)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
@@ -139,7 +151,9 @@ object Bench {
           s"SPARK_GRAFT_BENCH_ONLY: unknown queries ${unknown.mkString(",")}")
         headline.filter(f) ++ f.diff(headline.toSet).toSeq.sorted
     }
+    val spillRows = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val raw = selected.filter(queries.contains).map { name =>
+      val before = spill.snapshot()
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -155,6 +169,10 @@ object Bench {
         // A failed query reports -1 (not its near-zero elapsed time) so the
         // metric can't be silently flattered by fast failures.
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      if (spillOn) {
+        Thread.sleep(200) // let the async listener bus drain this query's tasks
+        spillRows(name) = spill.deltaJson(before)
       }
       name -> (if (times.contains(-1.0)) Seq(-1.0) else times.sorted)
     }
@@ -188,9 +206,15 @@ object Bench {
     val band = """{"per_query_pct":9,"total_pct":11,""" +
       """"rule":"totals outside the band of the prior round's """ +
       """like-for-like sum get one quiet-box re-run before becoming the record"}"""
+    val spillField =
+      if (spillOn)
+        spillRows.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString(""""spill":{""", ",", "},")
+      else ""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""spreads":$spreads,"repeat":$repeat,"noise_band":$band,"sf":"$sfDir"}"""
+        f""""spreads":$spreads,$spillField"repeat":$repeat,""" +
+        f""""noise_band":$band,"sf":"$sfDir"}"""
     println(line)
     // Also write the line to a file: sbt decorates stdout with [info]
     // prefixes, which broke the driver's JSON parse in round 1.
@@ -206,5 +230,33 @@ object Bench {
         java.nio.file.Paths.get(s"bench-${System.currentTimeMillis()}.json"),
         (line + "\n").getBytes("UTF-8"))
     spark.stop()
+  }
+
+  /** Cumulative task-metric totals (thread-safe: onTaskEnd fires on the
+    * listener-bus thread while the bench thread snapshots).
+    */
+  private final class SpillListener extends SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    private val memSpill = new AtomicLong
+    private val diskSpill = new AtomicLong
+    private val shufWrite = new AtomicLong
+    private val shufRead = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def snapshot(): Array[Long] =
+      Array(memSpill.get, diskSpill.get, shufWrite.get, shufRead.get)
+    def deltaJson(before: Array[Long]): String = {
+      val d = snapshot().zip(before).map { case (a, b) => a - b }
+      def gb(x: Long): String = f"${x / 1e9}%.2f"
+      s"""{"spill_mem_gb":${gb(d(0))},"spill_disk_gb":${gb(d(1))},""" +
+        s""""shuffle_write_gb":${gb(d(2))},"shuffle_read_gb":${gb(d(3))}}"""
+    }
   }
 }

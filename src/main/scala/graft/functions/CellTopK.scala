@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -44,21 +44,108 @@ import org.apache.spark.sql.types._
   * Scale posture: the centroid matrix rides in the expression (plan
   * binary, one copy per executor) — k ≤ ~10⁵ cells is MBs; flat coarse
   * quantization itself stops making sense past ~10M vectors (see
-  * KnnSubCellThreshold's scale note), where a hierarchical quantizer
-  * replaces this operator wholesale.
+  * KnnSubCellThreshold's scale note), where [[GroupCellTopK]] — the
+  * two-level hierarchical ranking — replaces the flat scan.
   */
 case class CellTopK(child: Expression, cells: Array[Long],
     flat: Array[Double], d: Int, p: Int)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StructType(Seq(
+  override def dataType: DataType = CellTopKKernel.outType
+
+  /** Centroid self-dots, same ascending fold as ArrayDot. */
+  @transient private lazy val cc: Array[Double] =
+    CellTopKKernel.selfDots(cells.length, flat, d)
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData].toDoubleArray()
+    val st = new CellTopKKernel.TopP(math.min(p, cells.length))
+    CellTopKKernel.scan(e, CellTopKKernel.selfDot(e, d), cells, flat, cc, d,
+      0, cells.length, st)
+    st.result()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellTopK =
+    copy(child = newChild)
+}
+
+/** [[CellTopK]] restricted to the centroids of the row's PROBED GROUPS —
+  * the level-2 ranking of a two-level (hierarchical / IMI-style) coarse
+  * quantizer. `groups` evaluates to the row's probed group ids (the cells
+  * of a level-1 [[CellTopK]] over the k1 group centroids); the scan then
+  * covers ONLY the centroid ranges of those groups, so the per-row cost is
+  * k1·d + sprobe·(k/k1)·d flops instead of the flat k·d — at k = 2560 /
+  * k1 = 10 / sprobe = 2 that is ~522·d vs 2560·d, and the gap widens as
+  * the adaptive cell count grows with N (k ∝ N ⇒ per-row cost ∝ √-ish
+  * terms instead of N). Same packed layout, same top-p kernel, same
+  * HALF_UP/tie-break exactness contract as [[CellTopK]]: the output is
+  * bit-identical to scoring all cells whose group is probed with a
+  * join+window plan, so a SQL oracle (`WHERE group(cell) IN probes` +
+  * row_number) reproduces it hash-exactly.
+  *
+  * `cells`/`flat` MUST be sorted by (group, cell) and `groupIds` (sorted
+  * ascending, distinct) with `groupOff` (length k1+1) delimit each group's
+  * contiguous range. A probed group id absent from `groupIds` contributes
+  * nothing (a level-1 centroid exists only where members exist, so this
+  * arises only for callers probing synthetic ids); duplicate probe ids are
+  * deduped so no cell can enter the top-p twice.
+  */
+case class GroupCellTopK(left: Expression, right: Expression,
+    cells: Array[Long], flat: Array[Double], d: Int, p: Int,
+    groupIds: Array[Long], groupOff: Array[Int])
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = CellTopKKernel.outType
+
+  @transient private lazy val cc: Array[Double] =
+    CellTopKKernel.selfDots(cells.length, flat, d)
+
+  override def nullSafeEval(vec: Any, probed: Any): Any = {
+    val e = vec.asInstanceOf[ArrayData].toDoubleArray()
+    val ee = CellTopKKernel.selfDot(e, d)
+    val gs = probed.asInstanceOf[ArrayData].toLongArray()
+    java.util.Arrays.sort(gs)
+    val st = new CellTopKKernel.TopP(math.min(p, cells.length))
+    var i = 0
+    while (i < gs.length) {
+      if (i == 0 || gs(i) != gs(i - 1)) { // dedup: a cell enters once
+        val j = java.util.Arrays.binarySearch(groupIds, gs(i))
+        if (j >= 0)
+          CellTopKKernel.scan(e, ee, cells, flat, cc, d,
+            groupOff(j), groupOff(j + 1), st)
+      }
+      i += 1
+    }
+    st.result()
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): GroupCellTopK =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The shared exact top-p scan of [[CellTopK]] / [[GroupCellTopK]]: one
+  * kernel so the HALF_UP rounding, the ulp-sound skip guard, and the
+  * (r6, cell) tie-break — the oracle contract — live in exactly one
+  * place.
+  */
+private[functions] object CellTopKKernel {
+
+  val outType: DataType = ArrayType(StructType(Seq(
     StructField("cell", LongType, nullable = false),
     StructField("d2_raw", DoubleType, nullable = false))),
     containsNull = false)
 
-  /** Centroid self-dots, same ascending fold as ArrayDot. */
-  @transient private lazy val cc: Array[Double] = {
-    val k = cells.length
+  /** Ascending-index IEEE self-dot (the ArrayDot fold). */
+  def selfDot(e: Array[Double], d: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < d) { s += e(i) * e(i); i += 1 }
+    s
+  }
+
+  /** Centroid self-dots over the packed matrix, same fold. */
+  def selfDots(k: Int, flat: Array[Double], d: Int): Array[Double] = {
     val out = new Array[Double](k)
     var j = 0
     while (j < k) {
@@ -76,22 +163,39 @@ case class CellTopK(child: Expression, cells: Array[Long],
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  override def nullSafeEval(input: Any): Any = {
-    val e = input.asInstanceOf[ArrayData].toDoubleArray()
-    var ee = 0.0
-    var i = 0
-    while (i < d) { ee += e(i) * e(i); i += 1 }
-    val k = cells.length
-    val n = math.min(p, k)
+  /** Mutable top-n by (round6(d2 + 1e-9), cell) ascending; insertion sort
+    * into parallel primitive arrays (n is the IVF probe width, ≤ ~8).
+    */
+  final class TopP(val n: Int) {
     val topR6 = new Array[Double](n)
     val topCell = new Array[Long](n)
     val topD2 = new Array[Double](n)
     var filled = 0
-    var j = 0
-    while (j < k) {
+
+    def result(): GenericArrayData = {
+      val rows = new Array[Any](filled)
+      var i = 0
+      while (i < filled) { rows(i) = InternalRow(topCell(i), topD2(i)); i += 1 }
+      new GenericArrayData(rows)
+    }
+  }
+
+  /** Score centroids [from, until) against `e` (self-dot `ee`) and fold
+    * them into `st`. Call repeatedly over disjoint ranges for a grouped
+    * scan — the top-p state is global across calls.
+    */
+  def scan(e: Array[Double], ee: Double, cells: Array[Long],
+      flat: Array[Double], cc: Array[Double], d: Int,
+      from: Int, until: Int, st: TopP): Unit = {
+    val n = st.n
+    val topR6 = st.topR6
+    val topCell = st.topCell
+    val topD2 = st.topD2
+    var j = from
+    while (j < until) {
       var qc = 0.0
       val off = j * d
-      i = 0
+      var i = 0
       while (i < d) { qc += e(i) * flat(off + i); i += 1 }
       val d2 = (ee - 2.0 * qc) + cc(j)
       val x = d2 + 1e-9
@@ -99,12 +203,12 @@ case class CellTopK(child: Expression, cells: Array[Long],
       // (HALF_UP step + the Double.toString half-ulp, see scaladoc);
       // past the guard the candidate cannot beat or tie the current
       // worst at ANY d2 magnitude.
-      if (filled < n || x <= topR6(filled - 1) + 5e-7 + math.ulp(x)) {
+      if (st.filled < n || x <= topR6(st.filled - 1) + 5e-7 + math.ulp(x)) {
         val r6 = round6(x)
         val cell = cells(j)
-        if (filled < n || r6 < topR6(filled - 1) ||
-            (r6 == topR6(filled - 1) && cell < topCell(filled - 1))) {
-          var pos = if (filled < n) filled else n - 1
+        if (st.filled < n || r6 < topR6(st.filled - 1) ||
+            (r6 == topR6(st.filled - 1) && cell < topCell(st.filled - 1))) {
+          var pos = if (st.filled < n) st.filled else n - 1
           while (pos > 0 && (r6 < topR6(pos - 1) ||
               (r6 == topR6(pos - 1) && cell < topCell(pos - 1)))) {
             topR6(pos) = topR6(pos - 1)
@@ -115,17 +219,10 @@ case class CellTopK(child: Expression, cells: Array[Long],
           topR6(pos) = r6
           topCell(pos) = cell
           topD2(pos) = d2
-          if (filled < n) filled += 1
+          if (st.filled < n) st.filled += 1
         }
       }
       j += 1
     }
-    val rows = new Array[Any](filled)
-    i = 0
-    while (i < filled) { rows(i) = InternalRow(topCell(i), topD2(i)); i += 1 }
-    new GenericArrayData(rows)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): CellTopK =
-    copy(child = newChild)
 }

@@ -238,10 +238,26 @@ object Similarity {
     // The centroid table COLLECTS into the expression: k rows, the same
     // driver-bounded scale as broadcasting it (which every prior shape
     // did anyway) — sorted by cell for a deterministic matrix.
+    val (cells, flat, d) = packedCentroids(cent, _ => 0L)
+    val topk = org.apache.spark.sql.GraftShim.column(
+      graft.functions.CellTopK(
+        org.apache.spark.sql.GraftShim.expression(col("e")),
+        cells, flat, d, p))
+    rankTail(v, topk, cent.schema("cell").dataType, carry)
+  }
+
+  /** Collect a (cell, centroid) table into the packed primitive form the
+    * CellTopK family rides on: cell ids + row-major flat matrix, sorted
+    * by (groupOf(cell), cell) — ascending cell for the flat scan
+    * (`groupOf = _ => 0`), group-contiguous for [[GroupCellTopK]]'s
+    * ranges. k rows, driver-bounded (the scale every prior broadcast
+    * shape paid anyway).
+    */
+  private def packedCentroids(cent: DataFrame, groupOf: Long => Long)
+      : (Array[Long], Array[Double], Int) = {
     val rows = cent.select(col("cell").cast("long"), col("centroid"))
-      .collect().sortBy(_.getLong(0))
-    require(rows.nonEmpty, "cellRanks: empty centroid table")
-    val cellType = cent.schema("cell").dataType
+      .collect().sortBy(r => (groupOf(r.getLong(0)), r.getLong(0)))
+    require(rows.nonEmpty, "packedCentroids: empty centroid table")
     val d = rows.head.getSeq[Double](1).size
     val cells = rows.map(_.getLong(0))
     val flat = new Array[Double](rows.length * d)
@@ -250,16 +266,71 @@ object Similarity {
       var i = 0
       while (i < d) { flat(j * d + i) = c(i); i += 1 }
     }
-    val topk = org.apache.spark.sql.GraftShim.column(
-      graft.functions.CellTopK(
-        org.apache.spark.sql.GraftShim.expression(col("e")),
-        cells, flat, d, p))
+    (cells, flat, d)
+  }
+
+  /** Shared explode/rename tail of [[cellRanks]] / [[hierCellRanks]]:
+    * (vec_id, carry..., cell, d2_raw, rk) from a ranked array column.
+    */
+  private def rankTail(v: DataFrame, topk: Column,
+      cellType: org.apache.spark.sql.types.DataType,
+      carry: Seq[String]): DataFrame =
     v.select(Seq(col("vec_id")) ++ carry.map(col)
         :+ posexplode(topk).as(Seq("rk0", "t")): _*)
       .select(Seq(col("vec_id")) ++ carry.map(col) ++ Seq(
         col("t.cell").cast(cellType).as("cell"),
         col("t.d2_raw").as("d2_raw"),
         (col("rk0") + 1).cast("int").as("rk")): _*)
+
+  /** Two-level HIERARCHICAL centroid ranking — [[cellRanks]] past the
+    * flat-quantizer crossover (the "hierarchical quantizers take over
+    * past ~10M vectors" note every IVF scaladoc in this file points at,
+    * now an implemented operator): rank the k1 GROUP centroids first
+    * ([[graft.functions.CellTopK]], keep `sprobe`), then rank ONLY the
+    * probed groups' cells ([[graft.functions.GroupCellTopK]] over
+    * group-contiguous ranges of the packed matrix). Still ONE map-only
+    * projection — no join, no window, NO exchange — but the per-row
+    * quantizer cost drops from k·d to (k1 + sprobe·k/k1)·d flops: at the
+    * g10 probe's k = 2560 adaptive cells (k1 = 10 labels, sprobe = 2)
+    * that is ~522·d vs 2560·d, and the gap grows with N because the
+    * adaptive cell count k scales ∝ N (cell size pinned ~128) while
+    * k/k1 scales ∝ N/k1.
+    *
+    * EXACTNESS: both levels rank by `round(d2 + 1e-9, 6)` with
+    * ascending-id tie-break (the kernel shared with [[cellRanks]]), so
+    * `rk` ranks the UNION of the probed groups' cells bit-identically to
+    * a join+window plan filtered with `WHERE group(cell) IN probes` —
+    * the form the DuckDB oracles replay. Recall vs the flat scan is the
+    * standard two-level trade (a true near cell under an unprobed group
+    * is missed); HierIvfSpec measures it honestly on the isotropic
+    * corpus.
+    */
+  private[graft] def hierCellRanks(v: DataFrame, supCent: DataFrame,
+      cent: DataFrame, groupOf: Long => Long, sprobe: Int, p: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val (supCells, supFlat, d1) = packedCentroids(supCent, _ => 0L)
+    val (cells, flat, d) = packedCentroids(cent, groupOf)
+    require(d == d1,
+      s"hierCellRanks: dim mismatch (groups $d1, cells $d)")
+    val groups = cells.map(groupOf)
+    val groupIds = groups.distinct // ascending: cells sorted by group
+    val groupOff = new Array[Int](groupIds.length + 1)
+    var g = 0
+    var j = 0
+    while (j < groups.length) {
+      while (groupIds(g) != groups(j)) { g += 1; groupOff(g) = j }
+      j += 1
+    }
+    groupOff(groupIds.length) = groups.length
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    val probes = transform(
+      column(graft.functions.CellTopK(
+        expression(col("e")), supCells, supFlat, d, sprobe)),
+      t => t.getField("cell"))
+    val topk = column(graft.functions.GroupCellTopK(
+      expression(col("e")), expression(probes),
+      cells, flat, d, p, groupIds, groupOff))
+    rankTail(v, topk, cent.schema("cell").dataType, carry)
   }
 
   /** Nearest-centroid assignment of `v` against a (cell, centroid) table:
@@ -1593,6 +1664,180 @@ object Similarity {
         round(col("d2_raw") + lit(1e-9), 6).as("d2r6"))
   }
 
+  /** The adaptive split width `m` of [[knnCentroids]], computed ON SPARK
+    * (a 1-row local projection of the identical expression), so the
+    * driver-side group function `cell >> m` can never drift from the
+    * distributed key math by a log2 ulp across engines or JDKs.
+    */
+  private def knnSplitBits(spark: SparkSession, nv: Long): Int =
+    spark.range(1).select(expr(
+      s"if(${nv}L <= ${KnnSubCellThreshold}L, 0, " +
+        s"cast(floor(log2(cast((${nv}L - 1) div ${KnnSubCellThreshold}L " +
+        "as double))) as int) + 1)").as("m")).head.getInt(0)
+
+  /** Per-label (level-1) centroid table for the hierarchical quantizer:
+    * `sup = label` — the adaptive [[knnCentroids]] key already nests
+    * under it (`knncell >> m = label`), so the label means ARE the group
+    * centroids of the two-level structure.
+    */
+  private def supCentroids(v: DataFrame): DataFrame =
+    centroidsOver(v, "label")
+
+  private val SupCentroidsSql = """
+           supcent AS (
+             SELECT label::BIGINT AS sup, list(c ORDER BY pos) AS centroid
+             FROM (SELECT label, i AS pos,
+                          round(avg(e[(i + 1)::INT]) + 1e-9, 6) AS c
+                   FROM (SELECT label, e, unnest(range(0, len(e))) AS i
+                         FROM n)
+                   GROUP BY label, i)
+             GROUP BY label)"""
+
+  val hierAssign = Q(
+    "sim_hier_assign",
+    "HIERARCHICAL (two-level) quantizer assignment — the operator the " +
+      "flat IVF scaladocs hand off to past ~10M vectors: rank the 10 " +
+      "label (level-1) centroids, descend into the winning group, rank " +
+      "only ITS adaptive sub-cells (knncell >> m = label — the " +
+      "hierarchy is already in the key). Per-vector cost k1*d + " +
+      "(k/k1)*d flops instead of the flat k*d, and k grows with N " +
+      "(cell size pinned ~128), so this is the coarse-quantizer shape " +
+      "that stays flat-per-vector at any corpus size. The whole " +
+      "assignment is ONE map-only projection (CellTopK then " +
+      "GroupCellTopK, no join/window/exchange), bit-exact against the " +
+      "two-stage join+window SQL the oracle runs.",
+    Some(s"""
+      WITH n AS ($VecsSql),$KnnCentroidsSql,$SupCentroidsSql,
+           sassign AS (
+             SELECT vec_id, sup
+             FROM (SELECT n.vec_id, s.sup, row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY round(list_dot_product(n.e, n.e)
+                               - 2 * list_dot_product(n.e, s.centroid)
+                               + list_dot_product(s.centroid, s.centroid)
+                               + 1e-9, 6), s.sup) AS rk
+                   FROM n, supcent s)
+             WHERE rk = 1),
+           cscored AS (
+             SELECT n.vec_id, c.cell,
+                    list_dot_product(n.e, n.e)
+                      - 2 * list_dot_product(n.e, c.centroid)
+                      + list_dot_product(c.centroid, c.centroid) AS d2_raw
+             FROM n, cent c),
+           hassign AS (
+             SELECT vec_id, cell, d2_raw
+             FROM (SELECT c.vec_id, c.cell, c.d2_raw, row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round(c.d2_raw + 1e-9, 6), c.cell) AS rk
+                   FROM cscored c
+                   JOIN sassign s ON s.vec_id = c.vec_id
+                   WHERE c.cell // (1::BIGINT << (SELECT m FROM mm)) = s.sup)
+             WHERE rk = 1)
+      SELECT vec_id, cell // (1::BIGINT << (SELECT m FROM mm)) AS sup,
+             cell, round(d2_raw + 1e-6, 2) AS dist2
+      FROM hassign""".stripMargin),
+    (spark, dir) => {
+      val v = Q.materialize(vecs(spark, dir))
+      val m = knnSplitBits(spark, v.count())
+      hierCellRanks(v, supCentroids(v), knnCentroids(v),
+        c => c >> m, sprobe = 1, p = 1)
+        .select(col("vec_id"), expr(s"shiftright(cell, $m)").as("sup"),
+          col("cell"), Det.r2e(col("d2_raw")).as("dist2"))
+    })
+
+  val knnGraphHier = Q(
+    "sim_knn_graph_hier",
+    "ALL-VECTORS kNN GRAPH with the HIERARCHICAL coarse quantizer — " +
+      "sim_knn_graph's exact join shape (probes rk<=2 vs home cells " +
+      "rk=1, vectors travel with the probes, cell equi-join, top-3 " +
+      "window) with the flat N*k centroid ranking replaced by the " +
+      "two-level descent (sprobe=2 level-1 groups, rank only their " +
+      "sub-cells): the quantizer term drops from k*d to (k1 + " +
+      "sprobe*k/k1)*d flops per vector — ~5x at the g10 probe's " +
+      "k=2560 and widening with N — while staying ONE map-only " +
+      "projection. Recall vs the flat ranking is the standard " +
+      "multi-level trade (a near cell under an unprobed level-1 group " +
+      "is missed; HierIvfSpec commits the measured delta on the " +
+      "ANN-hostile isotropic corpus).",
+    Some(s"""
+      WITH n AS ($VecsSql),$KnnCentroidsSql,$SupCentroidsSql,
+           sprobes AS (
+             SELECT vec_id, sup
+             FROM (SELECT n.vec_id, s.sup, row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY round(list_dot_product(n.e, n.e)
+                               - 2 * list_dot_product(n.e, s.centroid)
+                               + list_dot_product(s.centroid, s.centroid)
+                               + 1e-9, 6), s.sup) AS rk
+                   FROM n, supcent s)
+             WHERE rk <= 2),
+           cscored AS (
+             SELECT n.vec_id, c.cell,
+                    list_dot_product(n.e, n.e)
+                      - 2 * list_dot_product(n.e, c.centroid)
+                      + list_dot_product(c.centroid, c.centroid) AS d2_raw
+             FROM n, cent c),
+           hranked AS (
+             SELECT vec_id, cell, row_number() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY round(d2_raw + 1e-9, 6), cell) AS rk
+             FROM (SELECT c.vec_id, c.cell, c.d2_raw
+                   FROM cscored c
+                   JOIN sprobes s ON s.vec_id = c.vec_id
+                   WHERE c.cell // (1::BIGINT << (SELECT m FROM mm)) = s.sup)),
+           probes AS (SELECT vec_id, cell FROM hranked WHERE rk <= 2),
+           assign AS (SELECT vec_id, cell FROM hranked WHERE rk = 1),
+           cand AS (SELECT p.vec_id AS qid, a.vec_id AS nid
+                    FROM probes p JOIN assign a ON a.cell = p.cell
+                    WHERE a.vec_id <> p.vec_id),
+           scored AS (
+             SELECT c.qid, c.nid,
+                    list_dot_product(q.e, q.e)
+                      - 2 * list_dot_product(q.e, m2.e)
+                      + list_dot_product(m2.e, m2.e) AS d2_raw
+             FROM cand c
+             JOIN n q ON q.vec_id = c.qid
+             JOIN n m2 ON m2.vec_id = c.nid)
+      SELECT qid, nid, rank, round(d2_raw + 1e-9, 6) AS d2r6
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid
+              ORDER BY round(d2_raw + 1e-9, 6), nid) AS rank
+            FROM scored)
+      WHERE rank <= 3""".stripMargin),
+    (spark, dir) => knnGraphHierTopk(spark, dir, sprobe = 2, nprobe = 2))
+
+  /** The hierarchical kNN-join composition behind [[knnGraphHier]]:
+    * [[knnGraphTopk]]'s exact tail (rank 1 = home cell / ranks ≤ nprobe
+    * = probe set, vectors travel with the probes, one cell equi-join,
+    * top-3 window) over [[hierCellRanks]] instead of [[cellRanks]].
+    */
+  private[queries] def knnGraphHierTopk(spark: SparkSession, dir: String,
+      sprobe: Int, nprobe: Int): DataFrame = {
+    val v = Q.materialize(vecs(spark, dir)
+      .withColumn("ee", dot(col("e"), col("e"))))
+    val m = knnSplitBits(spark, v.count())
+    val cent = Q.materialize(knnCentroids(v))
+    val ranks = Q.materialize(hierCellRanks(v, supCentroids(v), cent,
+      c => c >> m, sprobe, nprobe, carry = Seq("e", "ee")))
+    val assign = ranks.filter(col("rk") === 1)
+      .select(col("vec_id").as("nid"), col("cell"),
+        col("e").as("ne"), col("ee").as("nn"))
+    val probes = ranks
+      .select(col("vec_id").as("qid"), col("cell"),
+        col("e").as("qe"), col("ee").as("qq"))
+    val scored = probes.join(assign, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("qq") - lit(2) * dot(col("qe"), col("ne"))
+          + col("nn")).as("d2_raw"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("d2_raw") + lit(1e-9), 6), col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(col("d2_raw") + lit(1e-9), 6).as("d2r6"))
+  }
+
   val knnClusters = Q(
     "sim_knn_clusters",
     "MUTUAL-kNN CLUSTERING — the standard graph-clustering recipe on " +
@@ -1666,5 +1911,6 @@ object Similarity {
   val all: Seq[Q] = Seq(topkBrute, topkIvf, topkIvfProbe2, kmeansAssignQ,
     kmeansIter2, pqEncodeQ, topkPqAdc, topkIvfPq, semanticDedup, modalCuration,
     nearDup, histogram, labelCentroid, dimStats, powerIteration, topkSq8,
-    topkMrl, topkIvfPqResidual, knnGraph, knnGraphMplsh, knnClusters)
+    topkMrl, topkIvfPqResidual, knnGraph, knnGraphMplsh, knnClusters,
+    hierAssign, knnGraphHier)
 }

@@ -20,10 +20,10 @@ class BenchHeadlineSpec extends AnyFunSuite {
     // queries landed. Pinning them here means adding a query without
     // updating the docs (or vice versa) fails the build instead of
     // silently disagreeing with the contract. Update BOTH on change.
-    assert(SparkEntry.queries.size == 178,
-      s"declared queries: ${SparkEntry.queries.size}, docs say 178")
-    assert(SparkEntry.oracleSql.size == 177,
-      s"oracled queries: ${SparkEntry.oracleSql.size}, docs say 177 " +
+    assert(SparkEntry.queries.size == 180,
+      s"declared queries: ${SparkEntry.queries.size}, docs say 180")
+    assert(SparkEntry.oracleSql.size == 179,
+      s"oracled queries: ${SparkEntry.oracleSql.size}, docs say 179 " +
         "(q_approx_distinct_users is no_oracle by design)")
   }
 }
