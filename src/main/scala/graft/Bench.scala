@@ -38,6 +38,7 @@ object Bench {
     "sim_topk_pq_adc", "sim_topk_ivfpq", "sim_topk_ivfpq_residual",
     "sim_topk_sq8", "sim_topk_mrl", "sim_knn_graph", "sim_knn_graph_mplsh",
     "sim_knn_clusters", "sim_hier_assign", "sim_knn_graph_hier",
+    "sim_topk_ivf_pruned",
     "dedup_semantic", "dedup_embedding_cosine",
     "kv_cas_replay", "ta_tfidf", "ta_repetition", "dedup_span",
     "ta_decontaminate", "ta_novelty", "ta_cdc_chunks", "dedup_cdc", "ta_cms_topk",

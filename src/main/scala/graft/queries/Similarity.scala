@@ -530,6 +530,68 @@ object Similarity {
           r4e(col("cos_raw")).as("cosine"))
     })
 
+  val topkIvfPruned = Q(
+    "sim_topk_ivf_pruned",
+    "IVF INDEX AS A PARTITIONED LAYOUT — the SERVING shape of cell-probed " +
+      "search at 100 TB: the corpus is written ONCE partitioned by its " +
+      "quantizer cell (the index build a production system amortizes " +
+      "across every query batch), and candidate fetch becomes a " +
+      "partition-PRUNED file read of only the probed cells' directories " +
+      "— the scan lists batch*nprobe directories out of k, no corpus " +
+      "shuffle, no corpus-wide scan, exactly how a lakehouse-resident " +
+      "ANN index is actually served (cell -> partition -> file pruning). " +
+      "Semantics are IDENTICAL to sim_topk_ivf_probe2 (same oracle SQL " +
+      "verbatim): the layout changes the I/O, never the answer. " +
+      "IvfPrunedSpec pins both halves — row equality with the shuffle-" +
+      "join form AND that the scan's static partition filters alone " +
+      "bound the pruned listing to the probed cells' directories.",
+    topkIvfProbe2.oracle,
+    (spark, dir) => ivfPrunedTopk(spark, dir, batch = 20, nprobe = 2))
+
+  /** The partition-pruned IVF search behind [[topkIvfPruned]], with the
+    * batch/nprobe knobs exposed for IvfPrunedSpec's pruning assertion
+    * (a small batch must read strictly fewer cell directories).
+    */
+  private[queries] def ivfPrunedTopk(spark: SparkSession, dir: String,
+      batch: Int, nprobe: Int): DataFrame = {
+    val v = Q.materialize(vecs(spark, dir))
+    val cent = Q.materialize(centroidsFrom(v))
+    val assign = assignAgainst(v, cent).select(col("vec_id"), col("cell"))
+    // INDEX BUILD: one directory per quantizer cell. Written through the
+    // TempDirs registry (shutdown-hook cleaned) like the src_* staging
+    // tables; at production scale this is a snapshot-table commit whose
+    // layout maintenance (OPTIMIZE per cell directory) the src_* family
+    // already demonstrates.
+    val idx = s"${graft.TempDirs.create("graft_ivf_idx")}/index.parquet"
+    v.join(assign, "vec_id")
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(idx)
+    val q = cellRanks(v.filter(col("vec_id") < batch), cent, nprobe,
+        carry = Seq("e", "nrm"))
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    // The batch's probe set IS the partition predicate: batch*nprobe
+    // cells, driver-bounded by construction (a query batch is small by
+    // definition — this collect scales with the REQUEST, not the corpus).
+    val probed = q.select(col("cell")).distinct().collect().map(_.get(0))
+    val cellType = cent.schema("cell").dataType
+    val cand = spark.read.parquet(idx)
+      .filter(col("cell").isin(probed: _*)) // -> PartitionFilters, pruned listing
+      .select(col("vec_id").as("neighbor_id"),
+        col("cell").cast(cellType).as("ccell"),
+        col("e").as("ce"), col("nrm").as("cn"))
+    val scored = broadcast(q)
+      .join(cand, col("cell") === col("ccell") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_raw", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos_raw") + lit(1e-9), 6).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        r4e(col("cos_raw")).as("cosine"))
+  }
+
   // ---- Product quantization (Jégou et al. 2011, "Product Quantization
   // for Nearest Neighbor Search") ------------------------------------------
   //
@@ -1912,5 +1974,5 @@ object Similarity {
     kmeansIter2, pqEncodeQ, topkPqAdc, topkIvfPq, semanticDedup, modalCuration,
     nearDup, histogram, labelCentroid, dimStats, powerIteration, topkSq8,
     topkMrl, topkIvfPqResidual, knnGraph, knnGraphMplsh, knnClusters,
-    hierAssign, knnGraphHier)
+    hierAssign, knnGraphHier, topkIvfPruned)
 }
