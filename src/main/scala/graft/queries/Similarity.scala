@@ -585,13 +585,20 @@ object Similarity {
     // quantizer cell; at production scale this is a snapshot-table
     // commit whose layout maintenance (OPTIMIZE per cell directory) the
     // src_* family already demonstrates.
-    val idx = ivfIndexCache.computeIfAbsent(dir, _ => {
-      val path = s"${graft.TempDirs.create("graft_ivf_idx")}/index.parquet"
-      val assign = assignAgainst(v, cent).select(col("vec_id"), col("cell"))
-      v.join(assign, "vec_id")
-        .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(path)
-      path
+    // compute (not computeIfAbsent): a cached dir can have been deleted
+    // under us — TempDirs.drain() is a public mid-JVM cleanup hook the
+    // suites exercise — so an entry is reused only if it still exists.
+    val idx = ivfIndexCache.compute(dir, (_, prev) => {
+      if (prev != null &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(prev))) prev
+      else {
+        val path = s"${graft.TempDirs.create("graft_ivf_idx")}/index.parquet"
+        val assign = assignAgainst(v, cent).select(col("vec_id"), col("cell"))
+        v.join(assign, "vec_id")
+          .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        path
+      }
     })
     // The probe batch runs ONCE (materialized): its rows feed both the
     // driver-side partition predicate below and the broadcast join side.
