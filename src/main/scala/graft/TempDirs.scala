@@ -14,6 +14,19 @@ import java.nio.file.{Files, Path}
 object TempDirs {
   private val registered =
     new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private val drainHooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Run `cb` after every [[drain]] — for registries that CACHE paths to
+    * dirs created here (e.g. Similarity's per-dataset IVF index cache):
+    * an existence check inside the cache's compute() still races a drain
+    * that lands between compute returning and the lazy read job listing
+    * the dir, so the drain itself must also invalidate at the registry.
+    * Hooks run after the deletes: a compute() racing the drain either
+    * sees the dir gone and rebuilds, or its fresh entry is cleared and
+    * the next call rebuilds — never a cached path to a deleted dir.
+    */
+  def onDrain(cb: () => Unit): Unit = drainHooks.add(cb)
 
   // Registered once, on first use — not in a lazy val initializer racing
   // class init; the queue handles concurrent query threads.
@@ -42,6 +55,7 @@ object TempDirs {
       rmTree(p.toFile)
       p = registered.poll()
     }
+    drainHooks.forEach(cb => cb())
   }
 
   private def rmTree(f: java.io.File): Unit = {
