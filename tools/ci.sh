@@ -109,6 +109,7 @@ done
 {
   echo "ci_run_utc: $(date -u +%FT%TZ)"
   echo "git_head: $(git rev-parse --short HEAD) ($(git status --porcelain | wc -l) dirty paths)"
+  echo "dirty_paths: $(git status --porcelain | awk '{print $NF}' | tr '\n' ' ')"
   grep -E "Tests: succeeded" /tmp/graft_ci_test.log | tail -1 \
     | sed 's/^\[info\] /sbt_test: /'
   for p in default persist checkpoint; do
