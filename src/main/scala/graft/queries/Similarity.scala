@@ -574,8 +574,16 @@ object Similarity {
     * registered and shutdown-hook cleaned like every other staging
     * table.
     */
-  private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfIndexCache = {
+    val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // TempDirs.drain() deletes the cached index dirs: the existence check
+    // inside compute() below still races a drain landing between compute
+    // returning and the lazy scan listing the dir, so the drain also
+    // clears this registry (see TempDirs.onDrain) — the window closes at
+    // the cache, not just at the filesystem.
+    graft.TempDirs.onDrain(() => m.clear())
+    m
+  }
 
   private[queries] def ivfPrunedTopk(spark: SparkSession, dir: String,
       batch: Int, nprobe: Int): DataFrame = {
@@ -610,6 +618,52 @@ object Similarity {
     // The batch's probe set IS the partition predicate: batch*nprobe
     // cells, driver-bounded by construction (a query batch is small by
     // definition — this collect scales with the REQUEST, not the corpus).
+    val probed = q.select(col("cell")).distinct().collect().map(_.get(0))
+    val cellType = cent.schema("cell").dataType
+    val cand = spark.read.parquet(idx)
+      .filter(col("cell").isin(probed: _*)) // -> PartitionFilters, pruned listing
+      .select(col("vec_id").as("neighbor_id"),
+        col("cell").cast(cellType).as("ccell"),
+        col("e").as("ce"), col("nrm").as("cn"))
+    scoreTopkCosine(q, cand)
+  }
+
+  /** The hierarchical-descent pruned search behind [[topkHierPruned]]:
+    * [[ivfPrunedTopk]]'s index-as-layout economics with [[hierCellRanks]]
+    * as BOTH the (amortized, sprobe=1) home assignment the index is
+    * partitioned by and the (sprobe=2) per-batch probe picker. Exposed
+    * with the knobs for HierPrunedSpec's pruning assertion.
+    */
+  private[queries] def hierPrunedTopk(spark: SparkSession, dir: String,
+      batch: Int, nprobe: Int): DataFrame = {
+    val v = Q.materialize(vecs(spark, dir))
+    val m = knnSplitBits(spark, v.count())
+    val cent = Q.materialize(knnCentroids(v))
+    val sup = Q.materialize(supCentroids(v))
+    // INDEX BUILD (once per dataset per JVM — same cache/revalidation
+    // discipline as the flat layout; the key is namespaced because the
+    // hier index partitions by the ADAPTIVE cell, not the label cell).
+    val idx = ivfIndexCache.compute(s"hier:$dir", (_, prev) => {
+      if (prev != null &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(prev))) prev
+      else {
+        val path = s"${graft.TempDirs.create("graft_hier_idx")}/index.parquet"
+        val home = hierCellRanks(v, sup, cent, c => c >> m, sprobe = 1, p = 1)
+          .select(col("vec_id"), col("cell"))
+        v.join(home, "vec_id")
+          .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        path
+      }
+    })
+    val q = Q.materialize(
+      hierCellRanks(v.filter(col("vec_id") < batch), sup, cent, c => c >> m,
+          sprobe = 2, p = nprobe, carry = Seq("e", "nrm"))
+        .select(col("vec_id").as("query_id"), col("cell"),
+          col("e").as("qe"), col("nrm").as("qn")))
+    // The DESCENT's probe set IS the partition predicate (batch*nprobe
+    // cells, request-scale by construction — same justification as the
+    // flat pruned form).
     val probed = q.select(col("cell")).distinct().collect().map(_.get(0))
     val cellType = cent.schema("cell").dataType
     val cand = spark.read.parquet(idx)
@@ -1928,6 +1982,88 @@ object Similarity {
         round(col("d2_raw") + lit(1e-9), 6).as("d2r6"))
   }
 
+  val topkHierPruned = Q(
+    "sim_topk_hier_pruned",
+    "HIERARCHICAL DESCENT x PRUNED LAYOUT — the two round-10 serving " +
+      "components composed into the production shape at k = tens of " +
+      "thousands of cells: the corpus is written ONCE partitioned by its " +
+      "hierarchical home cell (two-level assignment, sprobe=1 — the " +
+      "index build is itself sublinear in k), a query batch picks probe " +
+      "cells by the two-level descent (sprobe=2 level-1 groups, rank " +
+      "only their sub-cells: (k1 + sprobe*k/k1)*d flops instead of " +
+      "k*d), and candidate fetch is a partition-PRUNED file read of " +
+      "only the descent's probed cells' directories — flops sublinear " +
+      "in k from the quantizer, I/O sublinear in k from the layout, " +
+      "batch*nprobe directory listings out of k, no corpus shuffle. " +
+      "The oracle replays the whole structure (level-1 rank, " +
+      "group-filtered sub-cell rank, home assignment, cosine top-5) in " +
+      "DuckDB; HierPrunedSpec additionally pins row equality with the " +
+      "shuffle-join form of the same descent on an m>=1 corpus (the " +
+      "layout changes the I/O, never the answer) and that the pruned " +
+      "listing is bounded by the DESCENT's probe set.",
+    Some(s"""
+      WITH n AS ($VecsSql),$KnnCentroidsSql,$SupCentroidsSql,
+           sassign AS (
+             SELECT vec_id, sup
+             FROM (SELECT n.vec_id, s.sup, row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY round(list_dot_product(n.e, n.e)
+                               - 2 * list_dot_product(n.e, s.centroid)
+                               + list_dot_product(s.centroid, s.centroid)
+                               + 1e-9, 6), s.sup) AS rk
+                   FROM n, supcent s)
+             WHERE rk = 1),
+           cscored AS (
+             SELECT n.vec_id, c.cell,
+                    list_dot_product(n.e, n.e)
+                      - 2 * list_dot_product(n.e, c.centroid)
+                      + list_dot_product(c.centroid, c.centroid) AS d2_raw
+             FROM n, cent c),
+           hassign AS (
+             SELECT vec_id, cell
+             FROM (SELECT c.vec_id, c.cell, row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round(c.d2_raw + 1e-9, 6), c.cell) AS rk
+                   FROM cscored c
+                   JOIN sassign s ON s.vec_id = c.vec_id
+                   WHERE c.cell // (1::BIGINT << (SELECT m FROM mm)) = s.sup)
+             WHERE rk = 1),
+           sprobes AS (
+             SELECT vec_id, sup
+             FROM (SELECT n.vec_id, s.sup, row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY round(list_dot_product(n.e, n.e)
+                               - 2 * list_dot_product(n.e, s.centroid)
+                               + list_dot_product(s.centroid, s.centroid)
+                               + 1e-9, 6), s.sup) AS rk
+                   FROM n, supcent s WHERE n.vec_id < 20)
+             WHERE rk <= 2),
+           probes AS (
+             SELECT vec_id, cell
+             FROM (SELECT c.vec_id, c.cell, row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round(c.d2_raw + 1e-9, 6), c.cell) AS rk
+                   FROM cscored c
+                   JOIN sprobes s ON s.vec_id = c.vec_id
+                   WHERE c.cell // (1::BIGINT << (SELECT m FROM mm)) = s.sup)
+             WHERE rk <= 2),
+           scored AS (
+             SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+             FROM probes p
+             JOIN n q ON q.vec_id = p.vec_id
+             JOIN (SELECT n.*, h.cell FROM n
+                   JOIN hassign h ON h.vec_id = n.vec_id) c
+               ON c.cell = p.cell AND c.vec_id <> p.vec_id)
+      SELECT query_id, neighbor_id, rank,
+             round(cos_raw + 1e-8, 4) AS cosine
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY round(cos_raw + 1e-9, 6) DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""".stripMargin),
+    (spark, dir) => hierPrunedTopk(spark, dir, batch = 20, nprobe = 2))
+
   val knnClusters = Q(
     "sim_knn_clusters",
     "MUTUAL-kNN CLUSTERING — the standard graph-clustering recipe on " +
@@ -2002,5 +2138,5 @@ object Similarity {
     kmeansIter2, pqEncodeQ, topkPqAdc, topkIvfPq, semanticDedup, modalCuration,
     nearDup, histogram, labelCentroid, dimStats, powerIteration, topkSq8,
     topkMrl, topkIvfPqResidual, knnGraph, knnGraphMplsh, knnClusters,
-    hierAssign, knnGraphHier, topkIvfPruned)
+    hierAssign, knnGraphHier, topkIvfPruned, topkHierPruned)
 }
