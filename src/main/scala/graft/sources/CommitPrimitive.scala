@@ -88,6 +88,51 @@ final class ObjectStoreCommit(store: ConditionalStore)
     store.putIfAbsent(target.toString, content)
 }
 
+/** A REAL object-store client for the commit protocol: the conditional
+  * PUT as an actual HTTP round trip — `PUT <endpoint>/<url-encoded key>`
+  * with `If-None-Match: *`, the exact verb S3 has answered since 2024
+  * (and MinIO, GCS's `If-None-Match: *` XML-API equivalent, Azure Blob)
+  * — so the race is arbitrated SERVER-side by a different process, not
+  * by this JVM's memory or filesystem. Response mapping follows the S3
+  * contract: 200/201 = this call created the object; 412
+  * (PreconditionFailed) = an object already exists — lost race; 409
+  * (ConditionalRequestConflict) = another conditional writer is mid-PUT
+  * on the same key — reported as a loss, which is safe because
+  * [[CommitPrimitive]]'s contract absorbs spurious falses (the caller
+  * re-reads and retries). Anything else (5xx, timeout) throws: an
+  * UNKNOWN outcome must surface as an error, never be guessed into a
+  * true/false.
+  *
+  * SnapshotsConcurrencySpec runs the full race matrix through this
+  * client against an in-sandbox conditional-PUT server (its `S3StubServer`)
+  * as the third backend next to link(2) and the in-memory double.
+  */
+final class HttpConditionalStore(endpoint: String) extends ConditionalStore {
+  private val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  override def name: String = s"http(${endpoint})"
+
+  override def putIfAbsent(key: String, content: String): Boolean = {
+    val uri = java.net.URI.create(
+      endpoint + "/" + java.net.URLEncoder.encode(key, "UTF-8"))
+    val req = java.net.http.HttpRequest.newBuilder(uri)
+      .timeout(java.time.Duration.ofSeconds(30))
+      .header("If-None-Match", "*")
+      .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
+        content, java.nio.charset.StandardCharsets.UTF_8))
+      .build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 200 | 201 => true
+      case 412 | 409 => false
+      case c => throw new java.io.IOException(
+        s"conditional PUT $uri: HTTP $c ${resp.body()}")
+    }
+  }
+}
+
 /** Local stand-in for an S3-style bucket: the conditional decision is one
   * ConcurrentHashMap reservation (the linearization point a real store
   * provides server-side); the winner then materializes the object for

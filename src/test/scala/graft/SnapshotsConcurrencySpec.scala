@@ -36,7 +36,13 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
     Seq(
       "posix-link" -> graft.sources.PosixLinkCommit,
       "object-store" -> new graft.sources.ObjectStoreCommit(
-        graft.sources.LocalConditionalStore))
+        graft.sources.LocalConditionalStore),
+      // The REAL protocol: HttpConditionalStore's `If-None-Match: *` PUT
+      // against an in-sandbox HTTP server (graft.S3StubServer) — the race
+      // arbitrated by another process-like boundary, 412 mapped to a
+      // lost race, exactly what an S3/MinIO/GCS port ships.
+      "s3-stub-http" -> new graft.sources.ObjectStoreCommit(
+        new graft.sources.HttpConditionalStore(graft.S3StubServer.endpoint)))
 
   /** Register `body` once per commit backend, run under that backend. */
   private def raceTest(title: String)(body: => Unit): Unit =
