@@ -936,6 +936,93 @@ object TextOps {
     */
   private[graft] val BpeLineageStride = 8
 
+  /** Vocabulary-size bound under which the merge ROUNDS run on the
+    * driver (`spark.graft.bpe.localVocabMax`, default 65536 distinct
+    * words): the shape every production tokenizer trainer uses —
+    * distributed word COUNT (the only corpus-scale stage), then local
+    * merge rounds over the collected (symbols, count) table. The
+    * round-10 attribution found the loop driver-LATENCY-bound: 64
+    * sequential vocabulary-sized jobs cost ~70 ms each in launches
+    * alone while the actual data is a few thousand rows, so the local
+    * path converts 64 + 64/stride job launches into microseconds of
+    * driver arithmetic. Past the bound the distributed loop below runs
+    * unchanged (a 100 TB corpus with an unbounded vocabulary still
+    * trains on-cluster), and BpeLocalSpec pins the two paths
+    * merge-for-merge and symbol-for-symbol equal.
+    */
+  private def bpeLocalVocabMax(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.bpe.localVocabMax", "65536").toLong
+
+  /** UTF-8 byte order (unsigned) — the tie-break collation BOTH engines
+    * rank `pair` with (Spark UTF8String, DuckDB binary collation); JVM
+    * String.compareTo is UTF-16 and diverges above the BMP.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local BPE merge rounds — semantics IDENTICAL to the
+    * distributed loop, op for op: pair counts weighted by `c`, winner by
+    * (count desc, pair asc in UTF-8 byte order), the boundary-sentinel
+    * merge with left-to-right non-overlapping replace (String.replace
+    * and UTF8String/DuckDB replace all share that contract), starvation
+    * the same NAMED error. Returns the learned table and the final
+    * symbol strings aligned with `entries` (the fit never applies its
+    * last merge; the apply must — same `applyLast` contract as the
+    * oracle chain).
+    */
+  private[graft] def localBpeRounds(entries: Array[(String, Long)],
+      rounds: Int, applyLast: Boolean)
+      : (Seq[(Long, String, String, Long)], Array[String]) = {
+    var cur = entries.map(_._1)
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (k <- 1 to rounds) {
+      val counts = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i < cur.length) {
+        val a = cur(i).split(" ")
+        val c = entries(i)._2
+        var j = 0
+        while (j < a.length - 1) {
+          counts.merge(a(j) + " " + a(j + 1), c, (x, y) => x + y)
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) throw new IllegalStateException(
+        s"BPE merge starvation at round $k/$rounds: no adjacent symbol " +
+          "pair remains in the vocabulary — lower BpeMerges or widen the " +
+          "corpus")
+      var bestPair: String = null
+      var bestCnt = Long.MinValue
+      counts.forEach { (p, c) =>
+        if (c > bestCnt || (c == bestCnt && utf8Lt(p, bestPair)))
+          { bestPair = p; bestCnt = c }
+      }
+      val merged = bestPair.replace(" ", "")
+      learned += ((k.toLong, bestPair, merged, bestCnt))
+      if (k < rounds || applyLast) {
+        val hit = " " + bestPair.replace(" ", "  ") + " "
+        val rep = " " + merged + " "
+        cur = cur.map { s =>
+          (" " + s.replace(" ", "  ") + " ").replace(hit, rep)
+            .split(" ").filter(_.nonEmpty).mkString(" ")
+        }
+      }
+    }
+    (learned.toSeq, cur)
+  }
+
   /** One BPE merge applied to a space-joined symbol string, in the
     * boundary-sentinel form that is exact for EVERY round: symbols are
     * double-space separated and flanked, the pair is matched with its
@@ -1025,12 +1112,21 @@ object TextOps {
         s"\n      SELECT $k::BIGINT AS rank, pair, merged, cnt FROM m$k")
         .mkString("", "\n      UNION ALL", "")),
     (spark, dir) => {
+      import spark.implicits._
       val toks = filter(split(col("text"), " "), x => x =!= "")
       var s = Q.materialize(
         t(spark, dir, "documents")
           .select(explode(toks).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+          .groupBy(col("word")).agg(count(lit(1)).cast("long").as("c"))
           .select(array_join(split(col("word"), ""), " ").as("s"), col("c")))
+      // Small-vocab fast path: the corpus-scale word count above is done;
+      // when the distinct vocabulary fits the bound, the 64 merge rounds
+      // are driver arithmetic, not 64 sequential Spark jobs.
+      if (s.count() <= bpeLocalVocabMax(spark)) {
+        val entries = s.collect().map(r => (r.getString(0), r.getLong(1)))
+        localBpeRounds(entries, BpeMerges, applyLast = false)._1
+          .toDF("rank", "pair", "merged", "cnt")
+      } else {
       val learned = scala.collection.mutable.ArrayBuffer
         .empty[(Long, String, String, Long)]
       for (k <- 1 to BpeMerges) {
@@ -1056,8 +1152,8 @@ object TextOps {
               else next
         }
       }
-      import spark.implicits._
       learned.toSeq.toDF("rank", "pair", "merged", "cnt")
+      }
     })
 
   val bpeApply = Q(
@@ -1097,29 +1193,45 @@ object TextOps {
       FROM tf JOIN syms ON syms.word = tf.word
       GROUP BY tf.doc_id"""),
     (spark, dir) => {
+      import spark.implicits._
       val toks = filter(split(col("text"), " "), x => x =!= "")
       val tf = Q.materialize(
         t(spark, dir, "documents")
           .select(col("doc_id"), explode(toks).as("word"))
           .groupBy(col("doc_id"), col("word"))
           .agg(count(lit(1)).cast("long").as("c")))
-      var s = Q.materialize(tf
+      val vocab = Q.materialize(tf
         .groupBy(col("word")).agg(sum(col("c")).cast("long").as("c"))
         .withColumn("s", array_join(split(col("word"), ""), " ")))
-      for (k <- 1 to BpeMerges) {
-        // Same shape as bpe_fit: the winning merge driver-collects (one
-        // tiny row) and applies as literals; the symbol frame strides.
-        val m = topMergeAt(topMerge(s.select(col("s"), col("c"))), k)
-        val next = s.select(col("word"),
-          mergeOnceCol(col("s"), m.getString(0), m.getString(1)).as("s"),
-          col("c"))
-        s = if (k % BpeLineageStride == 0 || k == BpeMerges)
-          Q.materializeLoop(next) else next
-      }
-      val syms = s
-        .select(col("word"), length(col("word")).cast("long").as("n_chr"),
+      val syms = if (vocab.count() <= bpeLocalVocabMax(spark)) {
+        // Small-vocab fast path (same gate as bpe_fit): merges re-learn
+        // and apply on the driver; only the vocab-row symbol table goes
+        // back out, broadcast into the corpus-scale join below.
+        val rows = vocab.select(col("word"), col("s"), col("c")).collect()
+        val fin = localBpeRounds(
+          rows.map(r => (r.getString(1), r.getLong(2))), BpeMerges,
+          applyLast = true)._2
+        broadcast(rows.zip(fin).toSeq.map { case (r, f) =>
+          val w = r.getString(0)
+          (w, w.codePointCount(0, w.length).toLong,
+            f.split(" ").count(_.nonEmpty).toLong)
+        }.toDF("word", "n_chr", "n_sym"))
+      } else {
+        var s = vocab
+        for (k <- 1 to BpeMerges) {
+          // Same shape as bpe_fit: the winning merge driver-collects (one
+          // tiny row) and applies as literals; the symbol frame strides.
+          val m = topMergeAt(topMerge(s.select(col("s"), col("c"))), k)
+          val next = s.select(col("word"),
+            mergeOnceCol(col("s"), m.getString(0), m.getString(1)).as("s"),
+            col("c"))
+          s = if (k % BpeLineageStride == 0 || k == BpeMerges)
+            Q.materializeLoop(next) else next
+        }
+        s.select(col("word"), length(col("word")).cast("long").as("n_chr"),
           size(filter(split(col("s"), " "), x => x =!= ""))
             .cast("long").as("n_sym"))
+      }
       tf.join(syms, "word")
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).cast("long").as("n_tokens"),
