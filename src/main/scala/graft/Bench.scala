@@ -38,7 +38,7 @@ object Bench {
     "sim_topk_pq_adc", "sim_topk_ivfpq", "sim_topk_ivfpq_residual",
     "sim_topk_sq8", "sim_topk_mrl", "sim_knn_graph", "sim_knn_graph_mplsh",
     "sim_knn_clusters", "sim_hier_assign", "sim_knn_graph_hier",
-    "sim_topk_ivf_pruned", "sim_topk_hier_pruned",
+    "sim_topk_ivf_pruned", "sim_topk_hier_pruned", "sim_topk_hier_snap",
     "dedup_semantic", "dedup_embedding_cosine",
     "kv_cas_replay", "ta_tfidf", "ta_repetition", "dedup_span",
     "ta_decontaminate", "ta_novelty", "ta_cdc_chunks", "dedup_cdc", "ta_cms_topk",
@@ -71,6 +71,49 @@ object Bench {
     "src_change_feed", "src_stats_pruned_scan", "src_zorder_pruned_scan",
     "src_deletion_vectors", "src_metadata_count", "src_restore",
     "src_bloom_point_read")
+
+  /** Fixed-shape calibration plan (round-11 ask #2): three consecutive
+    * rounds of judges re-ran benches to dismiss ambient noise the artifact
+    * could not explain by itself — the calibration ledger measured ~2.7×
+    * cross-session drift on identical code. This query is the in-artifact
+    * yardstick: deterministic (xxhash64 of a range — no data files, no
+    * sfDir dependence), CPU+shuffle balanced (64M hashes map-side, a
+    * ~9M-distinct-key exchange, sum/count aggregate), pinned to its own
+    * shuffle width (64) so a probe's 2560-partition session conf can't
+    * change its shape, and FROZEN — BenchCalibrationSpec pins the exact
+    * aggregate checksum, so any edit to this plan fails the build instead
+    * of silently moving the yardstick. It runs untimed-then-timed at sweep
+    * start and timed again at sweep end; cross-round comparisons divide
+    * wall times through calibration_sec to cancel box state.
+    */
+  def calibrationDf(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    spark.range(0L, 64L * 1000 * 1000, 1L, 32)
+      // The 32-bit mask keeps every group sum (and the spec's global
+      // checksum) far from Long overflow — Spark 4 runs ANSI by default,
+      // where an overflowing sum() THROWS instead of wrapping.
+      .selectExpr("xxhash64(id) & 4294967295 AS h",
+        "pmod(xxhash64(id, 7L), 9000000L) AS k")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("h").as("s"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+
+  /** One timed calibration run (seconds) under the frozen session shape. */
+  def calibrationSec(spark: SparkSession): Double = {
+    val conf = spark.conf
+    val savedParts = conf.get("spark.sql.shuffle.partitions")
+    val savedAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", "64")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val t0 = System.nanoTime()
+      calibrationDf(spark).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", savedParts)
+      conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,17 +200,49 @@ object Bench {
     // could still let trailing task-end events land on the next query's
     // spill row): waitUntilEmpty blocks until every posted event is
     // delivered, so the before/after snapshots bracket exactly this run.
-    def drainBus(): Unit =
-      org.apache.spark.GraftSparkShim.waitListenerBusEmpty(
-        spark.sparkContext, 30000L)
+    // Returns false (instead of aborting the whole sweep on the shim's
+    // TimeoutException) when the bus is still busy after 30 s under heavy
+    // spill — the affected spill row is then marked approximate rather
+    // than the bench run dying mid-sweep.
+    def drainBus(): Boolean =
+      try {
+        org.apache.spark.GraftSparkShim.waitListenerBusEmpty(
+          spark.sparkContext, 30000L)
+        true
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(
+            "[bench] listener bus still busy after 30 s; spill row approximate")
+          false
+      }
+    // Isolation-mode warm pass (round-11 "What's wrong #2"): a fresh JVM
+    // timing one query pays cold shared-builder materializations the full
+    // sweep amortizes across neighbors (dedup_keep_best: 5.2 s isolated vs
+    // 3.76 s in-sweep, same box, same hour) — an isolation number was NOT
+    // comparable to a sweep number. Default: run each isolated query once
+    // UNTIMED before the timed repeats, but only when repeat > 1 — the
+    // repeat=1 scale probes time a single multi-hour leg where a warm pass
+    // would double the wall clock, and they compare only against other
+    // probe legs run the same way. SPARK_GRAFT_BENCH_WARM=1/0 overrides;
+    // the artifact records which mode ran (isolation_warm in provenance).
+    val isolationWarm = sys.env.get("SPARK_GRAFT_BENCH_WARM") match {
+      case Some(v) => v == "1"
+      case None    => only.nonEmpty && repeat > 1
+    }
     def sweep(): Seq[(String, Seq[Double])] =
       selected.filter(queries.contains).map { name =>
+        if (isolationWarm)
+          try queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () } // timed pass reports the failure
         val times = (1 to repeat).map { i =>
           // Spill attribution snapshots PER ITERATION and records the last
           // iteration's delta: the queries are deterministic (same bytes
           // every repeat), so this is per-RUN bytes — the old per-query
           // delta spanned all repeats and reported repeat× the real spill.
-          val before = if (spillOn) { drainBus(); spill.snapshot() } else null
+          var approx = false
+          val before =
+            if (spillOn) { approx ||= !drainBus(); spill.snapshot() } else null
           val t0 = System.nanoTime()
           val ok =
             try {
@@ -181,8 +256,8 @@ object Bench {
             }
           val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
           if (spillOn && i == repeat) {
-            drainBus()
-            spillRows(name) = spill.deltaJson(before)
+            approx ||= !drainBus()
+            spillRows(name) = spill.deltaJson(before, approx)
           }
           // A failed query reports -1 (not its near-zero elapsed time) so
           // the metric can't be silently flattered by fast failures.
@@ -192,6 +267,12 @@ object Bench {
       }
 
     val loadavgStart = loadavg()
+    // Calibration bracketing: one untimed pass (JIT/codegen) then the
+    // timed start measurement; the end measurement after the sweeps is
+    // equally warm, so start≈end on a steady box and start≠end convicts
+    // mid-sweep load drift in the artifact itself.
+    calibrationSec(spark)
+    val calStart = calibrationSec(spark)
     var raw = sweep()
     // Noise-band rule, now IN the runner (round-10 lesson: the official
     // record shipped a 1.41× "regression" that was pure CI-session
@@ -206,13 +287,25 @@ object Bench {
     var rerunField = """"rerun":false"""
     if (only.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_NO_RERUN").isEmpty) {
       priorTotals() match {
-        case Some((priorPath, prior)) =>
+        case Some((priorPath, prior, priorCal)) =>
           def sharedSum(r: Seq[(String, Seq[Double])]): (Double, Double) = {
             val shared = r.filter { case (n, ts) =>
               ts.head > 0 && prior.get(n).exists(_ > 0) }
             (shared.map(_._2.head).sum, shared.map(x => prior(x._1)).sum)
           }
-          val (ours, theirs) = sharedSum(raw)
+          val (ours, rawTheirs) = sharedSum(raw)
+          // When the prior record carries its own calibration_sec, the
+          // band comparison divides box state out: the prior total is
+          // scaled by (our calibration / prior calibration) before the
+          // ±11% rule applies — a 1.5× slower box makes every query 1.5×
+          // slower INCLUDING the frozen yardstick, so the ratio cancels.
+          // Records before round 12 carry no calibration → unscaled, as
+          // before.
+          val calRatio = priorCal match {
+            case Some(pc) if pc > 0 && calStart > 0 => calStart / pc
+            case _ => 1.0
+          }
+          val theirs = rawTheirs * calRatio
           if (theirs > 0 && ours > theirs * 1.11) {
             System.err.println(
               f"[bench] like-for-like total ${ours}%.1f s vs prior " +
@@ -226,13 +319,16 @@ object Bench {
             }
             rerunField = """"rerun":true,"first_pass_total":""" + jf(ours) +
               ""","prior_total":""" + jf(theirs) +
+              ""","prior_cal_ratio":""" + jf(calRatio) +
               ""","prior_record":"""" + priorPath + "\""
           } else if (theirs > 0)
             rerunField = """"rerun":false,"prior_total":""" + jf(theirs) +
+              ""","prior_cal_ratio":""" + jf(calRatio) +
               ""","prior_record":"""" + priorPath + "\""
         case None => ()
       }
     }
+    val calEnd = calibrationSec(spark)
     val loadavgEnd = loadavg()
     val results = raw.map { case (name, ts) => name -> ts.head } // min
     val qs = results
@@ -275,9 +371,18 @@ object Bench {
     // runnable/total process counts — a loadavg far above this JVM's own
     // core use means the numbers were measured against a loaded box, and
     // the artifact now convicts itself instead of needing forensics.
+    // calibration_sec = min(start, end) of the frozen yardstick
+    // (Bench.calibrationDf): divide two records' walls through their
+    // calibration_sec to cancel box state before calling anything a
+    // regression. isolation_warm says whether isolated queries got the
+    // untimed warm pass (sweep-comparable) or not (probe legs, repeat=1).
     val prov = s"""{"loadavg_start":"$loadavgStart",""" +
       s""""loadavg_end":"$loadavgEnd","cpus":$cpus,""" +
-      s""""shuffle_partitions":$shufflePartitions,$rerunField}"""
+      s""""shuffle_partitions":$shufflePartitions,""" +
+      s""""calibration_sec":${jf(math.min(calStart, calEnd))},""" +
+      s""""calibration_start_sec":${jf(calStart)},""" +
+      s""""calibration_end_sec":${jf(calEnd)},""" +
+      s""""isolation_warm":$isolationWarm,$rerunField}"""
     val line =
       s"""{"metric":"total","value":${jf(total)},"unit":"sec",""" +
         s""""queries":$qs,"spreads":$spreads,$spillField"repeat":$repeat,""" +
@@ -313,26 +418,49 @@ object Bench {
       .trim.split("\\s+").take(4).mkString(" ")
     catch { case _: Throwable => "" }
 
-  /** The prior round's per-query seconds for the noise-band comparison:
-    * SPARK_GRAFT_BENCH_PRIOR if set, else the newest committed
-    * BENCH_r*.json in the working directory. None when there is no prior
-    * record or it doesn't parse (first round, renamed artifacts).
+  /** The prior round's per-query seconds (and its calibration_sec, when
+    * recorded) for the noise-band comparison: SPARK_GRAFT_BENCH_PRIOR if
+    * set, else the newest-round record among BENCH_r*.json AND
+    * bench_ci_r*.json that actually parses into a queries map. Round 11's
+    * driver-committed BENCH_r11.json is a wrapper (n/rc/tail fields, no
+    * top-level queries object), so candidates that don't parse fall
+    * through to the next-newest instead of silently disabling the band —
+    * bench_ci_r11.json is the real round-11 record and wins there.
     */
-  private def priorTotals(): Option[(String, Map[String, Double])] = {
-    val path = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").orElse {
-      Option(new java.io.File(".").listFiles()).flatMap(_
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(_.getName).lastOption.map(_.getPath))
-    }
-    path.flatMap { p =>
+  private def priorTotals()
+      : Option[(String, Map[String, Double], Option[Double])] = {
+    def parse(p: String)
+        : Option[(String, Map[String, Double], Option[Double])] =
       try {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File(p)).get("queries")
-        val it = node.fields()
-        val m = scala.collection.mutable.Map.empty[String, Double]
-        while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
-        Some((p, m.toMap))
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(p))
+        val node = root.get("queries")
+        if (node == null || !node.isObject) None
+        else {
+          val it = node.fields()
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          while (it.hasNext) {
+            val e = it.next(); m(e.getKey) = e.getValue.asDouble()
+          }
+          val cal = Option(root.get("provenance"))
+            .flatMap(pr => Option(pr.get("calibration_sec")))
+            .map(_.asDouble()).filter(_ > 0)
+          Some((p, m.toMap, cal))
+        }
       } catch { case _: Throwable => None }
+    sys.env.get("SPARK_GRAFT_BENCH_PRIOR") match {
+      case Some(p) => parse(p)
+      case None =>
+        val re = "(?:BENCH|bench_ci)_r(\\d+)\\.json".r
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap { f =>
+            f.getName match {
+              case re(n) => Some((n.toInt, f.getPath))
+              case _     => None
+            }
+          }
+          .sortBy { case (round, path) => (-round, path) }
+          .view.flatMap(c => parse(c._2)).headOption
     }
   }
 
@@ -356,12 +484,18 @@ object Bench {
     }
     def snapshot(): Array[Long] =
       Array(memSpill.get, diskSpill.get, shufWrite.get, shufRead.get)
-    def deltaJson(before: Array[Long]): String = {
+    def deltaJson(before: Array[Long], approx: Boolean = false): String = {
       val d = snapshot().zip(before).map { case (a, b) => a - b }
       def gb(x: Long): String =
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(x / 1e9))
+      // approx=true: a listener-bus drain timed out around this row's
+      // snapshots, so trailing task-end events may bleed across the
+      // bracket — the bytes are attribution-approximate, and the row
+      // says so itself instead of the sweep aborting.
+      val approxField = if (approx) ""","approx":true""" else ""
       s"""{"spill_mem_gb":${gb(d(0))},"spill_disk_gb":${gb(d(1))},""" +
-        s""""shuffle_write_gb":${gb(d(2))},"shuffle_read_gb":${gb(d(3))}}"""
+        s""""shuffle_write_gb":${gb(d(2))},"shuffle_read_gb":${gb(d(3))}""" +
+        approxField + "}"
     }
   }
 }

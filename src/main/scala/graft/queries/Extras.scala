@@ -126,14 +126,28 @@ object Extras {
   val approxDistinct = Q(
     "q_approx_distinct_users",
     "HLL approximate distinct users per event type alongside the exact " +
-      "count. No SQL oracle (HLL implementations differ across engines); " +
-      "the spec asserts the approximation error bound instead — the " +
-      "rows-only driver check applies.",
-    None,
+      "count. The raw estimate has no cross-engine oracle (Spark's HLL++ " +
+      "and DuckDB's HLL hash differently), so the ORACLED value is the " +
+      "approximation CONTRACT itself: each engine runs its own native " +
+      "approx-distinct and asserts |approx - exact| <= 10% * exact — the " +
+      "same bound ScaleSpec pins — making the query fully rows+schema+" +
+      "hash checkable while still exercising the engine-internal sketch " +
+      "(both HLLs are near-exact at this per-type cardinality, ~150, " +
+      "where HLL++ is still in sparse mode, so the boolean is " +
+      "deterministically true in both engines).",
+    Some("""
+      SELECT event_type,
+             count(DISTINCT user_id) AS exact_users,
+             abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+               <= 0.1 * count(DISTINCT user_id) AS approx_within_10pct
+      FROM events GROUP BY event_type""".stripMargin),
     (spark, dir) =>
       t(spark, dir, "events").groupBy(col("event_type")).agg(
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id")).as("approx_users")))
+        approx_count_distinct(col("user_id")).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * lit(0.1)).as("approx_within_10pct")))
 
   val hllPortable = Q(
     "q_hll_portable",

@@ -577,12 +577,37 @@ object Similarity {
   private val ivfIndexCache = {
     val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
     // TempDirs.drain() deletes the cached index dirs: the existence check
-    // inside compute() below still races a drain landing between compute
-    // returning and the lazy scan listing the dir, so the drain also
-    // clears this registry (see TempDirs.onDrain) — the window closes at
-    // the cache, not just at the filesystem.
+    // inside cachedIndexDir below still races a drain landing between the
+    // lookup returning and the lazy scan listing the dir, so the drain
+    // also clears this registry (see TempDirs.onDrain) — the window
+    // closes at the cache, not just at the filesystem.
     graft.TempDirs.onDrain(() => m.clear())
     m
+  }
+
+  /** Get-or-build a cached per-JVM index location WITHOUT running a Spark
+    * job while holding the cache's bin lock (round-11 "What's wrong #3":
+    * the old compute()-wrapped build stalled any concurrent query whose
+    * dataset hashed to the same bin for the full index-build duration).
+    * The build runs UNLOCKED; merge() then publishes the first completed
+    * build atomically — the lock is held only for an existence probe. A
+    * losing racer's build is simply dropped (it lives in a TempDirs-
+    * registered dir, cleaned at drain/shutdown like all staging); the
+    * duplicate work is a cold-start race a production system absorbs the
+    * same way. A cached entry is reused only if its path still exists —
+    * TempDirs.drain() is a public mid-JVM cleanup hook the suites
+    * exercise.
+    */
+  private def cachedIndexDir(key: String)(build: => String): String = {
+    def live(p: String): Boolean =
+      p != null && java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    val cur = ivfIndexCache.get(key)
+    if (live(cur)) cur
+    else {
+      val built = build
+      ivfIndexCache.merge(key, built,
+        (old, fresh) => if (live(old)) old else fresh)
+    }
   }
 
   private[queries] def ivfPrunedTopk(spark: SparkSession, dir: String,
@@ -593,21 +618,14 @@ object Similarity {
     // quantizer cell; at production scale this is a snapshot-table
     // commit whose layout maintenance (OPTIMIZE per cell directory) the
     // src_* family already demonstrates.
-    // compute (not computeIfAbsent): a cached dir can have been deleted
-    // under us — TempDirs.drain() is a public mid-JVM cleanup hook the
-    // suites exercise — so an entry is reused only if it still exists.
-    val idx = ivfIndexCache.compute(dir, (_, prev) => {
-      if (prev != null &&
-          java.nio.file.Files.exists(java.nio.file.Paths.get(prev))) prev
-      else {
-        val path = s"${graft.TempDirs.create("graft_ivf_idx")}/index.parquet"
-        val assign = assignAgainst(v, cent).select(col("vec_id"), col("cell"))
-        v.join(assign, "vec_id")
-          .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(path)
-        path
-      }
-    })
+    val idx = cachedIndexDir(dir) {
+      val path = s"${graft.TempDirs.create("graft_ivf_idx")}/index.parquet"
+      val assign = assignAgainst(v, cent).select(col("vec_id"), col("cell"))
+      v.join(assign, "vec_id")
+        .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      path
+    }
     // The probe batch runs ONCE (materialized): its rows feed both the
     // driver-side partition predicate below and the broadcast join side.
     val q = Q.materialize(
@@ -643,19 +661,15 @@ object Similarity {
     // INDEX BUILD (once per dataset per JVM — same cache/revalidation
     // discipline as the flat layout; the key is namespaced because the
     // hier index partitions by the ADAPTIVE cell, not the label cell).
-    val idx = ivfIndexCache.compute(s"hier:$dir", (_, prev) => {
-      if (prev != null &&
-          java.nio.file.Files.exists(java.nio.file.Paths.get(prev))) prev
-      else {
-        val path = s"${graft.TempDirs.create("graft_hier_idx")}/index.parquet"
-        val home = hierCellRanks(v, sup, cent, c => c >> m, sprobe = 1, p = 1)
-          .select(col("vec_id"), col("cell"))
-        v.join(home, "vec_id")
-          .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(path)
-        path
-      }
-    })
+    val idx = cachedIndexDir(s"hier:$dir") {
+      val path = s"${graft.TempDirs.create("graft_hier_idx")}/index.parquet"
+      val home = hierCellRanks(v, sup, cent, c => c >> m, sprobe = 1, p = 1)
+        .select(col("vec_id"), col("cell"))
+      v.join(home, "vec_id")
+        .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      path
+    }
     val q = Q.materialize(
       hierCellRanks(v.filter(col("vec_id") < batch), sup, cent, c => c >> m,
           sprobe = 2, p = nprobe, carry = Seq("e", "nrm"))
@@ -670,6 +684,77 @@ object Similarity {
       .filter(col("cell").isin(probed: _*)) // -> PartitionFilters, pruned listing
       .select(col("vec_id").as("neighbor_id"),
         col("cell").cast(cellType).as("ccell"),
+        col("e").as("ce"), col("nrm").as("cn"))
+    scoreTopkCosine(q, cand)
+  }
+
+  /** The hier index as a COMMITTED SNAPSHOT TABLE (round-11 ask #5): at
+    * 100 TB an ANN index is a maintained table, not a process-local
+    * directory — it needs transactional rebuild, time travel, and layout
+    * maintenance like any other corpus asset. The index rows
+    * (vec_id, e, nrm, home cell) commit through Snapshots.publish (v1)
+    * and are immediately OPTIMIZE'd into a cell-range-clustered layout
+    * via Snapshots.compact on the cell column (v2), so every data file's
+    * parquet footer bounds a disjoint cell range. Returns the table path
+    * (per-JVM amortized via [[cachedIndexDir]] — the build races and
+    * drain revalidation are the cache's concern, the COMMIT atomicity is
+    * the table's: a rebuild is invisible to readers until its one
+    * manifest CAS, so no reader ever lists a half-built index, which the
+    * raw-TempDir layout guaranteed only via the drain-hook fix).
+    */
+  private[graft] def hierSnapIndexTable(spark: SparkSession,
+      dir: String): String = {
+    val v = Q.materialize(vecs(spark, dir))
+    val m = knnSplitBits(spark, v.count())
+    val cent = Q.materialize(knnCentroids(v))
+    val sup = Q.materialize(supCentroids(v))
+    cachedIndexDir(s"hiersnap:$dir") {
+      val table = s"${graft.TempDirs.create("graft_hier_snap")}/index_table"
+      val home = hierCellRanks(v, sup, cent, c => c >> m, sprobe = 1, p = 1)
+        .select(col("vec_id"), col("cell"))
+      val rows = v.join(home, "vec_id")
+        .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+      graft.sources.Snapshots.publish(rows, table) // v1: transactional build
+      graft.sources.Snapshots.compact(spark, table, 16, col("cell")) // v2: OPTIMIZE
+      table
+    }
+  }
+
+  /** The snapshot-SERVED hierarchical search behind [[topkHierSnap]]:
+    * identical descent and scoring to [[hierPrunedTopk]], but candidate
+    * fetch resolves ONE COMMITTED VERSION of the index table and reads
+    * each probed cell through Snapshots.readRange — file-level footer
+    * min/max pruning THROUGH the transaction layer (batch·nprobe pruned
+    * point-range reads out of the cell-clustered layout) instead of a
+    * raw directory listing. The version pin is what a serving fleet
+    * holds across a request: a concurrent rebuild (a new publish/compact
+    * commit) cannot change or tear this query's candidate set.
+    */
+  private[queries] def hierSnapTopk(spark: SparkSession, dir: String,
+      batch: Int, nprobe: Int): DataFrame = {
+    val v = Q.materialize(vecs(spark, dir))
+    val m = knnSplitBits(spark, v.count())
+    val cent = Q.materialize(knnCentroids(v))
+    val sup = Q.materialize(supCentroids(v))
+    val table = hierSnapIndexTable(spark, dir)
+    // Serving pins a committed version: every per-cell read below names
+    // it explicitly, so the candidate set is immutable for the whole
+    // request whatever a concurrent rebuild commits.
+    val ver = graft.sources.Snapshots.latestVersion(table)
+    val q = Q.materialize(
+      hierCellRanks(v.filter(col("vec_id") < batch), sup, cent, c => c >> m,
+          sprobe = 2, p = nprobe, carry = Seq("e", "nrm"))
+        .select(col("vec_id").as("query_id"), col("cell"),
+          col("e").as("qe"), col("nrm").as("qn")))
+    // Request-scale collect (batch·nprobe cells), same bound as the
+    // pruned layouts.
+    val probed = q.select(col("cell")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    val cand = probed.map(c =>
+        graft.sources.Snapshots.readRange(spark, table, "cell", c, c,
+          Some(ver)))
+      .reduce(_.union(_))
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("ccell"),
         col("e").as("ce"), col("nrm").as("cn"))
     scoreTopkCosine(q, cand)
   }
@@ -2064,6 +2149,30 @@ object Similarity {
       WHERE rank <= 5""".stripMargin),
     (spark, dir) => hierPrunedTopk(spark, dir, batch = 20, nprobe = 2))
 
+  val topkHierSnap = Q(
+    "sim_topk_hier_snap",
+    "THE SERVING INDEX AS A MAINTAINED TABLE — sim_topk_hier_pruned's " +
+      "descent and scoring unchanged, but the index LIFECYCLE moves from " +
+      "a process-local partitioned directory to a committed snapshot " +
+      "table: the home-cell index rows publish transactionally " +
+      "(Snapshots.publish, v1), get OPTIMIZE'd into a cell-range-" +
+      "clustered layout (Snapshots.compact on cell, v2 — every file's " +
+      "footer bounds a disjoint cell range), and serving resolves ONE " +
+      "COMMITTED VERSION, fetching each probed cell as a footer-stats-" +
+      "pruned point-range read (Snapshots.readRange) — batch*nprobe " +
+      "pruned reads out of the whole layout, THROUGH the transaction " +
+      "layer. What the table buys over the directory at 100 TB: rebuild " +
+      "is one atomic commit (no reader ever lists a half-built index), " +
+      "a pinned version serves an entire request immutably under any " +
+      "concurrent rebuild, old versions remain time-travelable for " +
+      "rollback, and layout maintenance is the ordinary OPTIMIZE every " +
+      "corpus table already gets. Same oracle SQL verbatim as " +
+      "sim_topk_hier_pruned (the lifecycle changes durability and I/O, " +
+      "never the answer); HierSnapSpec pins row equality with the " +
+      "directory form plus the version-pinning law.",
+    topkHierPruned.oracle,
+    (spark, dir) => hierSnapTopk(spark, dir, batch = 20, nprobe = 2))
+
   val knnClusters = Q(
     "sim_knn_clusters",
     "MUTUAL-kNN CLUSTERING — the standard graph-clustering recipe on " +
@@ -2138,5 +2247,5 @@ object Similarity {
     kmeansIter2, pqEncodeQ, topkPqAdc, topkIvfPq, semanticDedup, modalCuration,
     nearDup, histogram, labelCentroid, dimStats, powerIteration, topkSq8,
     topkMrl, topkIvfPqResidual, knnGraph, knnGraphMplsh, knnClusters,
-    hierAssign, knnGraphHier, topkIvfPruned, topkHierPruned)
+    hierAssign, knnGraphHier, topkIvfPruned, topkHierPruned, topkHierSnap)
 }

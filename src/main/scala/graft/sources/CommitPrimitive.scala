@@ -113,9 +113,32 @@ final class HttpConditionalStore(endpoint: String) extends ConditionalStore {
 
   override def name: String = s"http(${endpoint})"
 
+  /** PERCENT-encode each path segment — not form-encode the whole key.
+    * URLEncoder alone is application/x-www-form-urlencoded: it turns a
+    * space into '+', so against a real S3 (which percent-decodes the path
+    * exactly once, with no form semantics) a key containing a space would
+    * land under a literal-'+' key and a key containing '+' would survive
+    * only if the server ALSO applied form decoding — the symmetric-bug
+    * trap this file shipped with in round 11. The fix is the standard
+    * one: form-encode the segment, then rewrite '+' → "%20" so the result
+    * is pure RFC-3986 percent-encoding ('/' separators preserved, so the
+    * object key keeps its path structure on the wire).
+    */
+  private def encodePath(key: String): String =
+    key.split("/", -1).map(seg =>
+      java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
+      .mkString("/")
+
   override def putIfAbsent(key: String, content: String): Boolean = {
+    // Keys travel BUCKET-RELATIVE, the real S3 shape: the fixture's
+    // bucket root is the filesystem root, so the object key is the
+    // absolute path minus its leading '/' (a leading '/' in the request
+    // path would also read as a '//' authority marker to URI parsers —
+    // the JDK's HttpServer rejects such request lines outright).
+    require(key.startsWith("/"),
+      s"object-store keys are absolute filesystem paths, got: $key")
     val uri = java.net.URI.create(
-      endpoint + "/" + java.net.URLEncoder.encode(key, "UTF-8"))
+      endpoint + "/" + encodePath(key.stripPrefix("/")))
     val req = java.net.http.HttpRequest.newBuilder(uri)
       .timeout(java.time.Duration.ofSeconds(30))
       .header("If-None-Match", "*")

@@ -20,10 +20,35 @@ class BenchHeadlineSpec extends AnyFunSuite {
     // queries landed. Pinning them here means adding a query without
     // updating the docs (or vice versa) fails the build instead of
     // silently disagreeing with the contract. Update BOTH on change.
-    assert(SparkEntry.queries.size == 182,
-      s"declared queries: ${SparkEntry.queries.size}, docs say 182")
-    assert(SparkEntry.oracleSql.size == 181,
-      s"oracled queries: ${SparkEntry.oracleSql.size}, docs say 181 " +
-        "(q_approx_distinct_users is no_oracle by design)")
+    // Round 12: +1 query (sim_topk_hier_snap) and EVERY declared query
+    // now carries an oracle (q_approx_distinct_users's emits its error
+    // bound as the oracled value) — the board has no no_oracle cell left.
+    assert(SparkEntry.queries.size == 183,
+      s"declared queries: ${SparkEntry.queries.size}, docs say 183")
+    assert(SparkEntry.oracleSql.size == 183,
+      s"oracled queries: ${SparkEntry.oracleSql.size}, docs say 183")
+  }
+
+  test("the calibration yardstick is present and FROZEN") {
+    // Bench runs Bench.calibrationDf untimed+timed at sweep start and
+    // timed at sweep end, and records calibration_sec in the artifact's
+    // provenance; cross-round comparisons divide wall times through it
+    // to cancel box state (the ledger measured ~2.7x cross-session
+    // ambient drift on identical code). That only works if the yardstick
+    // NEVER moves: this pins the exact aggregate checksum of the frozen
+    // plan, so any edit to it fails the build instead of silently
+    // re-basing every historical comparison.
+    val spark = SparkTestBase.spark
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val r = Bench.calibrationDf(spark)
+      .agg(sum("s").as("cks"), sum("n").as("rows"),
+        count(lit(1)).as("groups"))
+      .head()
+    assert(r.getLong(1) == 64L * 1000 * 1000,
+      s"calibration row count moved: ${r.getLong(1)}")
+    assert(r.getLong(2) == 8992642L,
+      s"calibration group count moved: ${r.getLong(2)}")
+    assert(r.getLong(0) == 137442317794416533L,
+      s"calibration checksum moved: ${r.getLong(0)}")
   }
 }

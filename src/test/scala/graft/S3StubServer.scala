@@ -48,8 +48,15 @@ object S3StubServer {
         respond(x, 400, "missing If-None-Match: * (unconditional " +
           "overwrite refused)")
       else {
-        val key = java.net.URLDecoder.decode(
-          x.getRequestURI.getPath.stripPrefix("/"), "UTF-8")
+        // Decode EXACTLY ONCE, from the RAW (still-encoded) path — the
+        // round-11 version decoded twice (getRequestURI.getPath already
+        // percent-decodes, then URLDecoder ran again), which silently
+        // remapped keys containing '+' and 500'd on keys containing '%'.
+        // Keys are bucket-relative on the wire (the real S3 shape); this
+        // fixture's bucket root is the filesystem root, so the decoded
+        // key re-roots under '/'.
+        val key = "/" + java.net.URLDecoder.decode(
+          x.getRequestURI.getRawPath.stripPrefix("/"), "UTF-8")
         val target = Paths.get(key)
         // Publish-then-appear: complete temp object, then link(2) — the
         // kernel arbitrates concurrent handlers exactly once per key.

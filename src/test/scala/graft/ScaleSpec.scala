@@ -11,14 +11,17 @@ class ScaleSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.01"
 
   test("approx_count_distinct within 10% of exact per event type") {
+    // The query now EMITS the bound as its oracled value
+    // (approx_within_10pct); this spec pins that it holds on every row
+    // and that the exact side is sane.
     val rows = SparkEntry.queries("q_approx_distinct_users")(spark, dir)
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_users").toDouble
-      val approx = r.getAs[Long]("approx_users").toDouble
-      assert(math.abs(approx - exact) / exact < 0.10,
-        s"${r.getAs[String]("event_type")}: approx $approx vs exact $exact")
+      assert(r.getAs[Long]("exact_users") > 0)
+      assert(r.getAs[Boolean]("approx_within_10pct"),
+        s"${r.getAs[String]("event_type")}: approx outside 10% of " +
+          s"exact=${r.getAs[Long]("exact_users")}")
     }
   }
 

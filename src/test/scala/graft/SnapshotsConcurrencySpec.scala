@@ -263,6 +263,28 @@ class SnapshotsConcurrencySpec extends AnyFunSuite {
     assert(Snapshots.lastBatchId(table) == 1L)
   }
 
+  test("http conditional PUT: keys containing '+', '%', space, and a " +
+      "literal %2F land at the exact key and race correctly") {
+    // Round-11 shipped form-encoding (space→'+') on the client and a
+    // DOUBLE decode on the stub — symmetric, so tests passed while keys
+    // with '+' silently remapped and keys with '%' 500'd against any
+    // single-decode server (i.e. real S3). This pins the fixed wire
+    // format: percent-encoding only, decoded exactly once. The literal
+    // "%2F" in the key proves single decode — a second decode would turn
+    // it into '/' and split the key.
+    val store =
+      new graft.sources.HttpConditionalStore(graft.S3StubServer.endpoint)
+    val dir = Files.createTempDirectory("graft_conc_keys")
+    val key = dir.resolve("a +b%c d%2Fe.json").toString
+    assert(store.putIfAbsent(key, "payload-1"),
+      "first conditional PUT must win")
+    assert(Files.readString(java.nio.file.Paths.get(key)) == "payload-1",
+      "object must land at the EXACT key, not a remapped one")
+    assert(!store.putIfAbsent(key, "payload-2"),
+      "second conditional PUT on the same key must lose")
+    assert(Files.readString(java.nio.file.Paths.get(key)) == "payload-1")
+  }
+
   // ---- commit-primitive doubles: deterministic race loss on demand ----
   // The thread races above exercise REAL contention; these exercise the
   // seam itself — the CommitPrimitive abstraction an object-store port

@@ -60,8 +60,13 @@ rm -rf "$G10/lineitem.parquet" "$G10/orders.parquet" \
        "$G100/lineitem.parquet" "$G100/orders.parquet"
 df -h / | tail -1
 
-echo "=== phase 3: dedup_substring, g10 -> g100 full decade (zstd, partitions ∝ data) ==="
-run "$G10"  256  dedup_substring probe_g10_substring_r11.json  "$ZSTD"
-run "$G100" 2560 dedup_substring probe_g100_substring_r11.json "$ZSTD"
+echo "=== phase 3: dedup_substring, g10 -> g30 (zstd, partitions ∝ data) ==="
+# What actually ran in round 11 (this matches the committed artifacts
+# probe_g{10,30}_substring_r11.json). The g100 leg originally planned
+# here was deferred — the in-session calibration showed it would not
+# fit beside the mandatory final CI — and is round 12's lead item
+# (tools/probe_r12.sh).
+run "$G10" 256 dedup_substring probe_g10_substring_r11.json "$ZSTD"
+run "$G30" 768 dedup_substring probe_g30_substring_r11.json "$ZSTD"
 
 echo "=== probe_r11 complete ==="

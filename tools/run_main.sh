@@ -9,7 +9,10 @@
 # Requires an up-to-date `sbt compile` (this script does NOT compile).
 set -euo pipefail
 cd "$(dirname "$0")/.."
-CLASSES=target/scala-2.13/classes
+# GRAFT_CLASSES: override the classes dir (e.g. a frozen snapshot so a
+# multi-hour probe JVM can't lazily load a class that `sbt compile`
+# rewrote underneath it mid-run).
+CLASSES=${GRAFT_CLASSES:-target/scala-2.13/classes}
 [ -d "$CLASSES" ] || { echo "run 'sbt compile' first" >&2; exit 1; }
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
