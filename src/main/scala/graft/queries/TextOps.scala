@@ -885,16 +885,29 @@ object TextOps {
     * pair of a (s, c) word-frequency frame — count desc, pair asc, a total
     * order. Single definition, no drift.
     */
-  private def topMerge(sdf: org.apache.spark.sql.DataFrame) = sdf
+  /** Adjacent-pair counts (pair, cnt) of a (s, c) symbol frame, weighted
+    * by word count — the frame [[topPair]] ranks and the incremental
+    * loop maintains.
+    */
+  private def pairCounts(sdf: org.apache.spark.sql.DataFrame) = sdf
     .select(col("c"), split(col("s"), " ").as("a"))
     .filter(size(col("a")) >= 2)
     .select(col("c"), explode(expr(
       "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i+1]))"))
       .as("pair"))
     .groupBy(col("pair")).agg(sum(col("c")).cast("long").as("cnt"))
+
+  /** Winner of a (pair, cnt) frame: count desc, pair asc (Spark string
+    * order is UTF8String binary — the same UTF-8 byte collation as
+    * [[utf8Lt]] and DuckDB).
+    */
+  private def topPair(pc: org.apache.spark.sql.DataFrame) = pc
     .orderBy(col("cnt").desc, col("pair")).limit(1)
     .select(col("pair"), expr("replace(pair, ' ', '')").as("merged"),
       col("cnt"))
+
+  private def topMerge(sdf: org.apache.spark.sql.DataFrame) =
+    topPair(pairCounts(sdf))
 
   /** [[topMerge]]'s winning row, or a NAMED error on merge starvation
     * (the pair frame emptied before round `k`: every vocabulary word is
@@ -1023,6 +1036,91 @@ object TextOps {
     (learned.toSeq, cur)
   }
 
+  /** Incremental pair-count maintenance for the DISTRIBUTED merge loop
+    * (`spark.graft.bpe.deltaPairCounts`, default true — VERDICT r11 #8):
+    * after merging pair P, only words CONTAINING P change their
+    * adjacent-pair multiset, so each round recounts the DELTA over
+    * exactly those words instead of re-exploding every adjacent pair in
+    * the whole vocabulary. BpeDeltaSpec pins the delta loop and the full
+    * recount loop merge-for-merge equal.
+    */
+  private def bpeDeltaEnabled(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("spark.graft.bpe.deltaPairCounts", "true").toBoolean
+
+  /** Distributed BPE merge rounds with INCREMENTAL pair counts over an
+    * (s, c, ...) frame (extra columns — bpe_apply's `word` — ride along
+    * untouched). The maintained state is the (pair, cnt) frame itself:
+    * per round, (1) the winner is the top-1 of the MATERIALIZED pair
+    * counts — a scan of distinct pairs, not a re-explode of every
+    * adjacent symbol occurrence; (2) the delta is ONE pass over only the
+    * words whose boundary-sentinel form contains the winning pair (old
+    * pairs at −c, new pairs at +c, summed into the counts and zero rows
+    * dropped); (3) the symbol frame rewrites lazily with the usual
+    * lineage stride. Late rounds merge rare pairs, so the touched set —
+    * and with it the per-round shuffle — shrinks toward a handful of
+    * words while the full recount would keep re-shuffling the entire
+    * vocabulary's pair explosion every round: at 100 TB-derived
+    * vocabularies (the regime past `spark.graft.bpe.localVocabMax`,
+    * where these rounds run on-cluster) that asymmetry is the round
+    * cost. Semantics are bit-identical to the full recount: the pair
+    * multiset delta is exact (non-overlapping replace included, since
+    * old and new symbol arrays are compared per word), the winner's
+    * total order (cnt desc, pair asc in UTF-8 byte order) is the same
+    * Spark sort, and starvation surfaces as the same NAMED error when
+    * the counts frame empties.
+    */
+  private def distBpeRoundsDelta(s0: org.apache.spark.sql.DataFrame,
+      rounds: Int, applyLast: Boolean)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    var s = s0
+    var pc = Q.materializeLoop(pairCounts(s0.select(col("s"), col("c"))))
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (k <- 1 to rounds) {
+      val m = topMergeAt(topPair(pc), k)
+      val (pair, merged) = (m.getString(0), m.getString(1))
+      learned += ((k.toLong, pair, merged, m.getLong(2)))
+      if (k < rounds || applyLast) {
+        val hit = " " + pair.replace(" ", "  ") + " "
+        val spaced =
+          concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" "))
+        val rewritten = mergeOnceCol(col("s"), pair, merged)
+        // One aggregate over ONLY the touched words: each contributes its
+        // old adjacent pairs at -c and its post-merge pairs at +c. The
+        // size >= 2 guards keep sequence(0, -1) (descending in Spark) out
+        // of the transform on single-symbol words.
+        val delta = s.filter(spaced.contains(hit))
+          .select(col("c"), split(col("s"), " ").as("oa"),
+            split(rewritten, " ").as("na"))
+          .select(explode(concat(
+            expr("if(size(oa) >= 2, transform(sequence(0, size(oa) - 2), " +
+              "i -> named_struct('pair', concat(oa[i], ' ', oa[i+1]), " +
+              "'d', -c)), " +
+              "array())"),
+            expr("if(size(na) >= 2, transform(sequence(0, size(na) - 2), " +
+              "i -> named_struct('pair', concat(na[i], ' ', na[i+1]), " +
+              "'d', c)), " +
+              "array())"))).as("x"))
+          .select(col("x.pair").as("pair"), col("x.d").as("d"))
+        // The counts frame re-materializes every round: the next round's
+        // top-1 collect executes it anyway, and without the cut the
+        // lineage would chain all prior deltas. Zero rows drop so a
+        // fully-merged pair can never win a tie at cnt = 0.
+        pc = Q.materializeLoop(
+          pc.select(col("pair"), col("cnt").as("d"))
+            .unionByName(delta)
+            .groupBy(col("pair")).agg(sum(col("d")).cast("long").as("cnt"))
+            .filter(col("cnt") > 0))
+        val next = s.withColumn("s", rewritten)
+        s = if (k % BpeLineageStride == 0 || (applyLast && k == rounds))
+          Q.materializeLoop(next)
+        else next
+      }
+    }
+    (learned.toSeq, s)
+  }
+
   /** One BPE merge applied to a space-joined symbol string, in the
     * boundary-sentinel form that is exact for EVERY round: symbols are
     * double-space separated and flanked, the pair is matched with its
@@ -1126,6 +1224,11 @@ object TextOps {
         val entries = s.collect().map(r => (r.getString(0), r.getLong(1)))
         localBpeRounds(entries, BpeMerges, applyLast = false)._1
           .toDF("rank", "pair", "merged", "cnt")
+      } else if (bpeDeltaEnabled(spark)) {
+        // On-cluster rounds with incremental pair counts: each round
+        // recounts only the words the previous merge touched.
+        distBpeRoundsDelta(s, BpeMerges, applyLast = false)._1
+          .toDF("rank", "pair", "merged", "cnt")
       } else {
       val learned = scala.collection.mutable.ArrayBuffer
         .empty[(Long, String, String, Long)]
@@ -1216,6 +1319,13 @@ object TextOps {
           (w, w.codePointCount(0, w.length).toLong,
             f.split(" ").count(_.nonEmpty).toLong)
         }.toDF("word", "n_chr", "n_sym"))
+      } else if (bpeDeltaEnabled(spark)) {
+        // On-cluster rounds with incremental pair counts (the `word`
+        // column rides through the rewrite untouched).
+        distBpeRoundsDelta(vocab, BpeMerges, applyLast = true)._2
+          .select(col("word"), length(col("word")).cast("long").as("n_chr"),
+            size(filter(split(col("s"), " "), x => x =!= ""))
+              .cast("long").as("n_sym"))
       } else {
         var s = vocab
         for (k <- 1 to BpeMerges) {
