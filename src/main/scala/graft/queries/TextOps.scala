@@ -1037,16 +1037,41 @@ object TextOps {
   }
 
   /** Incremental pair-count maintenance for the DISTRIBUTED merge loop
-    * (`spark.graft.bpe.deltaPairCounts`, default true — VERDICT r11 #8):
-    * after merging pair P, only words CONTAINING P change their
-    * adjacent-pair multiset, so each round recounts the DELTA over
-    * exactly those words instead of re-exploding every adjacent pair in
-    * the whole vocabulary. BpeDeltaSpec pins the delta loop and the full
-    * recount loop merge-for-merge equal.
+    * (VERDICT r11 #8): after merging pair P, only words CONTAINING P
+    * change their adjacent-pair multiset, so each round can recount the
+    * DELTA over exactly those words instead of re-exploding every
+    * adjacent pair in the whole vocabulary. The strategy is a TRADE,
+    * measured (g1 probe, forced distributed, equal ambient per the
+    * in-artifact calibration — 9.2 vs 9.6 s yardstick): at small
+    * vocabularies the delta loop LOSES (11.4 vs 9.9 s min-of-3) because
+    * it adds one materialize job per round and re-shuffles the distinct-
+    * pair frame, while the full recount's explode is trivial at that
+    * scale — the loop is job-launch-bound, exactly the round-10 BPE
+    * attribution. The delta wins where the recount's per-round explode
+    * is the cost — measured at a 2M-distinct-word corpus (the synthetic
+    * GenHiVocab table, ~10M adjacent-pair occurrences per recount;
+    * same-session pairs under comparable calibration 8.5-11.1 s): full
+    * recount 243.5 s, delta 139.8 s with union+re-aggregate counts
+    * merging, 128.2 s with the FULL-OUTER JOIN merge below (the counts
+    * frame keeps its hash partitioning across the per-round checkpoint,
+    * so only the aggregated delta crosses an exchange) — 1.9x over the
+    * recount, widening with vocabulary since late-round deltas shrink
+    * toward single words while the recount stays vocabulary-sized every
+    * round. Hence `auto` (default) engages the delta only at
+    * `spark.graft.bpe.deltaMinVocab` (default 1M) distinct words —
+    * the only regime the distributed loop serves at the default
+    * `localVocabMax` anyway, smaller vocabularies training on the
+    * driver; `true`/`false` force it for the BpeLocalSpec differential,
+    * which pins the two loops merge-for-merge equal.
     */
-  private def bpeDeltaEnabled(
-      spark: org.apache.spark.sql.SparkSession): Boolean =
-    spark.conf.get("spark.graft.bpe.deltaPairCounts", "true").toBoolean
+  private def bpeUseDelta(spark: org.apache.spark.sql.SparkSession,
+      vocabCount: Long): Boolean =
+    spark.conf.get("spark.graft.bpe.deltaPairCounts", "auto") match {
+      case "true"  => true
+      case "false" => false
+      case _ => vocabCount >=
+        spark.conf.get("spark.graft.bpe.deltaMinVocab", "1000000").toLong
+    }
 
   /** Distributed BPE merge rounds with INCREMENTAL pair counts over an
     * (s, c, ...) frame (extra columns — bpe_apply's `word` — ride along
@@ -1103,14 +1128,24 @@ object TextOps {
               "'d', c)), " +
               "array())"))).as("x"))
           .select(col("x.pair").as("pair"), col("x.d").as("d"))
-        // The counts frame re-materializes every round: the next round's
-        // top-1 collect executes it anyway, and without the cut the
-        // lineage would chain all prior deltas. Zero rows drop so a
-        // fully-merged pair can never win a tie at cnt = 0.
+        // Deltas merge into the counts by FULL-OUTER JOIN, not by
+        // union+re-aggregate: the checkpointed counts frame keeps its
+        // hash partitioning on `pair` across rounds (localCheckpoint
+        // preserves outputPartitioning), so only the aggregated DELTA
+        // moves through an exchange each round — re-aggregating the
+        // union would reshuffle the entire distinct-pair frame every
+        // round and hand back most of what the incremental recount
+        // saved. Re-materialized every round: the next round's top-1
+        // collect executes it anyway, and without the cut the lineage
+        // would chain all prior deltas. Zero rows drop so a fully-merged
+        // pair can never win a tie at cnt = 0.
+        val dAgg = delta
+          .groupBy(col("pair")).agg(sum(col("d")).cast("long").as("d"))
         pc = Q.materializeLoop(
-          pc.select(col("pair"), col("cnt").as("d"))
-            .unionByName(delta)
-            .groupBy(col("pair")).agg(sum(col("d")).cast("long").as("cnt"))
+          pc.join(dAgg, Seq("pair"), "full_outer")
+            .select(col("pair"),
+              (coalesce(col("cnt"), lit(0L)) +
+                coalesce(col("d"), lit(0L))).as("cnt"))
             .filter(col("cnt") > 0))
         val next = s.withColumn("s", rewritten)
         s = if (k % BpeLineageStride == 0 || (applyLast && k == rounds))
@@ -1220,11 +1255,12 @@ object TextOps {
       // Small-vocab fast path: the corpus-scale word count above is done;
       // when the distinct vocabulary fits the bound, the 64 merge rounds
       // are driver arithmetic, not 64 sequential Spark jobs.
-      if (s.count() <= bpeLocalVocabMax(spark)) {
+      val nVocab = s.count()
+      if (nVocab <= bpeLocalVocabMax(spark)) {
         val entries = s.collect().map(r => (r.getString(0), r.getLong(1)))
         localBpeRounds(entries, BpeMerges, applyLast = false)._1
           .toDF("rank", "pair", "merged", "cnt")
-      } else if (bpeDeltaEnabled(spark)) {
+      } else if (bpeUseDelta(spark, nVocab)) {
         // On-cluster rounds with incremental pair counts: each round
         // recounts only the words the previous merge touched.
         distBpeRoundsDelta(s, BpeMerges, applyLast = false)._1
@@ -1306,7 +1342,8 @@ object TextOps {
       val vocab = Q.materialize(tf
         .groupBy(col("word")).agg(sum(col("c")).cast("long").as("c"))
         .withColumn("s", array_join(split(col("word"), ""), " ")))
-      val syms = if (vocab.count() <= bpeLocalVocabMax(spark)) {
+      val nVocab = vocab.count()
+      val syms = if (nVocab <= bpeLocalVocabMax(spark)) {
         // Small-vocab fast path (same gate as bpe_fit): merges re-learn
         // and apply on the driver; only the vocab-row symbol table goes
         // back out, broadcast into the corpus-scale join below.
@@ -1319,7 +1356,7 @@ object TextOps {
           (w, w.codePointCount(0, w.length).toLong,
             f.split(" ").count(_.nonEmpty).toLong)
         }.toDF("word", "n_chr", "n_sym"))
-      } else if (bpeDeltaEnabled(spark)) {
+      } else if (bpeUseDelta(spark, nVocab)) {
         // On-cluster rounds with incremental pair counts (the `word`
         // column rides through the rewrite untouched).
         distBpeRoundsDelta(vocab, BpeMerges, applyLast = true)._2
