@@ -61,6 +61,36 @@ class HierSnapSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("the per-cell serving read PRUNES FILES through the snapshot " +
+      "layer's footer stats") {
+    // The I/O-sublinearity half of the lifecycle claim: serving a probed
+    // cell must open only the files whose footer [min,max] on `cell`
+    // admits it — the compact-on-cell OPTIMIZE commit exists exactly so
+    // these ranges are disjoint. Dropped must be the BULK of the layout
+    // for a single cell, not zero.
+    val table = Similarity.hierSnapIndexTable(spark, sfDir)
+    val ver = Snapshots.latestVersion(table)
+    val someCell = Snapshots.read(spark, table, Some(ver))
+      .select(org.apache.spark.sql.functions.col("cell"))
+      .head().getLong(0)
+    val (keep, dropped) =
+      Snapshots.pruneFilesMulti(table, Seq(("cell", someCell, someCell)),
+        Some(ver))
+    assert(keep.nonEmpty, "pruning must keep the cell's file(s)")
+    // The SCALE-INVARIANT law: on a layout range-clustered by cell, a
+    // point range opens at most the two files whose ranges straddle the
+    // cell's boundary — however many files the layout has. (At this SF
+    // the compact produced few files, so a most-of-the-layout assertion
+    // would be vacuous; the <= 2 bound is the one that still means
+    // something at 10,000 files.)
+    assert(keep.size <= 2,
+      s"a one-cell read opened ${keep.size} files — the layout is not " +
+        "cell-clustered")
+    assert(dropped.nonEmpty,
+      s"pruning dropped nothing (kept ${keep.size} of " +
+        s"${keep.size + dropped.size})")
+  }
+
   test("after TempDirs.drain() the serving query rebuilds a fresh " +
       "committed index") {
     graft.TempDirs.drain()
