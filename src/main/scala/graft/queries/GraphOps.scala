@@ -98,7 +98,12 @@ object GraphOps {
           .union(pairs.select(col("s").as("src"), col("c").as("dst"))))
       val deg = Q.materialize(
         edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-      // ONE |E|-scale cache, like the label-prop loop. The round-9 shape
+      // ONE |E|-scale cache, like the label-prop loop — and since round
+      // 13 a SERIALIZED one: the round-12 g100 probe matrix proved the
+      // deserialized localCheckpoint default is this query's scale
+      // killer (uncompressed disk overflow + deserialized-rows heap
+      // term, both in the first |E|-scale exchange; see Q.level's doc).
+      // The round-9 shape
       // ALSO cached edges⋈deg (degree riding on the edge row) — a second
       // |E|-scale frame that halved the effective storage budget, and the
       // round-10 g30 probe measured the consequence: past the point where

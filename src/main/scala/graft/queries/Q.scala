@@ -45,19 +45,50 @@ object Q {
   def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.get("spark.graft.materialize", "localCheckpoint") match {
-      case "localCheckpoint" => df.localCheckpoint()
+      case "localCheckpoint" => df.localCheckpoint(eager = true, level(spark))
       case "checkpoint" =>
         if (spark.sparkContext.getCheckpointDir.isEmpty)
           spark.sparkContext.setCheckpointDir(
             spark.conf.get("spark.graft.checkpointDir"))
         df.checkpoint()
       case "persist" =>
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.persist(level(spark))
       case "none" => df
       case other => throw new IllegalArgumentException(
         s"spark.graft.materialize: unknown strategy '$other'")
     }
   }
+
+  /** Storage level for the cache-backed strategies (`localCheckpoint`,
+    * `persist`) — `spark.graft.materialize.level`:
+    *
+    *  - `mem_disk_ser` (default): serialized blocks. UnsafeRow bytes are
+    *    packed into one buffer per partition (Externalizable write of the
+    *    row's backing bytes — no per-row object graph), and BOTH the
+    *    in-memory and disk forms route through the block codec when
+    *    `spark.rdd.compress=true`. This is the level that survives
+    *    |E|-scale frames: the round-12 g100 pagerank DNF matrix showed
+    *    the deserialized default's TWO failure terms — disk overflow
+    *    written uncompressed regardless of the shuffle codec (killed the
+    *    plain and zstd-shuffle legs at ~73 GB), and with `rdd.compress`
+    *    forced, the heap term of 32 concurrent tasks' buffers on top of
+    *    a window of deserialized cached partitions (exit 52 in the same
+    *    stage). Serialized blocks remove both: compact bytes in memory,
+    *    codec-wrapped bytes on disk.
+    *  - `mem_disk`: the pre-round-13 deserialized MEMORY_AND_DISK —
+    *    skips per-read deserialization, right when every cached frame
+    *    fits in executor memory with headroom (small-SF sweeps never
+    *    notice either way; kept as the measured fallback posture).
+    */
+  def level(spark: SparkSession): org.apache.spark.storage.StorageLevel =
+    spark.conf.get("spark.graft.materialize.level", "mem_disk_ser") match {
+      case "mem_disk_ser" =>
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      case "mem_disk" =>
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.materialize.level: unknown level '$other'")
+    }
 
   /** Materialization for ITERATIVE-loop bodies: same strategy switch as
     * [[materialize]], except the result must always CUT lineage — a
@@ -72,7 +103,7 @@ object Q {
   def materializeLoop(df: DataFrame): DataFrame =
     df.sparkSession.conf.get("spark.graft.materialize", "localCheckpoint") match {
       case "checkpoint" => materialize(df)
-      case _ => df.localCheckpoint()
+      case _ => df.localCheckpoint(eager = true, level(df.sparkSession))
     }
 }
 

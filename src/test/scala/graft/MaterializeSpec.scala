@@ -53,6 +53,45 @@ class MaterializeSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.checkpointDir")
   }
 
+  test("loop materialization caches SERIALIZED blocks by default") {
+    // Round-12 g100 finding: pagerank's |E|-scale edge frame DNF'd under
+    // the deserialized localCheckpoint default (uncompressed disk
+    // overflow under spark.rdd.compress=false; with compression forced,
+    // a heap OOM from deserialized cached rows + 32 tasks' buffers).
+    // The fix is the storage level, so this spec pins the level actually
+    // used on BOTH materialization paths — a silent revert to
+    // deserialized blocks would re-open the scale hole without failing
+    // any correctness oracle.
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.functions.lit
+    def newlyPersistedLevels(f: => Unit): Set[StorageLevel] = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      f
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before(id) }
+        .values.map(_.getStorageLevel).toSet
+    }
+    val df = spark.range(1000).toDF("id").withColumn("x", lit(1))
+    val loopLevels = newlyPersistedLevels { Q.materializeLoop(df).count() }
+    assert(loopLevels.nonEmpty)
+    assert(loopLevels.forall(l => !l.deserialized && l.useDisk),
+      s"materializeLoop must cache serialized+disk blocks, got $loopLevels")
+    val matLevels = newlyPersistedLevels { Q.materialize(df).count() }
+    assert(matLevels.nonEmpty && matLevels.forall(!_.deserialized),
+      s"materialize must cache serialized blocks, got $matLevels")
+    // The measured fallback posture stays reachable and deserialized.
+    spark.conf.set("spark.graft.materialize.level", "mem_disk")
+    try {
+      val fb = newlyPersistedLevels { Q.materializeLoop(df).count() }
+      assert(fb.nonEmpty && fb.forall(_.deserialized),
+        s"mem_disk fallback must cache deserialized blocks, got $fb")
+    } finally spark.conf.unset("spark.graft.materialize.level")
+    // Unknown level fails loudly like an unknown strategy does.
+    spark.conf.set("spark.graft.materialize.level", "mem_only_turbo")
+    try intercept[IllegalArgumentException] { Q.materialize(df).count() }
+    finally spark.conf.unset("spark.graft.materialize.level")
+  }
+
   test("unknown strategy fails loudly, not silently") {
     spark.conf.set(ConfKey, "cache-everything")
     try {
