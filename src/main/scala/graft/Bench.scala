@@ -285,26 +285,30 @@ object Bench {
     // taking the per-query min across both passes (a faster-than-band
     // sweep is a code/data change, not contention — flagged, not re-run).
     var rerunField = """"rerun":false"""
-    if (only.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_NO_RERUN").isEmpty) {
-      priorTotals() match {
-        case Some((priorPath, prior, priorCal)) =>
+    // Prior record resolved ONCE for both the noise-band re-run rule and
+    // the per-query vs_prior column (full sweeps only — an isolated
+    // subset's JIT/cache state is not sweep-comparable).
+    val priorInfo = if (only.isEmpty) priorTotals() else None
+    // Calibration ratio vs the prior record: a 1.5× slower box makes
+    // every query 1.5× slower INCLUDING the frozen yardstick, so
+    // dividing it out cancels box state. Records before round 12 carry
+    // no calibration → ratio 1 (unscaled, as before).
+    val priorCalRatio = priorInfo match {
+      case Some((_, _, Some(pc))) if pc > 0 && calStart > 0 => calStart / pc
+      case _ => 1.0
+    }
+    if (sys.env.get("SPARK_GRAFT_BENCH_NO_RERUN").isEmpty) {
+      priorInfo match {
+        case Some((priorPath, prior, _)) =>
           def sharedSum(r: Seq[(String, Seq[Double])]): (Double, Double) = {
             val shared = r.filter { case (n, ts) =>
               ts.head > 0 && prior.get(n).exists(_ > 0) }
             (shared.map(_._2.head).sum, shared.map(x => prior(x._1)).sum)
           }
           val (ours, rawTheirs) = sharedSum(raw)
-          // When the prior record carries its own calibration_sec, the
-          // band comparison divides box state out: the prior total is
-          // scaled by (our calibration / prior calibration) before the
-          // ±11% rule applies — a 1.5× slower box makes every query 1.5×
-          // slower INCLUDING the frozen yardstick, so the ratio cancels.
-          // Records before round 12 carry no calibration → unscaled, as
-          // before.
-          val calRatio = priorCal match {
-            case Some(pc) if pc > 0 && calStart > 0 => calStart / pc
-            case _ => 1.0
-          }
+          // The band comparison applies the calibration ratio so box
+          // state divides out before the ±11% rule.
+          val calRatio = priorCalRatio
           val theirs = rawTheirs * calRatio
           if (theirs > 0 && ours > theirs * 1.11) {
             System.err.println(
@@ -317,12 +321,19 @@ object Bench {
               val merged = (ts ++ byName.getOrElse(n, Nil)).filter(_ >= 0)
               n -> (if (merged.isEmpty) Seq(-1.0) else merged.sorted)
             }
+            // prior_total is the prior record's OWN like-for-like sum (a
+            // number a reader can find in that record); the calibration-
+            // scaled comparand gets its own name (ADVICE r12: the old
+            // artifact stored the scaled value under prior_total, which
+            // appears in no prior record).
             rerunField = """"rerun":true,"first_pass_total":""" + jf(ours) +
-              ""","prior_total":""" + jf(theirs) +
+              ""","prior_total":""" + jf(rawTheirs) +
+              ""","prior_total_scaled":""" + jf(theirs) +
               ""","prior_cal_ratio":""" + jf(calRatio) +
               ""","prior_record":"""" + priorPath + "\""
           } else if (theirs > 0)
-            rerunField = """"rerun":false,"prior_total":""" + jf(theirs) +
+            rerunField = """"rerun":false,"prior_total":""" + jf(rawTheirs) +
+              ""","prior_total_scaled":""" + jf(theirs) +
               ""","prior_cal_ratio":""" + jf(calRatio) +
               ""","prior_record":"""" + priorPath + "\""
         case None => ()
@@ -331,6 +342,17 @@ object Bench {
     val calEnd = calibrationSec(spark)
     val loadavgEnd = loadavg()
     val results = raw.map { case (name, ts) => name -> ts.head } // min
+    // Per-query regression adjudication IN the artifact (VERDICT r12 #4:
+    // the calibration yardstick dissolved all three of the round's
+    // apparent regressions by hand — fold the arithmetic in so the
+    // record adjudicates itself): each shared query carries its prior
+    // wall, the raw delta, the calibration-normalized delta, and the
+    // ±9% per-query band's verdict on the NORMALIZED value.
+    val vsPriorField = priorInfo match {
+      case Some((_, prior, _)) =>
+        s""""vs_prior":${vsPriorJson(results, prior, priorCalRatio)},"""
+      case None => ""
+    }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + jf(v) }
       .mkString("{", ",", "}")
@@ -385,7 +407,8 @@ object Bench {
       s""""isolation_warm":$isolationWarm,$rerunField}"""
     val line =
       s"""{"metric":"total","value":${jf(total)},"unit":"sec",""" +
-        s""""queries":$qs,"spreads":$spreads,$spillField"repeat":$repeat,""" +
+        s""""queries":$qs,"spreads":$spreads,$spillField$vsPriorField""" +
+        s""""repeat":$repeat,""" +
         s""""noise_band":$band,"provenance":$prov,"sf":"$sfDir"}"""
     println(line)
     // Also write the line to a file: sbt decorates stdout with [info]
@@ -408,6 +431,33 @@ object Bench {
     * with the JVM default locale, and a comma-decimal default (de_DE,
     * fr_FR) would make every numeric field invalid JSON.
     */
+  /** The `vs_prior` artifact column: one entry per benched query. A
+    * query shared with the prior record (both sides succeeded) carries
+    * the prior wall, the raw percent delta, the calibration-normalized
+    * percent delta (raw divided through the two records' frozen-yardstick
+    * ratio — box state cancels), and the ±9% per-query noise band's
+    * verdict ON THE NORMALIZED delta: `regression` / `improved` outside
+    * the band, `within_band` inside it. Queries the prior record lacks
+    * (or either side failed on) report `new`.
+    */
+  private[graft] def vsPriorJson(results: Seq[(String, Double)],
+      prior: Map[String, Double], calRatio: Double): String =
+    results.map { case (n, v) =>
+      val body = prior.get(n) match {
+        case Some(p) if p > 0 && v > 0 =>
+          val rawPct = (v / p - 1.0) * 100.0
+          val normPct = (v / (p * calRatio) - 1.0) * 100.0
+          val verdict =
+            if (normPct > 9.0) "regression"
+            else if (normPct < -9.0) "improved"
+            else "within_band"
+          s"""{"prior":${jf(p)},"delta_pct":${jf(rawPct)},""" +
+            s""""norm_delta_pct":${jf(normPct)},"verdict":"$verdict"}"""
+        case _ => """{"verdict":"new"}"""
+      }
+      "\"" + n + "\":" + body
+    }.mkString("{", ",", "}")
+
   private def jf(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
 

@@ -750,10 +750,17 @@ object Similarity {
     // pruned layouts.
     val probed = q.select(col("cell")).distinct().collect()
       .map(_.getLong(0)).sorted
-    val cand = probed.map(c =>
-        graft.sources.Snapshots.readRange(spark, table, "cell", c, c,
-          Some(ver)))
-      .reduce(_.union(_))
+    // Zero probed cells (empty dataset, or no vec_id < batch) must
+    // degrade to an empty result like hierPrunedTopk's isin(probed)
+    // does — an unguarded reduce over the per-cell reads would throw.
+    val fetched =
+      if (probed.isEmpty)
+        graft.sources.Snapshots.read(spark, table, Some(ver)).filter(lit(false))
+      else probed.map(c =>
+          graft.sources.Snapshots.readRange(spark, table, "cell", c, c,
+            Some(ver)))
+        .reduce(_.union(_))
+    val cand = fetched
       .select(col("vec_id").as("neighbor_id"), col("cell").as("ccell"),
         col("e").as("ce"), col("nrm").as("cn"))
     scoreTopkCosine(q, cand)

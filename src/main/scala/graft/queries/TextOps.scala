@@ -1058,11 +1058,14 @@ object TextOps {
     * recount, widening with vocabulary since late-round deltas shrink
     * toward single words while the recount stays vocabulary-sized every
     * round. Hence `auto` (default) engages the delta only at
-    * `spark.graft.bpe.deltaMinVocab` (default 1M) distinct words —
-    * the only regime the distributed loop serves at the default
-    * `localVocabMax` anyway, smaller vocabularies training on the
-    * driver; `true`/`false` force it for the BpeLocalSpec differential,
-    * which pins the two loops merge-for-merge equal.
+    * `spark.graft.bpe.deltaMinVocab` distinct words, defaulted to 2M —
+    * the break-even REGION the measurements actually bracket (loses at
+    * g1-small, wins 1.9x at 2M; the 1M-2M band is unmeasured, so the
+    * gate sits at the measured win instead of inside the gap —
+    * ADVICE r12). Smaller vocabularies train on the driver at the
+    * default `localVocabMax` anyway; `true`/`false` force the strategy
+    * for the BpeLocalSpec differential, which pins the two loops
+    * merge-for-merge equal.
     */
   private def bpeUseDelta(spark: org.apache.spark.sql.SparkSession,
       vocabCount: Long): Boolean =
@@ -1070,7 +1073,7 @@ object TextOps {
       case "true"  => true
       case "false" => false
       case _ => vocabCount >=
-        spark.conf.get("spark.graft.bpe.deltaMinVocab", "1000000").toLong
+        spark.conf.get("spark.graft.bpe.deltaMinVocab", "2000000").toLong
     }
 
   /** Distributed BPE merge rounds with INCREMENTAL pair counts over an

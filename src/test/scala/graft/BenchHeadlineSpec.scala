@@ -29,6 +29,28 @@ class BenchHeadlineSpec extends AnyFunSuite {
       s"oracled queries: ${SparkEntry.oracleSql.size}, docs say 183")
   }
 
+  test("vs_prior adjudication column: fields present, normalized verdict") {
+    // VERDICT r12 #4: bench artifacts must adjudicate their own apparent
+    // regressions — each shared query reports prior/raw-delta/normalized-
+    // delta and the ±9% band's verdict on the NORMALIZED value. This
+    // pins the field names the artifact carries and the verdict
+    // arithmetic (a 1.5× slower box with calRatio 1.5 is within_band,
+    // not a regression; the same wall on a same-speed box is one).
+    val prior = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    val res = Seq("a" -> 1.5, "b" -> 1.5, "c" -> 0.5, "d" -> 1.0)
+    val slowBox = Bench.vsPriorJson(res, prior, calRatio = 1.5)
+    assert(slowBox.contains(""""a":{"prior":1.000,"delta_pct":50.000,"""),
+      slowBox)
+    assert(slowBox.contains(
+      """"norm_delta_pct":0.000,"verdict":"within_band""""), slowBox)
+    assert(slowBox.contains(""""d":{"verdict":"new"}"""), slowBox)
+    val sameBox = Bench.vsPriorJson(res, prior, calRatio = 1.0)
+    assert(sameBox.contains(""""a":{"prior":1.000,"delta_pct":50.000,""" +
+      """"norm_delta_pct":50.000,"verdict":"regression"}"""), sameBox)
+    assert(sameBox.contains(""""c":{"prior":1.000,"delta_pct":-50.000,""" +
+      """"norm_delta_pct":-50.000,"verdict":"improved"}"""), sameBox)
+  }
+
   test("the calibration yardstick is present and FROZEN") {
     // Bench runs Bench.calibrationDf untimed+timed at sweep start and
     // timed at sweep end, and records calibration_sec in the artifact's

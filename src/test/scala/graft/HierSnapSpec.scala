@@ -69,7 +69,13 @@ class HierSnapSpec extends AnyFunSuite {
     // these ranges are disjoint. Dropped must be the BULK of the layout
     // for a single cell, not zero.
     val table = Similarity.hierSnapIndexTable(spark, sfDir)
-    val ver = Snapshots.latestVersion(table)
+    // Pin the check to a version PRODUCED BY compact-on-cell: the
+    // preceding test's rebuild commit is an uncompacted publish, so
+    // `latestVersion` there only satisfies the disjoint-range premise
+    // by accident of file packing (a test-order coupling). Re-compacting
+    // here makes the premise guaranteed, whatever ran before.
+    val ver = Snapshots.compact(spark, table, 16,
+      org.apache.spark.sql.functions.col("cell"))
     val someCell = Snapshots.read(spark, table, Some(ver))
       .select(org.apache.spark.sql.functions.col("cell"))
       .head().getLong(0)
@@ -89,6 +95,50 @@ class HierSnapSpec extends AnyFunSuite {
     assert(dropped.nonEmpty,
       s"pruning dropped nothing (kept ${keep.size} of " +
         s"${keep.size + dropped.size})")
+  }
+
+  test("vacuum racing a pinned long-lived reader: retained pins read " +
+      "byte-identically, expired pins fail loudly — never partially") {
+    // The serving-lifecycle gap between "snapshot table" and "production
+    // serving story": a fleet holds a version pin ACROSS requests while
+    // maintenance (rebuild + vacuum) runs. The retention contract must
+    // hold for a reader that resolved its file list BEFORE the vacuum:
+    //  - pin within retention  -> completes with identical rows;
+    //  - pin expired           -> fails LOUDLY (manifest gone for fresh
+    //    resolution, files gone for the in-flight plan), and NEVER
+    //    yields a partial/half-vacuumed result.
+    val table = Similarity.hierSnapIndexTable(spark, sfDir)
+    val vPin = Snapshots.latestVersion(table)
+    // Long-lived reader: resolves vPin's manifest and file list NOW.
+    val pinned = Snapshots.read(spark, table, Some(vPin))
+    val baseline = pinned.collect().map(_.toSeq).toSet
+    assert(baseline.nonEmpty)
+    // Maintenance: a rebuild commit (new data files), then a vacuum that
+    // RETAINS the pin. The in-flight reader must be untouched — vacuum's
+    // allow-list keeps every file a retained manifest references.
+    Snapshots.publish(Snapshots.read(spark, table, Some(vPin)), table)
+    Snapshots.vacuum(table, retainLast = 2)
+    assert(pinned.collect().map(_.toSeq).toSet == baseline,
+      "a RETAINED pinned version changed under vacuum")
+    // Maintenance tightens retention past the pin. A fresh resolution of
+    // vPin must fail at manifest resolution (loud, immediate)...
+    Snapshots.vacuum(table, retainLast = 1)
+    intercept[Exception] {
+      Snapshots.read(spark, table, Some(vPin)).count()
+    }
+    // ...and the in-flight plan must either fail loudly on its deleted
+    // files or (had the files been shared with the retained version)
+    // return the COMPLETE baseline — any partial result is a contract
+    // violation worse than either.
+    scala.util.Try(pinned.collect().map(_.toSeq).toSet) match {
+      case scala.util.Success(rows) =>
+        assert(rows == baseline,
+          s"expired pin read PARTIALLY: ${rows.size} of ${baseline.size} rows")
+      case scala.util.Failure(_) => // loud, per contract
+    }
+    // The serving path itself is unaffected: it re-resolves latest.
+    assert(Similarity.hierSnapTopk(spark, sfDir, batch = 20, nprobe = 2)
+      .collect().nonEmpty)
   }
 
   test("after TempDirs.drain() the serving query rebuilds a fresh " +

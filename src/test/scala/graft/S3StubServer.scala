@@ -52,11 +52,19 @@ object S3StubServer {
         // round-11 version decoded twice (getRequestURI.getPath already
         // percent-decodes, then URLDecoder ran again), which silently
         // remapped keys containing '+' and 500'd on keys containing '%'.
+        // And decode with PURE RFC-3986 semantics: URLDecoder alone
+        // applies form semantics ('+' on the wire becomes a space),
+        // which real S3's path decoding does not — the paired client
+        // happens to send '+' as %2B, so that divergence would only
+        // bite a future client, the same symmetric-bug shape one layer
+        // down. Protecting raw '+' before URLDecoder leaves only the
+        // %XX escapes for it to decode.
         // Keys are bucket-relative on the wire (the real S3 shape); this
         // fixture's bucket root is the filesystem root, so the decoded
         // key re-roots under '/'.
         val key = "/" + java.net.URLDecoder.decode(
-          x.getRequestURI.getRawPath.stripPrefix("/"), "UTF-8")
+          x.getRequestURI.getRawPath.stripPrefix("/").replace("+", "%2B"),
+          "UTF-8")
         val target = Paths.get(key)
         // Publish-then-appear: complete temp object, then link(2) — the
         // kernel arbitrates concurrent handlers exactly once per key.
