@@ -25,6 +25,12 @@ object Verify {
     // pressure, not the strategy.
     val strategy = sys.env.get("SPARK_GRAFT_MATERIALIZE")
     strategy.foreach(spark.conf.set("spark.graft.materialize", _))
+    // Storage-level posture (round 13): SPARK_GRAFT_MATERIALIZE_LEVEL=
+    // mem_disk sweeps under the deserialized fallback level — the
+    // pre-r13 behavior, kept oracle-certified so the knob stays a
+    // measured trade, not a bitrotted branch.
+    sys.env.get("SPARK_GRAFT_MATERIALIZE_LEVEL")
+      .foreach(spark.conf.set("spark.graft.materialize.level", _))
     // The checkpoint strategy needs a directory; default it under outDir
     // so the sweep runs instead of every materializing query failing on
     // the unset conf (on a cluster the real HDFS/object-store dir is set

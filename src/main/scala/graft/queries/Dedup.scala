@@ -1018,6 +1018,18 @@ object Dedup {
       "partial-aggregable census whose shared-length contribution is " +
       "the 20-char block-width lower bound, mirrored exactly in the " +
       "oracle (the LSH bucket-cap contract; see substringCensus). " +
+      "The 64-char stored-suffix width is a REPORTING-RESOLUTION knob, " +
+      "not a recall knob: every position of an arbitrarily long shared " +
+      "span still flags (existence is 20-char blocking, unaffected), " +
+      "the measured LCP just saturates at 64 — and since consecutive " +
+      "positions of a long span all saturate, a downstream span-removal " +
+      "pass recovers the full extent by chaining them (Lee et al.'s " +
+      "removal needs exactly this flag-and-extend). What the width " +
+      "TRADES is shuffle volume, linearly: suffix rows carry width+20 " +
+      "bytes per corpus char, so the g100-measured 53.9 GB live " +
+      "shuffle at width 64 becomes ~95 GB at 128 and ~177 GB at 256 — " +
+      "the first past this probe disk's budget, which is why the slope " +
+      "ladder runs at 64. " +
       "Output per doc: duplicated-position count + longest cross-doc " +
       "shared length.",
     Some(s"""

@@ -35,12 +35,15 @@ echo "=== ci: stress x$TRIALS ==="
 if tools/stress.sh "$TRIALS"; then record "stress x$TRIALS" PASS
 else record "stress x$TRIALS" FAIL; fi
 
-for posture in default persist checkpoint; do
+for posture in default persist checkpoint mem_disk; do
   echo "=== ci: oracle sweep ($posture posture, $SF_DIR) ==="
   out=/tmp/graft_ci_verify_$posture
   rm -rf "$out"
   env=""
-  [ "$posture" != default ] && env="SPARK_GRAFT_MATERIALIZE=$posture"
+  # mem_disk = the deserialized storage-level fallback under the default
+  # localCheckpoint strategy (round 13: the default level is serialized).
+  if [ "$posture" = mem_disk ]; then env="SPARK_GRAFT_MATERIALIZE_LEVEL=mem_disk"
+  elif [ "$posture" != default ]; then env="SPARK_GRAFT_MATERIALIZE=$posture"; fi
   if env $env sbt -batch "runMain graft.Verify $SF_DIR $out" \
        >/tmp/graft_ci_verify_$posture.log 2>&1 \
      && python3 tools/check_oracle.py "$SF_DIR" "$out" \

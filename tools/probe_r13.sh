@@ -65,6 +65,11 @@ case "${1:-}" in
     run "$G100" 2560 graph_pagerank probe_g100_pagerank_r13.json "$ZR"
     echo "=== probe_r13 pagerank complete ==="
     ;;
+  pagerank_g30)
+    echo "=== pagerank g30 anchor (SER + zstd + rdd.compress, 768) ==="
+    run "$G30"  768  graph_pagerank probe_g30_pagerank_r13.json  "$ZR"
+    echo "=== probe_r13 pagerank_g30 complete ==="
+    ;;
   knn)
     echo "=== sim_knn_clusters g1 anchor (64) ==="
     run "$G1"  64  sim_knn_clusters probe_g1_knnclusters_r13.json  "$ZR"
