@@ -2192,9 +2192,11 @@ object Similarity {
       "between the text and vector faces). Every vector maps to its " +
       "cluster's min-id canonical; singletons are their own. At scale " +
       "this is the kNN join's cost plus component rounds over the " +
-      "MUTUAL subgraph (reciprocity thins edges sharply — isotropic " +
-      "corpora keep ~half of directed edges; the per-round shuffle is " +
-      "|subgraph|, not |corpus|).",
+      "MUTUAL subgraph (reciprocity thins edges sharply, and MEASURED: " +
+      "0.427 of directed edges survive at 2k vectors, 0.400 at 20k, " +
+      "0.377 at 200k on the isotropic corpus — probe_mutual_r13.json — " +
+      "so the per-round shuffle is ~0.4x the kNN graph, a ratio that " +
+      "tightens, not loosens, with corpus size).",
     Some(s"""
       WITH RECURSIVE n AS ($VecsSql),$KnnCentroidsSql,$AssignSql,
            probes AS (SELECT vec_id, cell
