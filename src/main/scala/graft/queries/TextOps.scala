@@ -1057,23 +1057,28 @@ object TextOps {
     * so only the aggregated delta crosses an exchange) — 1.9x over the
     * recount, widening with vocabulary since late-round deltas shrink
     * toward single words while the recount stays vocabulary-sized every
-    * round. Hence `auto` (default) engages the delta only at
-    * `spark.graft.bpe.deltaMinVocab` distinct words, defaulted to 2M —
-    * the break-even REGION the measurements actually bracket (loses at
-    * g1-small, wins 1.9x at 2M; the 1M-2M band is unmeasured, so the
-    * gate sits at the measured win instead of inside the gap —
-    * ADVICE r12). Smaller vocabularies train on the driver at the
-    * default `localVocabMax` anyway; `true`/`false` force the strategy
-    * for the BpeLocalSpec differential, which pins the two loops
-    * merge-for-merge equal.
+    * round. The round-13 sweep closed ADVICE r12's unmeasured band by
+    * walking the gate's whole domain (GenHiVocab corpora, paired runs
+    * under comparable in-artifact calibration, this box): delta wins
+    * 1.73x at 96k vocab (116.4 vs 67.4 s), 1.95x at 256k (179.0 vs
+    * 91.7), 2.03x at 1M (217.7 vs 107.1), 1.9x at 2M (r12) — i.e. the
+    * delta wins EVERYWHERE the distributed loop runs at all (the only
+    * measured loss, g1's tiny vocab, was a forced-distributed regime
+    * `auto` never enters: below `localVocabMax` the rounds are driver
+    * arithmetic). Hence `auto` (default) engages the delta at
+    * `spark.graft.bpe.deltaMinVocab` distinct words, DEFAULTED TO THE
+    * `localVocabMax` boundary — delta whenever distributed;
+    * `true`/`false` force the strategy for the BpeLocalSpec
+    * differential, which pins the two loops merge-for-merge equal.
     */
   private def bpeUseDelta(spark: org.apache.spark.sql.SparkSession,
       vocabCount: Long): Boolean =
     spark.conf.get("spark.graft.bpe.deltaPairCounts", "auto") match {
       case "true"  => true
       case "false" => false
-      case _ => vocabCount >=
-        spark.conf.get("spark.graft.bpe.deltaMinVocab", "2000000").toLong
+      case _ => vocabCount >= spark.conf
+        .get("spark.graft.bpe.deltaMinVocab",
+          bpeLocalVocabMax(spark).toString).toLong
     }
 
   /** Distributed BPE merge rounds with INCREMENTAL pair counts over an
