@@ -115,7 +115,7 @@ done
   echo "dirty_paths: $(git status --porcelain | awk '{print $NF}' | tr '\n' ' ')"
   grep -E "Tests: succeeded" /tmp/graft_ci_test.log | tail -1 \
     | sed 's/^\[info\] /sbt_test: /'
-  for p in default persist checkpoint; do
+  for p in default persist checkpoint mem_disk; do
     [ -f /tmp/graft_ci_oracle_$p.log ] \
       && echo "oracle_$p: $(tail -1 /tmp/graft_ci_oracle_$p.log)"
   done
