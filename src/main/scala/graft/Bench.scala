@@ -135,7 +135,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_LOG=INFO turns on per-job timing lines for
+    // tools/profile_query.sh (the local-mode stand-in for the Spark UI's
+    // stage timeline — the UI is off in every harness JVM). Default WARN.
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     Sessions.quietBoundedWindowWarn()
 
     // Untimed warmup on the BENCHMARKED dataset: loads classes, JITs the

@@ -105,8 +105,11 @@ object CorpusOps {
       // Plain re-tokenization per gram branch — two stateless codegen
       // scans. Materializing the tokenized corpus to share one scan
       // would checkpoint ~corpus-sized token arrays for work the scan
-      // does nearly for free.
-      val base = t(spark, dir, "documents")
+      // does nearly for free. Fanned scan (round 13): both branches
+      // explode to every 2-/8-gram and md5 each — work-per-input-byte
+      // far above the scan's (A/B −0.23 s at sf0.1, pass-through at
+      // scale; see Q.Tables.fanned).
+      val base = Tables.fanned(spark, dir, "documents")
         .select(col("doc_id"), toksCol.as("tk"))
         .filter(size(col("tk")) >= 8)
       def lane0(c: org.apache.spark.sql.Column) =
@@ -211,10 +214,16 @@ object CorpusOps {
       // reads ~1/83 of the corpus), while the corpus side streams its
       // grams straight into the broadcast join — checkpointing the full
       // 8-gram explosion to share one scan would write ~8× the corpus.
+      // Corpus side fanned (round 13): the 8-gram explode + md5 is the
+      // dominant per-row work (A/B −0.10 s at sf0.1). The bench side
+      // keeps the BARE scan — fanning it would put the repartition
+      // exchange between the doc_id filter and the parquet scan for a
+      // frame that reads ~1/83 of the corpus.
       val docs = t(spark, dir, "documents")
       val bench = gramFps(docs.filter(col("doc_id") % 83 === 0))
         .select(col("h")).distinct().withColumn("mark", lit(1L))
-      gramFps(docs.filter(col("doc_id") % 83 =!= 0))
+      gramFps(Tables.fanned(spark, dir, "documents")
+          .filter(col("doc_id") % 83 =!= 0))
         .join(broadcast(bench), Seq("h"), "left")
         .select(col("doc_id"),
           when(col("mark").isNull, 0L).otherwise(1L).as("hit"))
@@ -1498,7 +1507,10 @@ object CorpusOps {
                / count(*)::DOUBLE + 1e-8, 4) AS novelty4
       FROM sh JOIN f USING (s) GROUP BY sh.doc_id""".stripMargin),
     (spark, dir) => {
-      val sh = Q.materialize(t(spark, dir, "documents")
+      // Fanned scan (round 13): per-position 3-shingle explode + md5 —
+      // expansion-heavy map work (A/B −0.41 s at sf0.1, pass-through at
+      // scale).
+      val sh = Q.materialize(Tables.fanned(spark, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"),

@@ -80,11 +80,24 @@ object Dedup {
     * would re-evaluate the split+filter for every one of its three
     * references (measured ~1.5× on the sf0.1 shingle queries).
     */
-  private[queries] def shingles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+  private[queries] def shingles(spark: SparkSession, dir: String,
+      fan: Boolean = true): DataFrame = {
+    // Fanned scan (round 13, guide §2.5): the 3-word shingle explosion
+    // multiplies the corpus ~tokens× and everything downstream (16 md5
+    // lanes per shingle, bucket aggregations) is compute-per-row heavy,
+    // so scan parallelism must track the machine, not the input's
+    // row-group count (A/B: the LSH family dropped 0.1–0.8 s/query at
+    // sf0.1 — dedup_lsh_verified 2.09→1.29 s). `fan = false` keeps the
+    // bare scan for dedup_prefix_join, whose multi-pass join pipeline
+    // measured SLOWER under the fanned layout (+0.6 s, same sweep).
+    val docs =
+      if (fan) Tables.fanned(spark, dir, "documents")
+      else t(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("source"), toks.as("tk"))
       .select(col("doc_id"), col("source"),
         explode(shingleArrayOfToks(col("tk"))).as("shingle"))
+  }
 
   /** DuckDB mirror of [[shingles]] as a CTE body. */
   private val ShinglesSql = """
@@ -668,15 +681,33 @@ object Dedup {
 
         var converged = false
         var iters = 0
+        // |e| carried across rounds (round 13): each round's |next| IS the
+        // next round's |e|, so re-counting the checkpointed e every round
+        // was a whole redundant pass (and one more of the ~5 sequential
+        // driver-latency-bound jobs each round costs at bench SFs).
+        var eCount = -1L
         while (!converged && iters < 50) {
           val next = Q.materializeLoop(star(
             star(e, large = true, dedup = false),
             large = false, dedup = true))
-          // Set equality: next ⊆ e (anti-join empty) ∧ |next| == |e|.
-          val grew = next.join(e, Seq("a", "b"), "left_anti")
-            .limit(1).count() > 0
-          converged = !grew && next.count() == e.count()
+          // Set equality in ONE job (round 13; was anti-join + 2 counts =
+          // 3 passes/round): both sides are canonical DISTINCT edge sets,
+          // so a left join preserves exactly one row per `next` edge and
+          // tags it matched iff it exists in `e` — next ⊆ e ⟺
+          // matched == |next|, and with |next| == |e| that is set
+          // equality. Same convergence law, one pass over the two
+          // checkpointed frames instead of three.
+          val row = next.join(
+              e.select(col("a"), col("b"), lit(1).as("in_e")),
+              Seq("a", "b"), "left")
+            .agg(count(lit(1)).as("n"), count(col("in_e")).as("matched"))
+            .head()
+          val n = row.getLong(0)
+          val matched = row.getLong(1)
+          if (eCount < 0) eCount = e.count() // first round only
+          converged = matched == n && n == eCount
           e = next
+          eCount = n
           iters += 1
         }
         require(converged, s"components did not converge in $iters rounds")
@@ -1082,7 +1113,11 @@ object Dedup {
              max(max_shared)::BIGINT AS max_shared
       FROM u GROUP BY doc_id""".stripMargin),
     (spark, dir) =>
-      substringCensus(t(spark, dir, "documents"), SubstringBlockCap))
+      // Fanned scan (round 13): the per-position suffix explosion is the
+      // heaviest expansion in the repo (~84 bytes emitted per corpus
+      // char); serial map stages here cost 8.9 → 2.8 s at sf0.1.
+      substringCensus(Tables.fanned(spark, dir, "documents"),
+        SubstringBlockCap))
 
   /** The capped exact-substring census behind `dedup_substring` — split
     * out so the spec can plant a corpus-wide boilerplate block and prove
@@ -1306,7 +1341,10 @@ object Dedup {
       JOIN sz zb ON zb.doc_id = i.doc_b
       WHERE i.n_common / (za.n + zb.n - i.n_common) >= 0.5""".stripMargin),
     (spark, dir) => {
-      val sh = Q.materialize(shingles(spark, dir)
+      // fan = false: this query's pipeline is join/window passes over the
+      // MATERIALIZED shingle set — the r13 fan-out A/B measured it slower
+      // under the fanned layout (see shingles' doc).
+      val sh = Q.materialize(shingles(spark, dir, fan = false)
         .select(col("doc_id"), col("shingle")))
       val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

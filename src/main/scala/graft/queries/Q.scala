@@ -132,7 +132,57 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** All tables ship as single parquet files per TESTDATA.md. */
+  /** [[t]] routed through a deployment-adaptive fan-out for the
+    * EXPANSION/COMPUTE-HEAVY consumers (round 13, guide §2.5 "input
+    * skew"): a table whose consumer does far more work per input byte
+    * than the scan itself (suffix/shingle explosion, per-row regex or
+    * codec decode, vector flops) must not inherit its parallelism from
+    * INPUT BYTES — a single-row-group parquet file is one split no
+    * matter how small `maxPartitionBytes` goes, so at the bench SFs the
+    * downstream map stage ran as ONE task while 31 cores idled
+    * (measured: substringCensus 7.96 → 3.05 s min-of-3 from
+    * repartition(32) alone; jstack showed 31/32 executor threads parked
+    * through the explode+substring stage). When the table supplies
+    * fewer natural splits than the machine has cores, one exchange of
+    * the raw (pre-explosion — the cheapest the query will ever touch)
+    * bytes spreads the work; at scale, where inputs arrive as thousands
+    * of splits, this is a PASS-THROUGH with zero added exchange.
+    * Round-robin repartition is deterministic under retries
+    * (sortBeforeRepartition, SPARK-23207).
+    *
+    * The split estimate is size-based (one FileSystem metadata call —
+    * not `.rdd` planning, measured ~0.13 s per call, too dear for light
+    * queries) and CONSERVATIVE: a large single-row-group file counts as
+    * size/splitBytes even though Spark can't actually split it, so
+    * mid-scale single-file layouts may under-fan; multi-file layouts
+    * are estimated exactly (modulo open-cost padding, which only raises
+    * the true split count further toward pass-through).
+    */
+  def fanned(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => Long.MaxValue } // unknown: assume wide
+    val splitBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val naturalSplits = math.max(1L, (bytes + splitBytes - 1) / splitBytes)
+    if (naturalSplits >= target) df else df.repartition(target)
+  }
+
+  /** All tables ship as single parquet files per TESTDATA.md.
+    *
+    * Deliberately BARE scans (round 13): an A/B sweep that routed the
+    * corpus tables through [[Q.fanout]] here showed the per-scan
+    * overhead (one extra exchange ≈ 0.1 s + `.rdd` planning ≈ 0.13 s,
+    * measured) regressing every sub-second consumer while only the
+    * expansion-heavy ones won — fan-out is applied at those call sites
+    * instead, where the builder knows work-per-input-byte is large.
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")

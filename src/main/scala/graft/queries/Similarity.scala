@@ -34,8 +34,17 @@ object Similarity {
     vecs(spark, dir)
 
   /** Embeddings with doubles + precomputed norm. */
-  private[queries] def vecs(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings")
+  /** `fan = true` routes the embeddings scan through [[Tables.fanned]]
+    * (round 13): opt-in per caller — the r13 fan-out A/B showed the
+    * mplsh cell/probe computation 1.9× faster fanned (1.51 → 0.80 s at
+    * sf0.1) while the index-building and CellTopK map-only queries,
+    * whose first stage is already one tight projection, paid the extra
+    * exchange for nothing.
+    */
+  private[queries] def vecs(spark: SparkSession, dir: String,
+      fan: Boolean = false): DataFrame =
+    (if (fan) Tables.fanned(spark, dir, "embeddings")
+     else t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
       .withColumn("nrm", graft.functions.Vectors.arrNorm(col("e")))
@@ -1867,7 +1876,7 @@ object Similarity {
     */
   private[queries] def knnGraphMplshTopk(spark: SparkSession,
       dir: String): DataFrame = {
-    val v = Q.materialize(vecs(spark, dir))
+    val v = Q.materialize(vecs(spark, dir, fan = true))
     val nv = v.agg(count(lit(1)).cast("long").as("nv"))
     val keyed = Q.materialize(v.crossJoin(broadcast(nv))
       .withColumn("m", expr(

@@ -1976,7 +1976,7 @@ object TextOps {
     (spark, dir) => {
       val toks = filter(split(col("text"), " "), x => x =!= "")
       val tf = Q.materialize(
-        t(spark, dir, "documents")
+        Tables.fanned(spark, dir, "documents") // r13 fanned: expansion-heavy map work
           .select(col("doc_id"), toks.as("tk"))
           .filter(size(col("tk")) >= 2)
           .select(col("doc_id"), explode(expr(
@@ -2053,7 +2053,7 @@ object TextOps {
     (spark, dir) => {
       val toks = filter(split(col("text"), " "), x => x =!= "")
       val tf = Q.materialize(
-        t(spark, dir, "documents")
+        Tables.fanned(spark, dir, "documents") // r13 fanned: expansion-heavy map work
           .select(col("doc_id"), toks.as("tk"))
           .filter(size(col("tk")) >= 2)
           .select(col("doc_id"), explode(expr(
