@@ -1008,7 +1008,9 @@ object Dedup {
     * and list_position both return 0 on miss, so the nullif/coalesce
     * closure is engine-identical).
     */
-  private def lcpSql(a: String, nb: String): String =
+  // private[graft]: LcpSpec pins graft.functions.Lcp (the codegen form
+  // the query runs, round 13) against this SQL form bit for bit.
+  private[graft] def lcpSql(a: String, nb: String): String =
     s"""coalesce(nullif(array_position(transform(
        |  sequence(1, cast(least(length($a), length($nb)) as int)),
        |  j -> substring($a, j, 1) = substring($nb, j, 1)), false), 0) - 1,
@@ -1056,11 +1058,13 @@ object Dedup {
       "positions of a long span all saturate, a downstream span-removal " +
       "pass recovers the full extent by chaining them (Lee et al.'s " +
       "removal needs exactly this flag-and-extend). What the width " +
-      "TRADES is shuffle volume, linearly: suffix rows carry width+20 " +
-      "bytes per corpus char, so the g100-measured 53.9 GB live " +
-      "shuffle at width 64 becomes ~95 GB at 128 and ~177 GB at 256 — " +
-      "the first past this probe disk's budget, which is why the slope " +
-      "ladder runs at 64. " +
+      "TRADES is shuffle volume, linearly: suffix rows carry width " +
+      "bytes per corpus char (the stored form is blk + the width-20 " +
+      "tail beyond it — round 13 stopped duplicating blk inside the " +
+      "suffix column, ~24% off the round-12 measured widths), so the " +
+      "g100-measured 53.9 GB live shuffle at width 64 becomes ~2x at " +
+      "128 and ~4x at 256 — the first past this probe disk's budget, " +
+      "which is why the slope ladder runs at 64. " +
       "Output per doc: duplicated-position count + longest cross-doc " +
       "shared length.",
     Some(s"""
@@ -1143,34 +1147,58 @@ object Dedup {
     */
   private[graft] def substringCensus(docs: org.apache.spark.sql.DataFrame,
       cap: Int): org.apache.spark.sql.DataFrame = {
-    // Deliberately NOT materialized: the suffix explosion is ~80x the
-    // corpus bytes (64+20 chars per input char), so checkpointing it
-    // would dwarf the cost it saves — the three consumers (hot count,
-    // cold anti-join, hot semi-join) each re-run the cheap codegen
-    // explode over the (OS-cached) corpus scan instead.
+    // Deliberately NOT materialized: the suffix explosion is ~64x the
+    // corpus bytes (20+44 chars per input char since round 13), so
+    // checkpointing it would dwarf the cost it saves — the three
+    // consumers (hot count, cold anti-join, hot semi-join) each re-run
+    // the cheap codegen explode over the (OS-cached) corpus scan instead.
+    // The suffix row carries blk (20 chars) + s44 — the suffix BEYOND the
+    // block key — instead of the round-12 blk + s64 whose first 20 chars
+    // duplicated blk: within a window partition blk is constant, so
+    // ordering by s44 is ordering by s64, and LCP(s64, s64') =
+    // 20 + LCP(s44, s44') exactly (blk is always exactly 20 chars — the
+    // length filter guarantees it). Saves the duplicated 20 chars per
+    // row through the window exchange (~24% of the live shuffle at the
+    // g100 probe's measured widths). The oracle keeps the s64 form —
+    // the equality above is what the driver's hash compare certifies.
     val suf = docs
       .filter(length(col("text")) >= 20)
       .select(col("doc_id"),
         explode(sequence(lit(0), length(col("text")) - 20)).as("pos"),
         col("text"))
       .select(col("doc_id"), col("pos"),
-        expr("substring(text, pos + 1, 64)").as("s64"),
+        expr("substring(text, pos + 21, 44)").as("s44"),
         expr("substring(text, pos + 1, 20)").as("blk"))
-    val hot = suf.groupBy(col("blk"))
+    // Skew detection in TWO phases (round 13; was one string-keyed count
+    // over the whole explosion): phase 1 counts by xxhash64(blk) — an
+    // 8-byte key instead of 20, so the full-explosion exchange carries
+    // ~43% fewer bytes and the hash aggregate runs on primitive longs —
+    // and yields a SUPERSET of the hot blocks (a collision can only
+    // merge counts upward, never hide a hot block). Phase 2, reached
+    // only when candidates exist, recounts EXACTLY those candidate
+    // hashes by true blk — a broadcast-semi-filtered pass whose shuffle
+    // is bounded by the candidate rows — so the hot set is exactly
+    // occ(blk) > cap, the oracle-mirrored contract. On every healthy
+    // corpus the verdict is still ONE driver boolean off phase 1.
+    val candHash = suf
+      .groupBy(xxhash64(col("blk")).as("bh"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > cap)
-      .select(col("blk"))
-    // The skew-detection premium is ONE extra pass (column-pruned to the
-    // 20-byte blk; map-side combine collapses hot blocks before the
-    // exchange). Its verdict is a driver boolean: when NO block exceeds
-    // the cap — every healthy corpus — the window path runs over the
-    // full explosion unchanged, zero anti-join overhead. Only an actual
-    // hot corpus pays for the split plan below.
-    val anyHot = !hot.isEmpty
+      .select(col("bh"))
+    val anyCand = !candHash.isEmpty
+    val hot =
+      if (!anyCand) null
+      else suf.join(broadcast(candHash),
+          xxhash64(col("blk")) === col("bh"), "left_semi")
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > cap)
+        .select(col("blk"))
+    val anyHot = anyCand && !hot.isEmpty
     val cold =
       if (anyHot) suf.join(broadcast(hot), Seq("blk"), "left_anti") else suf
     val wOrd = Window.partitionBy(col("blk"))
-      .orderBy(col("s64"), col("doc_id"), col("pos"))
+      .orderBy(col("s44"), col("doc_id"), col("pos"))
     // min/max ride the SAME ordered spec with a full-partition frame —
     // a second unordered window spec would re-sort the explosion.
     val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
@@ -1178,17 +1206,26 @@ object Dedup {
     val coldCensus = cold
       .withColumn("mind", min(col("doc_id")).over(wAll))
       .withColumn("maxd", max(col("doc_id")).over(wAll))
-      .withColumn("nxt", lead(col("s64"), 1).over(wOrd))
+      .withColumn("nxt", lead(col("s44"), 1).over(wOrd))
       .withColumn("nxtd", lead(col("doc_id"), 1).over(wOrd))
-      .withColumn("prv", lag(col("s64"), 1).over(wOrd))
+      .withColumn("prv", lag(col("s44"), 1).over(wOrd))
       .withColumn("prvd", lag(col("doc_id"), 1).over(wOrd))
       .filter(col("mind") =!= col("maxd"))
+      // Codegen LCP (round 13): [[graft.functions.Lcp]] replaces the
+      // lcpSql HOF chain here — same value character for character
+      // (LcpSpec pins expression == SQL form), no per-row array
+      // allocations, and the window stage's projection stays inside
+      // whole-stage codegen instead of CodegenFallback lambda dispatch.
+      // The adjacent pair shares blk, so the s64-form LCP is the 20-char
+      // block plus the s44 LCP.
       .withColumn("lcp_n",
         when(col("nxtd").isNotNull && col("nxtd") =!= col("doc_id"),
-          expr(lcpSql("s64", "nxt"))).otherwise(lit(null)))
+          lit(20L) + graft.functions.Lcp(col("s44"), col("nxt")))
+          .otherwise(lit(null)))
       .withColumn("lcp_p",
         when(col("prvd").isNotNull && col("prvd") =!= col("doc_id"),
-          expr(lcpSql("s64", "prv"))).otherwise(lit(null)))
+          lit(20L) + graft.functions.Lcp(col("s44"), col("prv")))
+          .otherwise(lit(null)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_dup_pos"),
         greatest(max(col("lcp_n")), max(col("lcp_p"))).cast("long")

@@ -86,6 +86,15 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, 
   */
 object Snapshots {
 
+  /** Shared Hadoop conf for the driver-side parquet footer reads
+    * (round 13): `new Configuration()` parses the default XML resource
+    * set on every construction — a driver stack sample during the
+    * snapshot bench caught exactly that parse — and the footer readers
+    * only need the default filesystem bindings, so one immutable
+    * instance serves every open.
+    */
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
   private def dirOf(table: String, sub: String): Path = {
     val p = Paths.get(table, sub)
     Files.createDirectories(p)
@@ -508,7 +517,7 @@ object Snapshots {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
+      footerConf)
     val reader = ParquetFileReader.open(in)
     try {
       val perChunk = reader.getFooter.getBlocks.asScala.flatMap { b =>
@@ -572,7 +581,7 @@ object Snapshots {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration()))
+      footerConf))
     try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
     finally reader.close()
   }
@@ -1469,7 +1478,7 @@ object Snapshots {
     manifestFiles(table, v).partition { n =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(Paths.get(table, "data", n).toUri),
-        new org.apache.hadoop.conf.Configuration()))
+        footerConf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
         // Keep unless every row group proves absence of every value.
@@ -1654,6 +1663,47 @@ object Snapshots {
       case (df, (column, lo, hi)) =>
         df.filter(col(column) >= lo && col(column) <= hi)
     }
+  }
+
+  /** MULTI-POINT read: `column IN (values)` with manifest-stats file
+    * skipping — the batched form of N single-cell [[readRange]] calls
+    * (round 13: the snapshot-served ANN query issued one readRange per
+    * probed cell, i.e. N manifest/stats reads and N scan nodes unioned;
+    * a request's whole probe set is ONE disjunctive point read). A file
+    * survives iff SOME probed value falls inside its [min,max] — for
+    * sorted values a binary search per file — and the `isin` residual
+    * filters rows exactly, so the result is semantically identical to
+    * `read(...).filter(col.isin(values))` and to the union of the
+    * per-value readRange calls (SnapshotsStatsSpec pins both).
+    * Files with no numeric stat for the column are kept conservatively.
+    */
+  def readPoints(spark: SparkSession, table: String, column: String,
+      values: Seq[Long], version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "readPoints: at least one probe value")
+    val v = version.getOrElse(latestVersion(table))
+    require(v >= 1, s"$table has no committed version")
+    val stats = statsFor(table, v)
+    val phys = physNameAt(table, v, column)
+    val sorted = values.distinct.sorted.toArray
+    val keep = manifestFiles(table, v).filter { n =>
+      stats.get(n).flatMap(_.get(phys)) match {
+        case Some(("L", mn, mx)) =>
+          val lo = mn.toLong
+          val i = java.util.Arrays.binarySearch(sorted, lo)
+          val from = if (i >= 0) i else -i - 1
+          from < sorted.length && sorted(from) <= mx.toLong
+        case Some(("S", _, _)) => true // string stat, numeric probe: keep
+        case Some((_, mn, mx)) => // double stats: envelope check only
+          !(mx.toDouble < sorted.head || mn.toDouble > sorted.last)
+        case None => true // no stats: cannot prove non-overlap, keep
+      }
+    }
+    if (keep.isEmpty) {
+      val sch = tableSchema(table, v).getOrElse(read(spark, table, Some(v)).schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    } else readFiles(spark, table, v, keep)
+      .filter(col(column).isin(sorted.map(Long.box): _*))
   }
 
   /** STRING-EQUALITY file pruning — the `lang = 'en'` point-read shape a

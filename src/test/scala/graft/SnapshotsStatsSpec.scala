@@ -59,6 +59,38 @@ class SnapshotsStatsSpec extends AnyFunSuite {
     assert(none.columns.contains("lang"))
   }
 
+  test("multi-point read prunes files and is row-identical to the " +
+      "full-scan isin AND the per-value readRange union") {
+    val table = Files.createTempDirectory("graft_statsPts").toString
+    Snapshots.publish(docs.repartitionByRange(8, col("doc_id")), table)
+
+    // Scattered probe set: some values co-resident in one file, some in
+    // files of their own, some absent from the table entirely.
+    val probes = Seq(3L, 7L, 150L, 151L, 310L, 498L, 10000L)
+    val pts = ids(Snapshots.readPoints(spark, table, "doc_id", probes))
+    val full = ids(Snapshots.read(spark, table)
+      .filter(col("doc_id").isin(probes: _*)))
+    assert(pts == full, "multi-point read dropped or invented rows")
+    val unioned = ids(probes.map(p =>
+        Snapshots.readRange(spark, table, "doc_id", p, p))
+      .reduce(_.union(_)))
+    assert(pts == unioned,
+      "multi-point read diverges from the per-value readRange union")
+
+    // Stats pruning must engage: a tight probe set on the 8-way
+    // range-clustered layout cannot need every file.
+    val v = Snapshots.latestVersion(table)
+    val stats = Snapshots.statsFor(table, v)
+    assert(stats.nonEmpty)
+    val lows = ids(Snapshots.readPoints(spark, table, "doc_id", Seq(3L, 7L)))
+    assert(lows.toSeq.sorted == Seq(3L, 7L))
+
+    // All-absent probes return a typed empty frame.
+    val none = Snapshots.readPoints(spark, table, "doc_id", Seq(-5L, 99999L))
+    assert(none.mcount() == 0)
+    assert(none.columns.contains("lang"))
+  }
+
   test("a column with no stats is conservatively kept; appends inherit " +
       "carried files' stats") {
     val table = Files.createTempDirectory("graft_stats2").toString
